@@ -1,0 +1,139 @@
+"""Fixed-schema table registry.
+
+The reference's data model is fixed-schema relational tables keyed on a
+primary key (SURVEY.md §1.1); this registry is our equivalent of its schema
+catalog. Schemas are transcribed from FIXTURES.md (measured from the parquet
+files, not inferred) so schema drift in the input is *detected*, not silently
+absorbed — see ``operators/schema_drift.py``.
+
+``load`` reads with the declared schema; Catalyst still gets parquet
+predicate pushdown and column pruning (the schema is the full file schema, so
+the vectorized reader path is unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["SCHEMAS", "PRIMARY_KEYS", "TABLES", "path_for", "load", "register_views"]
+
+
+def _struct(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(name, dtype, True) for name, dtype in fields])
+
+
+# Measured schemas (FIXTURES.md). Timestamps are TimestampType (µs); the
+# events table is ns in parquet but both Spark and DuckDB truncate to µs on
+# read, identically (FIXTURES.md "hazards" #1).
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _struct(
+        ("r_regionkey", T.IntegerType()),
+        ("r_name", T.StringType()),
+    ),
+    "nation": _struct(
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _struct(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _struct(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ),
+    "part": _struct(
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _struct(
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampType()),
+        ("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _struct(
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampType()),
+    ),
+    "events": _struct(
+        ("event_id", T.LongType()),
+        ("ts", T.TimestampType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
+    ),
+    "documents": _struct(
+        ("doc_id", T.LongType()),
+        ("text", T.StringType()),
+        ("lang", T.StringType()),
+        ("source", T.StringType()),
+        ("n_chars", T.LongType()),
+    ),
+    "embeddings": _struct(
+        ("vec_id", T.LongType()),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", T.IntegerType()),
+    ),
+}
+
+TABLES: tuple[str, ...] = tuple(SCHEMAS)
+
+# Sync operators are keyed on these (SURVEY.md §1.1: sync is PK-keyed).
+PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def path_for(sf_dir: str, table: str) -> str:
+    if table not in SCHEMAS:
+        raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    return f"{sf_dir.rstrip('/')}/{table}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one registry table with its declared schema.
+
+    Declared (not inferred) schema mirrors the reference's fixed-schema model;
+    pushdown/pruning still apply because the schema matches the file.
+    """
+    return spark.read.schema(SCHEMAS[table]).parquet(path_for(sf_dir, table))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries (EP3,
+    SURVEY.md §3.1) see the same relations the oracle sees."""
+    for table in tables:
+        load(spark, sf_dir, table).createOrReplaceTempView(table)

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+One place to pin every config that matters for correctness (UTC timestamps,
+Arrow transfer) and scale (AQE, shuffle partitions, broadcast threshold).
+
+Scale notes (100 TB / 1000-executor target — SURVEY.md §4):
+  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+    broadcast conversion replace hand-tuned partition counts at scale.
+  - ``spark.sql.shuffle.partitions`` here is a *local-mode test* setting; on a
+    real cluster it is overridden (or left to AQE's
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+  - Arrow enabled so every pandas-UDF boundary is vectorized batch transfer,
+    never per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_session", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "hdc_sqlsync_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession with engine defaults.
+
+    Defaults are correct for local[N] testing; on a cluster pass ``master``
+    and override partitions via ``extra_conf``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime re-plan (partition coalescing, skew join, broadcast
+        # conversion). This is the main lever that makes one logical plan
+        # behave well from sf0.001 tests to the 100 TB target.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every Python<->JVM data transfer (toPandas, pandas UDFs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic cross-engine timestamps (DuckDB oracle is UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quiet the UI in non-interactive runs.
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

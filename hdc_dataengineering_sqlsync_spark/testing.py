@@ -1,0 +1,116 @@
+"""Local mirror of the driver's DuckDB-oracle comparison (SURVEY.md §5.2).
+
+The driver compares each ``queries()[qid]`` against ``oracle_sql()[qid]`` by
+row-count + schema + order-insensitive value-hash. This module reproduces an
+equivalent check locally so failures are debuggable before the driver runs:
+both results are collected to plain Python rows, columns sorted by name, rows
+normalized and sorted, then compared exactly (floats compared bit-exact —
+the declared queries round per SURVEY.md §2 conventions, so exact match is
+the requirement, not an aspiration).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+from hdc_dataengineering_sqlsync_spark.registry import TABLES, path_for
+
+__all__ = [
+    "duckdb_connect",
+    "spark_result",
+    "duckdb_result",
+    "canonicalize",
+    "compare_results",
+    "assert_query_matches",
+]
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """In-memory DuckDB with the 10 tables registered as views, mirroring the
+    driver's pre-registered views (``__spark_entry__.py`` docstring)."""
+    con = duckdb.connect()
+    for table in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {table} AS "
+            f"SELECT * FROM read_parquet('{path_for(sf_dir, table)}')"
+        )
+    return con
+
+
+def spark_result(df: DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = list(df.columns)
+    rows = [tuple(row[c] for c in cols) for row in df.collect()]
+    return cols, rows
+
+
+def duckdb_result(con: duckdb.DuckDBPyConnection, sql: str) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, [tuple(r) for r in cur.fetchall()]
+
+
+def _norm(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name (driver does this before hashing), normalize
+    values, and sort rows for order-insensitive comparison."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(row[i]) for i in order) for row in rows]
+    return sorted(out, key=repr)
+
+
+def compare_results(
+    spark_cols: list[str],
+    spark_rows: list[tuple],
+    duck_cols: list[str],
+    duck_rows: list[tuple],
+) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}")
+    s = canonicalize(spark_cols, spark_rows)
+    d = canonicalize(duck_cols, duck_rows)
+    if s != d:
+        for i, (a, b) in enumerate(zip(s, d)):
+            if a != b:
+                problems.append(f"first differing row (sorted) #{i}: spark={a!r} duck={b!r}")
+                break
+        else:
+            problems.append("rows differ in count only")
+    return problems
+
+
+def assert_query_matches(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, fn, oracle: str, sf_dir: str
+) -> None:
+    df = fn(spark, sf_dir)
+    sc, sr = spark_result(df)
+    dc, dr = duckdb_result(con, oracle)
+    problems = compare_results(sc, sr, dc, dr)
+    assert not problems, "; ".join(problems)
