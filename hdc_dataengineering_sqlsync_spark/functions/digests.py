@@ -1,0 +1,65 @@
+"""Cross-engine row digests.
+
+A sync engine's table diff is digest-driven: hash a canonical string form of
+each row, compare hashes instead of N columns (SURVEY.md §2.8). The
+canonicalization must be *bit-identical* across engines, so every type maps
+to a normalized string (FIXTURES.md hazards 2-5):
+
+  double    -> cast(cast(round(x, 2) as decimal(18,2)) as string)  ("123.46")
+  timestamp -> epoch microseconds as string (rendering-free)
+  date      -> ISO string ("1995-01-02", probed identical)
+  other     -> plain cast to string
+  NULL      -> sentinel (concat_ws would silently *drop* nulls, colliding
+               ('a', NULL) with (NULL, 'a'))
+
+``duckdb_*`` emit the equivalent DuckDB SQL so oracles are generated from
+the same spec, never hand-duplicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NULL_SENTINEL = "<NULL>"
+_SEP = "|"
+
+
+def canonical_str(name: str, dtype: T.DataType) -> Column:
+    col = F.col(name)
+    if isinstance(dtype, T.DoubleType | T.FloatType):
+        s = F.round(col.cast("double"), 2).cast("decimal(18,2)").cast("string")
+    elif isinstance(dtype, T.TimestampType):
+        s = F.unix_micros(col).cast("string")
+    elif isinstance(dtype, T.DateType):
+        s = col.cast("string")
+    else:
+        s = col.cast("string")
+    return F.coalesce(s, F.lit(NULL_SENTINEL))
+
+
+def row_digest(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """md5 digest over the canonical string of the given columns (default:
+    all, in schema order)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    use = cols or [f.name for f in df.schema.fields]
+    parts = [canonical_str(c, fields[c]) for c in use]
+    return F.md5(F.concat_ws(_SEP, *parts))
+
+
+def duckdb_canonical_str(name: str, dtype: T.DataType) -> str:
+    if isinstance(dtype, T.DoubleType | T.FloatType):
+        s = f"cast(cast(round(cast({name} AS DOUBLE), 2) AS DECIMAL(18,2)) AS VARCHAR)"
+    elif isinstance(dtype, T.TimestampType):
+        s = f"cast(epoch_us({name}) AS VARCHAR)"
+    else:
+        s = f"cast({name} AS VARCHAR)"
+    return f"coalesce({s}, '{NULL_SENTINEL}')"
+
+
+def duckdb_row_digest(schema: T.StructType, cols: list[str] | None = None) -> str:
+    use = cols or [f.name for f in schema.fields]
+    fields = {f.name: f.dataType for f in schema.fields}
+    parts = ", ".join(duckdb_canonical_str(c, fields[c]) for c in use)
+    return f"md5(concat_ws('{_SEP}', {parts}))"

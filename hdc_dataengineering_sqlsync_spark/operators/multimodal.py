@@ -1,0 +1,104 @@
+"""Multimodal column plumbing (SURVEY.md §2.9 north star).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata structs.
+The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
+batch shapes — is real and tested; the actual codec step is STUBBED (decode
+libraries are not in this container): ``decode_image`` raises
+NotImplementedError, and ``extract_features`` uses a deterministic fake
+(byte-level stats) so the pipeline shape is exercised end-to-end.
+
+At scale: binary payloads ride the same parquet row groups as their metadata;
+feature extraction is an Arrow-batched mapInPandas (one Python worker per
+partition, zero shuffle), and downstream joins use only the slim metadata /
+feature columns, never the blobs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("kind", T.StringType()),       # image | audio | video
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ])),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table: the text bytes stand in for an encoded
+    payload so the binary-column plumbing is testable without codecs."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("image/x-fake").alias("mime"),
+            (F.length(F.col(text_col)) % 640).cast("int").alias("width"),
+            F.lit(480).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - intentional stub
+    """STUB: real decode needs an image codec (Pillow/opencv), not present in
+    this container. The Spark-side contract (binary in, array out) is what
+    matters; swap this body when codecs are available."""
+    raise NotImplementedError("image decode requires a codec library (not in container)")
+
+
+def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+
+    Deterministic fake featurizer (byte histogram moments + crc32) standing
+    in for a real encoder; batch shape, schema, and partitioning are the real
+    thing. No shuffle: runs where the data sits.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "checksum": payloads.map(lambda b: zlib.crc32(bytes(b))).astype("int64"),
+                    "feature": payloads.map(
+                        lambda b: [
+                            float(sum(bytes(b)[d::n_dims]) % 997) for d in range(n_dims)
+                        ]
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: emits (media_id, frame_idx) rows for a
+    downstream decoder via the same mapInPandas contract. Frame decode itself
+    is stubbed (no codec)."""
+    idx = F.sequence(F.lit(0), F.lit(every_n - 1))
+    return media.select("media_id", F.explode(idx).alias("frame_idx"))

@@ -59,3 +59,254 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "agg_global",
+    "2.4 aggregations",
+    """
+    SELECT count(*) AS n,
+           round(sum(l_extendedprice), 2) AS s,
+           round(avg(l_extendedprice), 2) AS a,
+           round(min(l_extendedprice), 2) AS mn,
+           round(max(l_extendedprice), 2) AS mx
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("s"),
+        F.round(F.avg("l_extendedprice"), 2).alias("a"),
+        F.round(F.min("l_extendedprice"), 2).alias("mn"),
+        F.round(F.max("l_extendedprice"), 2).alias("mx"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    "2.4 aggregations",
+    """
+    SELECT count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio
+    FROM orders
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@query("agg_approx_distinct", "2.4 aggregations", None)  # rows-only: HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path for cardinality (no
+    shuffle of distinct values, fixed-size sketch per partition)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_n"))
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+@query("agg_rollup", "2.4 aggregations", _ROLLUP_ORACLE, bench=True)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "agg_cube",
+    "2.4 aggregations",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+_GSETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       cast(grouping(o_orderstatus) AS INT) AS g_status,
+       cast(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+
+@query("agg_grouping_sets", "2.4 aggregations", _GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (EP3): the table is registered as a
+    temp view and the query text goes through the same Catalyst pipeline."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               cast(grouping(o_orderstatus) AS INT) AS g_status,
+               cast(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
+    "agg_filtered",
+    "2.4 aggregations",
+    """
+    SELECT c_nationkey,
+           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 2) AS pos_bal,
+           count(*) FILTER (WHERE c_acctbal < 0) AS n_neg,
+           count(*) AS n
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))), 2).alias("pos_bal"),
+            F.count(F.when(F.col("c_acctbal") < 0, F.lit(1))).alias("n_neg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "agg_stats",
+    "2.4 aggregations",
+    """
+    SELECT round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    "2.4 aggregations",
+    """
+    SELECT l_returnflag,
+           round(round(quantile_cont(l_extendedprice, 0.5), 3), 2) AS p50,
+           round(round(quantile_cont(l_extendedprice, 0.9), 3), 2) AS p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (sort-based); DuckDB quantile_cont uses
+    the same linear interpolation.
+
+    Snap-rounded at scale 3 before scale 2: the engines' interpolation
+    formulas differ at ulp level ((1-g)a+gb vs a+g(b-a)) and interpolated
+    values of 2-decimal prices terminate at 3 decimals — i.e. exactly on
+    .xx5 rounding boundaries. round(·,3) snaps both engines to the same
+    3-decimal double first."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 3), 2).alias("p50"),
+            F.round(F.round(F.percentile("l_extendedprice", F.lit(0.9)), 3), 2).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    "2.4 aggregations",
+    """
+    SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array agg: collect_set -> sort_array -> array_join keeps
+    raw arrays out of the t2 output (SURVEY §2 convention 3)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "agg_min_max_by",
+    "2.4 aggregations",
+    """
+    SELECT c_mktsegment, c_name AS top_name FROM (
+      SELECT c_mktsegment, c_name,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      FROM customer
+    ) WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax with unique tiebreak: max_by over struct(c_acctbal, c_custkey)
+    orders lexicographically, so ties on acctbal resolve to the larger
+    custkey — mirrored by the oracle's DESC,DESC window."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("top_name"))
+        .orderBy("c_mktsegment")
+    )

@@ -38,13 +38,65 @@ class Query:
 CATALOG: dict[str, Query] = {}
 
 
+def normalize_oracle_rounding(sql: str) -> str:
+    """Rewrite every ``round(E, n)`` into ``cast(cast(E AS DECIMAL(38,n)) AS
+    DOUBLE)``.
+
+    Why (probed, FIXTURES.md-hazard class): Spark's ``round`` rounds the
+    *shortest decimal repr* of the double (BigDecimal.valueOf, HALF_UP) —
+    identical to a decimal cast in BOTH engines — while DuckDB's ``round``
+    divides by 1e-n in binary and diverges on repr-ties (round(1.005, 2) ->
+    1.0 in DuckDB, 1.01 in Spark). Averages/percentiles of 2-decimal data hit
+    such ties constantly. Oracles are written with readable ``round`` and
+    normalized here so both engines round identically.
+    """
+    out = []
+    i, n = 0, len(sql)
+    low = sql.lower()
+    while i < n:
+        j = low.find("round(", i)
+        # only bare round( — not bround/round_even (neither used in oracles)
+        while j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            j = low.find("round(", j + 1)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        k = j + len("round(")
+        depth = 1
+        last_comma = -1
+        while k < n and depth:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                last_comma = k
+            k += 1
+        inner = sql[j + len("round(") : k - 1]
+        if last_comma == -1:
+            out.append(sql[j:k])  # round(x) single-arg: leave alone
+        else:
+            expr = normalize_oracle_rounding(sql[j + len("round(") : last_comma])
+            scale = sql[last_comma + 1 : k - 1].strip()
+            out.append(f"cast(cast({expr} AS DECIMAL(38,{scale})) AS DOUBLE)")
+        i = k
+    return "".join(out)
+
+
 def query(qid: str, family: str, oracle: str | None, bench: bool = False) -> Callable[[SparkFn], SparkFn]:
-    """Decorator registering a Spark query fn + its oracle under ``qid``."""
+    """Decorator registering a Spark query fn + its oracle under ``qid``.
+
+    The oracle SQL is normalized so DuckDB's rounding matches Spark's (see
+    ``normalize_oracle_rounding``).
+    """
 
     def deco(fn: SparkFn) -> SparkFn:
         if qid in CATALOG:
             raise ValueError(f"duplicate qid {qid!r}")
-        CATALOG[qid] = Query(qid=qid, fn=fn, oracle=oracle, family=family, bench=bench)
+        norm = normalize_oracle_rounding(oracle) if oracle else oracle
+        CATALOG[qid] = Query(qid=qid, fn=fn, oracle=norm, family=family, bench=bench)
         return fn
 
     return deco

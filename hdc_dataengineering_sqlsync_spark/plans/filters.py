@@ -1,1 +1,101 @@
-"""SURVEY.md §2 — filters (to be filled in)."""
+"""SURVEY.md §2.2 — projection, filter, predicate semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+# Fixed literal subset for the IN predicate — all <= 150 so it selects rows at
+# every scale factor (customer keys start at 1).
+_CUSTKEY_SUBSET = (3, 7, 11, 19, 23, 42, 57, 73, 88, 101, 115, 131)
+
+
+@query(
+    "project_rename_cast",
+    "2.2 projection/filter",
+    """
+    SELECT c_custkey AS id, upper(c_name) AS name_u,
+           cast(round(c_acctbal, 2) AS DECIMAL(12,2)) AS bal
+    FROM customer
+    """,
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-then-cast: after round(x,2) the decimal(12,2) cast is exact, so
+    # Spark and DuckDB cannot disagree on the half-even/half-up boundary.
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.upper("c_name").alias("name_u"),
+        F.round("c_acctbal", 2).cast("decimal(12,2)").alias("bal"),
+    )
+
+
+@query(
+    "filter_compound",
+    "2.2 projection/filter",
+    f"""
+    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_orderpriority LIKE '1-%')
+      AND o_totalprice BETWEEN 1000 AND 100000
+      AND o_custkey IN {_CUSTKEY_SUBSET}
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        ((F.col("o_orderstatus") == "F") | F.col("o_orderpriority").like("1-%"))
+        & F.col("o_totalprice").between(1000, 100000)
+        & F.col("o_custkey").isin(*_CUSTKEY_SUBSET)
+    )
+    return o.where(cond).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "filter_null_semantics",
+    "2.2 projection/filter",
+    """
+    SELECT count(*) - count(d) AS n_null, count(d) AS n_not_null,
+           round(sum(coalesce(d, -1.0)), 2) AS s
+    FROM (SELECT nullif(l_discount, 0.0) AS d FROM lineitem)
+    """,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic: nullif introduces NULLs, count(col) skips them,
+    coalesce restores a default."""
+    li = load(spark, sf_dir, "lineitem").select(F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d"))
+    return li.agg(
+        (F.count(F.lit(1)) - F.count("d")).alias("n_null"),
+        F.count("d").alias("n_not_null"),
+        F.round(F.sum(F.coalesce("d", F.lit(-1.0))), 2).alias("s"),
+    )
+
+
+@query(
+    "case_when_bucketing",
+    "2.2 projection/filter",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("bucket")
+    )

@@ -1,1 +1,206 @@
-"""SURVEY.md §2 — llmdata (to be filled in)."""
+"""SURVEY.md §2.9 — LLM-data-pipeline queries (dedup, similarity search,
+text analysis, multimodal). Spark side runs the engine operators
+(operators/dedup.py, simsearch.py, text.py); oracles restate the same
+algebra in DuckDB SQL with all similarity math in DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+from hdc_dataengineering_sqlsync_spark.operators.simsearch import cosine_topk, knn_per_label
+from hdc_dataengineering_sqlsync_spark.operators.text import tf_idf_terms, wordcount
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+
+@query(
+    "dedup_exact",
+    "2.9 llm-data",
+    """
+    SELECT lang, count(*) AS n_raw, count(DISTINCT text) AS n_distinct
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: raw vs distinct-text counts per language.
+    (The actual dedup is dropDuplicates(['text']) — one hash shuffle.)"""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_raw"), F.countDistinct("text").alias("n_distinct"))
+        .orderBy("lang")
+    )
+
+
+_JACCARD_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a AS doc_id, id_b AS doc_id2,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+ORDER BY doc_id, doc_id2
+"""
+
+
+@query("dedup_near_jaccard", "2.9 llm-data", _JACCARD_ORACLE)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked (by lang) exact pairwise Jaccard >= 0.5 — the correctness
+    baseline for near-dup detection (operators/dedup.py::jaccard_pairs).
+    The 100 TB path is dedup_minhash_lsh below."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(d, block_cols=["lang"], threshold=0.5)
+        .orderBy("doc_id", "doc_id2")
+    )
+
+
+@query("dedup_minhash_lsh", "2.9 llm-data", None)  # rows-only: hash family engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (3-word shingles, seed=42, 5 tables,
+    Jaccard distance < 0.3) — operators/dedup.py::minhash_lsh_pairs."""
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+comp AS (
+  SELECT e.vec_id,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS dot,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(e.embedding[i.range] AS DOUBLE)) AS na2,
+         sum(CAST(q.qe[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS nb2
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) i
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos
+FROM comp ORDER BY cos DESC, vec_id LIMIT 5
+"""
+
+
+@query("simsearch_cosine_topk", "2.9 llm-data", _COSINE_ORACLE, bench=True)
+def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 to vec_id 0, DOUBLE math, broadcast query
+    (operators/simsearch.py; LSH-bucketed variant is the scale path)."""
+    return cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+
+
+_KNN_ORACLE = """
+WITH comp AS (
+  SELECT label, vec_id, i.range AS pos, CAST(embedding[i.range] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) i
+),
+cent AS (SELECT label, pos, avg(x) AS c FROM comp GROUP BY label, pos),
+per_vec AS (
+  SELECT comp.label AS label, vec_id,
+         sum(x * c) AS dot, sum(x * x) AS na2, sum(c * c) AS nb2
+  FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+  GROUP BY comp.label, vec_id
+),
+ranked AS (
+  SELECT label, vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos,
+         row_number() OVER (PARTITION BY label
+             ORDER BY round(dot / (sqrt(na2) * sqrt(nb2)), 4) DESC, vec_id) AS rn
+  FROM per_vec
+)
+SELECT label, vec_id, cos FROM ranked WHERE rn = 1 ORDER BY label
+"""
+
+
+@query("simsearch_knn_per_label", "2.9 llm-data", _KNN_ORACLE)
+def simsearch_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, then the member closest to it by cosine
+    (operators/simsearch.py::knn_per_label)."""
+    return knn_per_label(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "text_wordcount_topk",
+    "2.9 llm-data",
+    r"""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+)
+def text_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return wordcount(d).orderBy(F.col("cnt").desc(), "token").limit(20)
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT term, round(max(tf * ln(n.n / df.df)), 4) AS score
+FROM tf JOIN df USING (term) CROSS JOIN n
+GROUP BY term ORDER BY score DESC, term LIMIT 10
+"""
+
+
+@query("text_tfidf_top_terms", "2.9 llm-data", _TFIDF_ORACLE, bench=True)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 terms by max TF-IDF (operators/text.py::tf_idf_terms)."""
+    d = load(spark, sf_dir, "documents")
+    return tf_idf_terms(d).orderBy(F.col("score").desc(), "term").limit(10)
+
+
+@query(
+    "text_lang_stats",
+    "2.9 llm-data",
+    """
+    SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "multimodal_join",
+    "2.9 llm-data",
+    """
+    SELECT label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY label ORDER BY label
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector modality join on the shared id — the slim-column join
+    (blobs never ride a shuffle; see operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+        .orderBy("label")
+    )

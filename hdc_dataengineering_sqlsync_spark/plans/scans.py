@@ -1,1 +1,81 @@
-"""SURVEY.md §2 — scans (to be filled in)."""
+"""SURVEY.md §2.1 — scans, sources, sinks.
+
+Round-trip qids exercise the sources/ layer (CSV/JSON/partitioned-parquet
+write + schema'd read-back); the oracle checks the round-trip is lossless by
+querying the *original* table.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import SCHEMAS, load
+
+_RT_BASE = Path(tempfile.gettempdir()) / "hdc_sqlsync_roundtrip"
+
+
+@query("scan_parquet_count", "2.1 scans", "SELECT count(*) AS n FROM lineitem")
+def scan_parquet_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scan_prune_filter",
+    "2.1 scans",
+    """
+    SELECT round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def scan_prune_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter reach the parquet reader: the physical plan shows
+    PushedFilters on l_shipdate and a 2-column ReadSchema (asserted in
+    tests/test_plans.py) — at 100 TB this is the difference between scanning
+    two columns of some row groups and scanning everything."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_quantity", "l_shipdate")
+        .where(F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("csv_roundtrip_nation", "2.1 scans", "SELECT * FROM nation")
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with explicit schema read-back (bulk extract/load is
+    the reference's transport surface; header CSV keeps it lossless for
+    int/string columns)."""
+    out = str(_RT_BASE / "nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(SCHEMAS["nation"]).option("header", True).csv(out)
+
+
+@query("json_roundtrip_region", "2.1 scans", "SELECT * FROM region")
+def json_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = str(_RT_BASE / "region_json")
+    load(spark, sf_dir, "region").write.mode("overwrite").json(out)
+    return spark.read.schema(SCHEMAS["region"]).json(out)
+
+
+@query(
+    "parquet_partitioned_write",
+    "2.1 scans",
+    "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def parquet_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + partition-discovery source. The read-back group-by
+    on the partition column is answerable from directory listing + row-group
+    metadata — the layout a 100 TB table would use for partition pruning."""
+    out = str(_RT_BASE / "orders_by_status")
+    load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )

@@ -1,1 +1,113 @@
-"""SURVEY.md §2 — streaming_batch (to be filled in)."""
+"""SURVEY.md §2.10 — batch-equivalent forms of the streaming operators.
+
+Each declared qid computes, in batch, the final state the Structured
+Streaming job (streaming/jobs.py) converges to; unit tests assert the two
+are collect()-identical. Watermark/late-data behavior is stream-only ->
+rows-only/unit (SURVEY §2.10 strategy note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+
+@query(
+    "stream_tumbling_1h",
+    "2.10 streaming",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window x event_type via the real F.window primitive (the
+    same expression the streaming job uses with a watermark)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_sliding_2h_1h",
+    "2.10 streaming",
+    """
+    SELECT ws AS window_start, count(*) AS n
+    FROM (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS ws
+      FROM events
+    )
+    GROUP BY ws ORDER BY ws
+    """,
+)
+def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h window, 1h slide: every event lands in exactly two windows
+    (the oracle enumerates both covering slides per row)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+i AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS secs
+  FROM i GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(secs), 1) AS avg_session_secs,
+       max(n_events) AS max_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("stream_session_30m", "2.10 streaming", _SESSION_ORACLE, bench=True)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the native session_window
+    primitive; oracle is the gaps-and-islands formulation. Boundary semantics
+    match: a gap of exactly 30min starts a NEW session (Spark closes the
+    window at last_ts + gap, exclusive) — SURVEY §7 known-hard #3."""
+    e = load(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    secs = (F.unix_micros("t1") - F.unix_micros("t0")).cast("double") / 1e6
+    return (
+        sess.select("user_id", "n_events", secs.alias("secs"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("secs"), 1).alias("avg_session_secs"),
+            F.max("n_events").alias("max_events"),
+        )
+        .orderBy("user_id")
+    )

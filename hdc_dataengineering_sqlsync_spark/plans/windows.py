@@ -1,1 +1,175 @@
-"""SURVEY.md §2 — windows (to be filled in)."""
+"""SURVEY.md §2.5 — window functions.
+
+Every window declares its frame explicitly (default RANGE frames have
+peer-row subtleties that differ across engines on ties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+
+@query(
+    "win_ranking",
+    "2.5 windows",
+    """
+    SELECT c_mktsegment, c_custkey,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rk,
+           dense_rank()  OVER w AS drk,
+           ntile(4)      OVER w AS nt
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("nt"),
+    ).orderBy("c_mktsegment", "rn")
+
+
+@query(
+    "win_lag_lead",
+    "2.5 windows",
+    """
+    SELECT event_id, user_id,
+           round(lag(value, 1)  OVER w, 2) AS prev_value,
+           round(lead(value, 1) OVER w, 2) AS next_value,
+           round(first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+        F.round(F.first("value").over(wf), 2).alias("first_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "win_rows_frame",
+    "2.5 windows",
+    """
+    SELECT event_id,
+           round(round(sum(value) OVER w, 2) / count(*) OVER w, 2) AS mov_avg,
+           round(sum(value) OVER w, 2) AS mov_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def win_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving sum/avg over a 4-row frame.
+
+    mov_avg is round(rounded_sum / frame_count) rather than round(avg(...)):
+    DuckDB evaluates sliding frames with a segment tree (different fp
+    summation order than Spark's sequential pass), so raw avgs differ at ulp
+    level and the 2-decimal `value` data puts true avgs exactly on .xx5
+    rounding boundaries. Rounding the sum first (boundary-free for 2-decimal
+    data) makes the dividend bit-identical across engines.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    mov_sum = F.round(F.sum("value").over(w), 2)
+    cnt = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        F.round(mov_sum / cnt, 2).alias("mov_avg"),
+        mov_sum.alias("mov_sum"),
+    ).orderBy("event_id")
+
+
+@query(
+    "win_range_frame",
+    "2.5 windows",
+    """
+    SELECT l_returnflag, l_quantity,
+           count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS cnt_within_5
+    FROM lineitem
+    ORDER BY l_returnflag, l_quantity
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: all peers with quantity in [current-5, current]
+    count, independent of row position — value-based, not row-based."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-5, 0)
+    return li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.count(F.lit(1)).over(w).alias("cnt_within_5"),
+    ).orderBy("l_returnflag", "l_quantity")
+
+
+@query(
+    "win_cumulative",
+    "2.5 windows",
+    """
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit ROWS frame: the default RANGE frame would sum peer rows with
+    # equal (orderdate, orderkey) together — declared away per SURVEY §2.5.
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("run_total")
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "win_topk_per_group",
+    "2.5 windows",
+    """
+    SELECT c_nationkey, c_custkey, rn FROM (
+      SELECT c_nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3 ORDER BY c_nationkey, rn
+    """,
+    bench=True,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per nation. Spark >=3.5 rewrites rn<=k into WindowGroupLimit
+    (per-partition top-k heap before the shuffle) — asserted in
+    tests/test_plans.py; at scale this never materializes full partitions."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select("c_nationkey", "c_custkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )

@@ -14,6 +14,7 @@ the vectorized reader path is unchanged).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["SCHEMAS", "PRIMARY_KEYS", "TABLES", "path_for", "load", "register_views"]
@@ -128,7 +129,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     Declared (not inferred) schema mirrors the reference's fixed-schema model;
     pushdown/pruning still apply because the schema matches the file.
+
+    events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 cannot map to
+    TimestampType; with ``spark.sql.legacy.parquet.nanosAsLong`` on we read
+    the raw int64 and truncate ns -> µs with integer division (``div`` — a
+    double division would lose precision above 2^53). DuckDB truncates
+    identically on read (FIXTURES.md hazard #1).
     """
+    if table == "events":
+        raw = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+                for f in SCHEMAS[table].fields
+            ]
+        )
+        df = spark.read.schema(raw).parquet(path_for(sf_dir, table))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+            *[f.name for f in SCHEMAS[table].fields]
+        )
     return spark.read.schema(SCHEMAS[table]).parquet(path_for(sf_dir, table))
 
 
