@@ -1,0 +1,96 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the 12 starred query families (Query.bench flags in the catalog) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]: one discarded warm-up + median of N timed runs per
+query, wall-clock to a fully materialized result (collect).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {qid: median_sec, ...}, "sf": ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_RUNS (default 5),
+BENCH_DUCKDB=1 adds the DuckDB yardstick timings (stderr, not the JSON line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+from hdc_dataengineering_sqlsync_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def time_query(spark, fn, sf_dir: str, runs: int) -> float:
+    times = []
+    for i in range(runs + 1):  # first run is the discarded warm-up
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            times.append(dt)
+    return statistics.median(times)
+
+
+def main() -> None:
+    bench_set = {qid: q for qid, q in CATALOG.items() if q.bench}
+    spark = get_session(app_name="bench")
+
+    medians: dict[str, float] = {}
+    for qid in sorted(bench_set):
+        medians[qid] = round(time_query(spark, bench_set[qid].fn, SF_DIR, RUNS), 4)
+        print(f"  {qid}: {medians[qid]:.3f}s", file=sys.stderr)
+
+    if os.environ.get("BENCH_DUCKDB"):
+        import duckdb  # yardstick: same SQL, same files, same machine
+
+        from hdc_dataengineering_sqlsync_spark.testing import duckdb_connect
+
+        con = duckdb_connect(SF_DIR)
+        for qid in sorted(bench_set):
+            oracle = bench_set[qid].oracle
+            if not oracle:
+                continue
+            times = []
+            for i in range(RUNS + 1):
+                t0 = time.perf_counter()
+                con.execute(oracle).fetchall()
+                if i > 0:
+                    times.append(time.perf_counter() - t0)
+            print(f"  duckdb {qid}: {statistics.median(times):.3f}s", file=sys.stderr)
+
+    total = round(sum(medians.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_set_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": medians,
+                "sf": _sf_from_dir(SF_DIR),
+                "qps": round(len(medians) / total, 4) if total else None,
+                "runs_per_query": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
