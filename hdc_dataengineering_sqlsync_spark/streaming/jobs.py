@@ -1,0 +1,174 @@
+"""Structured Streaming jobs (SURVEY.md §2.10).
+
+Each windowed job is the streaming twin of a declared batch qid
+(plans/streaming_batch.py); unit tests replay ``events.parquet`` through the
+file source with ``trigger(availableNow=True)`` and assert the final state is
+collect()-identical to the batch result (SURVEY §5.3).
+
+Design notes for the real-stream deployment:
+  - event time = ``ts``; watermarks bound state for append-mode sinks.
+  - ``complete`` output to a memory sink is used in tests to observe final
+    aggregate state without waiting for watermark closure; production sinks
+    use append + watermark, or update to an idempotent upsert sink
+    (``foreach_batch_merge`` below, reusing the batch merge operator).
+  - state-heavy ops (dropDuplicatesWithinWatermark, transformWithState) keep
+    per-key state in the state store; at scale that store is RocksDB-backed
+    and keyed by the shuffle partitioning, so state size is bounded by
+    watermark horizon, not stream length.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdc_dataengineering_sqlsync_spark.operators.diff import snapshot_diff
+from hdc_dataengineering_sqlsync_spark.operators.merge import merge_apply
+from hdc_dataengineering_sqlsync_spark.registry import SCHEMAS, path_for
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over events parquet (ns -> µs truncation identical
+    to the batch loader in registry.load)."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        *[f.name for f in SCHEMAS["events"].fields]
+    )
+
+
+def events_path(sf_dir: str) -> str:
+    """The file stream source needs a *directory*; stage a temp dir holding a
+    symlink to the events parquet (read-only testdata cannot be moved)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = path_for(sf_dir, "events")
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"hdc_stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def tumbling_1h(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def sliding_2h_1h(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_30m(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    sess = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    secs = (F.unix_micros("t1") - F.unix_micros("t0")).cast("double") / 1e6
+    return sess.select("user_id", "n_events", secs.alias("secs"))
+
+
+def run_to_memory(
+    df: DataFrame, mode: str = "complete", name: str | None = None
+) -> tuple[str, "object"]:
+    """Drain all available input into a memory sink; returns (view_name,
+    query). availableNow + processAllAvailable makes the run synchronous."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return name, q
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful stream dedup on event_id bounded by the watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def foreach_batch_merge(
+    change_stream: DataFrame,
+    target_path: str,
+    pk: list[str],
+    checkpoint_dir: str,
+):
+    """Continuous sync: every micro-batch of source rows is diffed against the
+    current target parquet and merged in — the streaming form of
+    sync_merge_apply, reusing the exact batch operators. At the real-DB
+    boundary the same function body issues a JDBC MERGE instead of a parquet
+    rewrite."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = spark.read.schema(batch_df.schema).parquet(target_path)
+        changes = snapshot_diff(batch_df, target, pk=pk)
+        merged = merge_apply(target, changes, pk=pk)
+        # localCheckpoint materializes before the overwrite (cannot lazily
+        # read + overwrite the same files)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        change_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_COUNTER_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_COUNTER_STATE = T.StructType([T.StructField("n", T.LongType())])
+
+
+def running_user_counter(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: running per-user event counter via
+    applyInPandasWithState (GroupState API — chosen over Spark 4's
+    transformWithStateInPandas because the latter's driver worker needs
+    protobuf, absent in this container; same per-key state semantics)."""
+    import pandas as pd
+
+    def count_fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType=_COUNTER_OUT,
+        stateStructType=_COUNTER_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

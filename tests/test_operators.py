@@ -1,0 +1,238 @@
+"""Unit tests for engine operators beyond the declared t2 qids
+(SURVEY.md §5.4 sync property, §2.8 metadata ops, §2.9 plumbing)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdc_dataengineering_sqlsync_spark.operators.asof import asof_join
+from hdc_dataengineering_sqlsync_spark.operators.dedup import minhash_lsh_pairs, word_shingles
+from hdc_dataengineering_sqlsync_spark.operators.diff import diff_summary, snapshot_diff
+from hdc_dataengineering_sqlsync_spark.operators.incremental import keyset_ranges
+from hdc_dataengineering_sqlsync_spark.operators.merge import merge_apply
+from hdc_dataengineering_sqlsync_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from hdc_dataengineering_sqlsync_spark.operators.schema_drift import detect_drift
+from hdc_dataengineering_sqlsync_spark.operators.simsearch import lsh_bucket
+from hdc_dataengineering_sqlsync_spark.operators.state import StateStore, SyncState
+from hdc_dataengineering_sqlsync_spark.operators.text import (
+    fingerprint,
+    lang_id_heuristic,
+    quality_features,
+    token_count_bpe_ish,
+)
+from hdc_dataengineering_sqlsync_spark.registry import load
+from hdc_dataengineering_sqlsync_spark.sources.jdbc import (
+    JdbcTable,
+    change_tracking_query,
+    merge_statement,
+    partitioned_read_options,
+)
+
+
+# ---------- sync round-trip property (SURVEY §5.4) ----------
+
+@pytest.mark.parametrize("del_mod,upd_mod", [(97, 101), (7, 11), (13, 3), (2, 5)])
+def test_sync_roundtrip_property(spark, sf_dir, del_mod, upd_mod):
+    """merge(target, diff(source, target)) == source for arbitrary
+    deterministic corruptions of orders."""
+    source = load(spark, sf_dir, "orders")
+    target = source.where(F.col("o_orderkey") % del_mod != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % upd_mod == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    changes = snapshot_diff(source, target, pk=["o_orderkey"])
+    merged = merge_apply(target, changes, pk=["o_orderkey"])
+    assert merged.count() == source.count()
+    assert merged.exceptAll(source).count() == 0
+    assert source.exceptAll(merged).count() == 0
+
+
+def test_sync_diff_with_target_extra_rows(spark, sf_dir):
+    """Rows present only in target classify as D and are deleted by merge."""
+    source = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 != 0)
+    target = load(spark, sf_dir, "orders")  # has extra rows vs source
+    changes = snapshot_diff(source, target, pk=["o_orderkey"])
+    summary = {r["change_op"]: r["n"] for r in diff_summary(changes).collect()}
+    assert summary.get("D", 0) > 0 and "I" not in summary
+    merged = merge_apply(target, changes, pk=["o_orderkey"])
+    assert merged.exceptAll(source).count() == 0
+    assert source.exceptAll(merged).count() == 0
+
+
+def test_sync_roundtrip_small_frames(spark):
+    """Hand-built edge frames: nulls in payload, composite updates, disjoint
+    key sets."""
+    schema = "k long, a string, b double"
+    source = spark.createDataFrame(
+        [(1, "x", 1.0), (2, None, 2.5), (3, "z", None), (5, "new", 0.0)], schema
+    )
+    target = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "stale", 2.5), (4, "gone", 9.9)], schema
+    )
+    changes = snapshot_diff(source, target, pk=["k"])
+    summary = {r["change_op"]: r["n"] for r in diff_summary(changes).collect()}
+    assert summary == {"=": 1, "U": 1, "I": 2, "D": 1}
+    merged = merge_apply(target, changes, pk=["k"])
+    assert sorted(r["k"] for r in merged.collect()) == [1, 2, 3, 5]
+    assert merged.exceptAll(source).count() == 0
+
+
+def test_digest_null_vs_empty_distinct(spark):
+    """(NULL, 'a') and ('a', NULL) and ('', 'a') must digest differently
+    (concat_ws silently drops NULLs — the sentinel guards that)."""
+    from hdc_dataengineering_sqlsync_spark.functions.digests import row_digest
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None), (3, "", "a"), (4, "a", "")],
+        "id long, x string, y string",
+    )
+    digs = [r["d"] for r in df.select(row_digest(df, ["x", "y"]).alias("d")).collect()]
+    assert len(set(digs)) == 4
+
+
+# ---------- schema drift / state / jdbc (metadata ops) ----------
+
+def test_schema_drift_detection():
+    declared = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    observed = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("c", T.DoubleType())]
+    )
+    drift = detect_drift(declared, observed)
+    assert drift.is_drifted
+    assert drift.added == ["c"] and drift.removed == ["b"]
+    assert drift.retyped == [("a", "bigint", "int")]
+    assert not detect_drift(declared, declared).is_drifted
+
+
+def test_state_store_roundtrip():
+    with tempfile.TemporaryDirectory() as d:
+        store = StateStore(os.path.join(d, "state.json"))
+        assert store.get("orders") is None
+        store.put(SyncState("orders", 42))
+        store.put(SyncState("lineitem", 7))
+        store.put(SyncState("orders", 43))  # overwrite
+        got = store.get("orders")
+        assert got.last_version == 43 and got.synced_at  # stamped
+        assert store.get("lineitem").last_version == 7
+
+
+def test_jdbc_option_and_sql_builders():
+    t = JdbcTable("jdbc:sqlserver://h;databaseName=d", "dbo.orders", ("o_orderkey",))
+    opts = partitioned_read_options(t, "o_orderkey", 0, 1_000_000, 32)
+    assert opts["numPartitions"] == "32" and opts["partitionColumn"] == "o_orderkey"
+    with pytest.raises(ValueError):
+        partitioned_read_options(t, "o_orderkey", 10, 10, 4)
+
+    ct = change_tracking_query(t, 1234)
+    assert "CHANGETABLE(CHANGES dbo.orders, 1234)" in ct
+
+    m = merge_statement(t, ["o_orderkey", "o_orderstatus"], "#stage")
+    assert "MERGE dbo.orders" in m and "WHEN MATCHED AND src.change_op = 'D' THEN DELETE" in m
+    assert "target.o_orderkey = src.o_orderkey" in m
+    assert "SET target.o_orderstatus = src.o_orderstatus" in m  # pk not in SET
+
+
+# ---------- as-of operator ----------
+
+def test_asof_join_strict_and_nonstrict(spark):
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(5), 11.0), (2, ts(3), 20.0)],
+        "k long, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(5), "t1"), (1, ts(7), "t2"), (2, ts(1), "t3"), (3, ts(9), "t4")],
+        "k long, tts timestamp, trade string",
+    )
+    nonstrict = {
+        r["trade"]: r["px_asof"]
+        for r in asof_join(trades, quotes, ["k"], "tts", "qts", ["px"]).collect()
+    }
+    assert nonstrict == {"t1": 11.0, "t2": 11.0, "t3": None, "t4": None}
+    strict = {
+        r["trade"]: r["px_asof"]
+        for r in asof_join(trades, quotes, ["k"], "tts", "qts", ["px"], strict=True).collect()
+    }
+    assert strict == {"t1": 10.0, "t2": 11.0, "t3": None, "t4": None}
+
+
+# ---------- LLM-data plumbing ----------
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    got = df.select(word_shingles(F.col("text")).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == []  # fewer than k tokens -> empty, not error
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words entirely here now for sure")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, distance_threshold=0.5).collect()
+    got = {(r["doc_id"], r["doc_id2"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_lsh_bucket_deterministic_and_groups_identical_vectors(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).collect()}
+    assert b1 == b2  # seeded, no RNG state
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_text_quality_and_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat."), (2, "der hund und die katze"), (1, "the cat sat on the mat.")],
+        "doc_id long, text string",
+    )
+    q = quality_features(docs).collect()[0]
+    assert q["n_tokens"] == 6 and 0 < q["punct_ratio"] < 0.1
+    langs = {r["doc_id"]: r["lang_guess"] for r in lang_id_heuristic(docs).distinct().collect()}
+    assert langs[1] == "en" and langs[2] == "de"
+    tk = token_count_bpe_ish(docs).collect()[0]
+    assert tk["n_tokens_bpe"] >= tk["n_tokens_ws"]  # punctuation splits off
+    fps = [r["fingerprint"] for r in fingerprint(docs).collect()]
+    assert fps[0] == fps[2] and fps[0] != fps[1]  # dup detection key
+
+
+def test_multimodal_pipeline_shape(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(20)
+    media = synthesize_media(docs)
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    feats = extract_features(media, n_dims=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic featurization
+    again = {r["media_id"]: r["checksum"] for r in extract_features(media).collect()}
+    assert {r["media_id"]: r["checksum"] for r in rows} == again
+    plan = frame_sample_plan(media.limit(2), every_n=4)
+    assert plan.count() == 8
+
+
+def test_decode_image_is_stubbed():
+    from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_keyset_ranges_matches_value_division(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    got = o.select(keyset_ranges(o, "o_orderkey", 1000).alias("b"), "o_orderkey").collect()
+    assert all(r["b"] == r["o_orderkey"] // 1000 for r in got)

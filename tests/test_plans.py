@@ -1,0 +1,90 @@
+"""SURVEY.md §5.6 — physical-plan assertions.
+
+Cheap regression net for the properties that decide 100 TB behavior:
+pushdown/pruning reach the parquet scan, dimension joins broadcast, top-k
+never global-sorts, window top-k group-limits, aggregates are two-phase
+(map-side partial), and hot paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+
+
+def _explain(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _plan(spark, sf_dir, qid: str) -> str:
+    return _explain(CATALOG[qid].fn(spark, sf_dir))
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_prune_filter")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 2 needed columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read_schema and "l_shipdate" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_broadcast_hint_produces_broadcast_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast_hint")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "win_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_flagship_agg_is_two_phase_and_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
+    assert "BatchScan" in plan or "Scan parquet" in plan
+    # map-side combine: the first aggregate runs partial_* functions before
+    # the shuffle, so the exchange carries 6 groups, not 6M rows
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        CATALOG["agg_pricing_summary"].fn(spark, sf_dir).explain()
+    assert "partial_sum" in buf.getvalue()
+
+
+def test_semi_anti_plan_as_joins_not_subqueries(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_left_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_left_anti")
+
+
+def test_asof_is_single_window_pass(spark, sf_dir):
+    """The as-of rewrite must not contain a join at all — one shuffle, one
+    sorted window pass."""
+    plan = _plan(spark, sf_dir, "join_asof_prior_event")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.registry import load
+
+    out = str(tmp_path / "orders_part")
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    pruned = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    plan = _explain(pruned)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
