@@ -76,6 +76,110 @@ def knn_per_label(
     )
 
 
+def cosine_pairs_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Top-k most-similar vector pairs by cosine, blocked by ``block_col`` —
+    embedding-space near-dup detection. Fully relational: posexplode ->
+    self-join keyed on (block, pos) -> per-pair dot, joined to per-vector
+    norms. Pairwise work stays inside blocks (the IVF-coarse-cell analog), so
+    cost tracks block size, not corpus^2. DOUBLE math per the oracle
+    convention."""
+    comp = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "_xf"),
+    ).withColumn("x", F.col("_xf").cast("double"))
+    norms = comp.groupBy("blk", id_col).agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    a = comp.select(F.col("blk"), F.col(id_col).alias("id_a"), "pos", F.col("x").alias("xa"))
+    b = comp.select(
+        F.col("blk").alias("_blk"), F.col(id_col).alias("id_b"), F.col("pos").alias("_pos"),
+        F.col("x").alias("xb"),
+    )
+    dots = (
+        a.join(b, (a.blk == b._blk) & (a.pos == b._pos) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("blk", "id_a", "id_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("blk").alias("b1"), F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("blk").alias("b2"), F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
+    cos = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 4)
+    return (
+        dots.join(na, (dots.blk == na.b1) & (dots.id_a == na.id_a))
+        .join(nb, (dots.blk == nb.b2) & (dots.id_b == nb.id_b))
+        .select(
+            dots.blk.alias(block_col),
+            dots.id_a.alias(id_col),
+            dots.id_b.alias(f"{id_col}2"),
+            cos.alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), id_col, f"{id_col}2")
+        .limit(k)
+    )
+
+
+def lsh_bucket_md5(
+    emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket per vector with +-1 plane
+    coefficients derived from ``md5("p:<plane>:<pos>")`` parity — md5 is
+    byte-identical across engines (probed), so a DuckDB oracle reproduces the
+    buckets exactly. Projection is a map-side higher-order-function sum; no
+    shuffle, no UDF."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # parity of first md5 nibble of "p:<plane>:<pos>" -> +1 / -1
+        coeff = lambda i, p=p: F.when(  # noqa: E731
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit("p"), F.lit(str(p)), i.cast("string"))), 1, 1),
+                16, 10,
+            ).cast("int") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        proj = F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.size(vec_col) - 1), xs, lambda i, x: coeff(i) * x
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_search_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine search: hash every vector to an LSH bucket
+    (map-side), keep only candidates sharing the query's bucket, exact
+    re-score just those. At 100 TB this replaces the brute-force scan with a
+    bucket-pruned one — the scan cost drops by ~2^n_planes while the re-score
+    stays exact. Deterministic (md5-derived planes, rounded cos, id
+    tiebreak)."""
+    bucketed = lsh_bucket_md5(emb, n_planes=n_planes, vec_col=vec_col)
+    q = bucketed.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q"), F.col("bucket").alias("_qb")
+    )
+    cand = bucketed.where(F.col(id_col) != query_vec_id)
+    cos = F.round(cosine_similarity(F.col(vec_col), F.col("_q")), 4)
+    return (
+        cand.join(F.broadcast(q), cand.bucket == F.col("_qb"))
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 42, vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane (sign) LSH bucket id per vector — the candidate-
     pruning stage for approximate search at scale. Deterministic: plane

@@ -96,8 +96,14 @@ def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumns({"n_tokens_ws": ws_count, "n_tokens_bpe": bpe_ish})
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit rolling-style document fingerprint: xxhash64 of the normalized
-    token stream — the cheap exact-dup key for 100 TB dedup sweeps."""
+def fingerprint(docs: DataFrame, text_col: str = "text", algo: str = "xxhash64") -> DataFrame:
+    """Document fingerprint of the normalized token stream — the cheap
+    exact-dup key for 100 TB dedup sweeps.
+
+    algo='xxhash64' (default): 64-bit integer, fastest JVM-side path.
+    algo='md5': hex-string digest, byte-identical across engines (probed) —
+    the t2-declared form so a DuckDB oracle can reproduce it.
+    """
     normalized = F.array_join(tokens(F.col(text_col)), " ")
-    return docs.withColumn("fingerprint", F.xxhash64(normalized))
+    fp = F.xxhash64(normalized) if algo == "xxhash64" else F.md5(normalized)
+    return docs.withColumn("fingerprint", fp)

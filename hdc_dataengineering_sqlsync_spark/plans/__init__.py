@@ -21,6 +21,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     scalar_fns,
     sync,
     llmdata,
+    llmdata_ext,
     streaming_batch,
     udfs,
 )

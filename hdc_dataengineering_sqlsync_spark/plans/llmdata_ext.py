@@ -1,0 +1,335 @@
+"""SURVEY.md §2.9 extensions — the training-data-pipeline operators beyond
+the first-wave set: SimHash + shingle-Jaccard + embedding-cosine near-dup,
+LSH-bucketed similarity search, text quality / language-ID / token-count /
+fingerprint analysis, and the multimodal binary-column pipeline.
+
+Every oracle restates the identical algebra in DuckDB SQL; cross-engine
+determinism comes from md5-derived hashing (probed byte-identical), DOUBLE
+similarity math, and the §2 rounding conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.operators.dedup import (
+    shingle_jaccard_pairs,
+    simhash_topk_pairs,
+)
+from hdc_dataengineering_sqlsync_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from hdc_dataengineering_sqlsync_spark.operators.simsearch import (
+    cosine_pairs_topk,
+    lsh_search_topk,
+)
+from hdc_dataengineering_sqlsync_spark.operators.text import (
+    fingerprint,
+    lang_id_heuristic,
+    quality_features,
+    token_count_bpe_ish,
+)
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+# ---------------------------------------------------------------- text
+
+_STOPWORD_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that','be','are','was']"
+
+_QUALITY_ORACLE = rf"""
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+         round(length(text) / greatest(len(string_split_regex(lower(text), '\s+')), 1), 4) AS avg_token_len,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1), 4) AS punct_ratio,
+         round(len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), {_STOPWORD_SQL}))
+               / greatest(len(list_distinct(string_split_regex(lower(text), '\s+'))), 1), 4) AS stop_ratio
+  FROM documents
+)
+SELECT lang, count(*) AS n,
+       round(avg(n_tokens), 2) AS avg_tokens,
+       round(avg(avg_token_len), 4) AS avg_tok_len,
+       round(avg(punct_ratio), 4) AS avg_punct,
+       round(avg(stop_ratio), 4) AS avg_stop
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@query("text_quality_score", "2.9 llm-data", _QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus quality profile from per-doc map-side signals
+    (operators/text.py::quality_features) — the filter stage of a training-
+    data pipeline. No shuffle until the final per-lang rollup."""
+    d = quality_features(load(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("avg_token_len"), 4).alias("avg_tok_len"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct"),
+            F.round(F.avg("stopword_distinct_ratio"), 4).alias("avg_stop"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LANGID_ORACLE = r"""
+WITH scored AS (
+  SELECT lang,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), ['the','and','of'])) AS h_en,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), ['der','die','und'])) AS h_de,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), ['el','los','que'])) AS h_es,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), ['le','les','des'])) AS h_fr
+  FROM documents
+),
+guessed AS (
+  SELECT lang,
+         CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+              WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+              WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+              WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+              ELSE 'de' END AS lang_guess
+  FROM scored
+)
+SELECT lang, lang_guess, count(*) AS n
+FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+"""
+
+
+@query("text_lang_id", "2.9 llm-data", _LANGID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion counts: true lang x marker-word heuristic guess
+    (operators/text.py::lang_id_heuristic; ties resolved toward the
+    lexicographically greatest language on both sides)."""
+    d = lang_id_heuristic(load(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+_TOKCOUNT_ORACLE = r"""
+SELECT lang,
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws,
+       CAST(sum(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))) AS BIGINT) AS total_bpe,
+       round(avg(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))), 2) AS avg_bpe
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("text_token_count", "2.9 llm-data", _TOKCOUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish (pretokenizer regex) token counts per language
+    (operators/text.py::token_count_bpe_ish) — the cost-estimation stage for
+    token budgeting at corpus scale."""
+    d = token_count_bpe_ish(load(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("n_tokens_ws").alias("total_ws"),
+            F.sum("n_tokens_bpe").alias("total_bpe"),
+            F.round(F.avg("n_tokens_bpe"), 2).alias("avg_bpe"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT lang, count(*) AS n,
+       count(DISTINCT md5(array_to_string(string_split_regex(lower(text), '\s+'), ' '))) AS n_fp
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("text_fingerprint", "2.9 llm-data", _FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-token-stream document fingerprints, distinct-counted per
+    language (operators/text.py::fingerprint, md5 form; the xxhash64 form is
+    the faster JVM-only scale path)."""
+    d = fingerprint(load(spark, sf_dir, "documents"), algo="md5")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("fingerprint").alias("n_fp"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+votes AS (
+  SELECT doc_id, lang, b.range AS bitpos,
+         (CAST(floor((strpos('0123456789abcdef', substr(md5(token), CAST(b.range // 4 AS INT) + 1, 1)) - 1)
+                     / power(2, b.range % 4)) AS INT) % 2) * 2 - 1 AS vote
+  FROM tok CROSS JOIN range(0, 16) b
+),
+per_bit AS (
+  SELECT doc_id, lang, bitpos, sum(vote) AS v FROM votes GROUP BY doc_id, lang, bitpos
+),
+sig AS (
+  SELECT doc_id, lang,
+         CAST(sum(CASE WHEN v >= 0 THEN CAST(power(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id, lang
+)
+SELECT a.doc_id AS doc_id, b.doc_id AS doc_id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+ORDER BY hamming, doc_id, doc_id2 LIMIT 20
+"""
+
+
+@query("dedup_simhash", "2.9 llm-data", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup scan: 16-bit md5-nibble signatures, top-20 closest
+    pairs by Hamming distance inside lang blocks
+    (operators/dedup.py::simhash16 / simhash_topk_pairs)."""
+    return simhash_topk_pairs(load(spark, sf_dir, "documents"), k=20)
+
+
+_SHINGLE_ORACLE = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang,
+         array_to_string(t[CAST(i.i AS INT):CAST(i.i + 2 AS INT)], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 1)) AS i(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a AS doc_id, id_b AS doc_id2,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.1
+"""
+
+
+@query("dedup_shingle_jaccard", "2.9 llm-data", _SHINGLE_ORACLE)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle (n-gram) Jaccard near-dup pairs >= 0.1, blocked by lang
+    (operators/dedup.py::shingle_jaccard_pairs) — word-order-sensitive
+    near-dup, the exact-verify stage behind MinHash-LSH."""
+    return shingle_jaccard_pairs(load(spark, sf_dir, "documents"), k_shingle=3, threshold=0.1)
+
+
+_EMB_COSINE_ORACLE = """
+WITH comp AS (
+  SELECT label, vec_id, i.range AS pos, CAST(embedding[i.range] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) i
+),
+norms AS (SELECT label, vec_id, sum(x * x) AS n2 FROM comp GROUP BY label, vec_id),
+dots AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM comp a JOIN comp b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.label, a.vec_id, b.vec_id
+)
+SELECT d.label AS label, id_a AS vec_id, id_b AS vec_id2,
+       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+FROM dots d
+JOIN norms na ON na.label = d.label AND na.vec_id = id_a
+JOIN norms nb ON nb.label = d.label AND nb.vec_id = id_b
+ORDER BY cos DESC, vec_id, vec_id2 LIMIT 10
+"""
+
+
+@query("dedup_embedding_cosine", "2.9 llm-data", _EMB_COSINE_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup: top-10 most-similar vector pairs by cosine,
+    blocked by label (operators/simsearch.py::cosine_pairs_topk). Pairwise
+    work stays inside coarse cells — cost tracks cell size, not corpus^2."""
+    return cosine_pairs_topk(load(spark, sf_dir, "embeddings"), k=10)
+
+
+# ---------------------------------------------------------------- simsearch
+
+_LSH_ORACLE = """
+WITH planes AS (
+  SELECT p.range AS plane, i.range AS pos,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('p:' || CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range(0, 4) p CROSS JOIN range(0, 64) i
+),
+proj AS (
+  SELECT e.vec_id, pl.plane, sum(CAST(e.embedding[pl.pos + 1] AS DOUBLE) * pl.w) AS s
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.plane
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket WHERE b.vec_id <> 0
+),
+comp AS (
+  SELECT e.vec_id,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS dot,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(e.embedding[i.range] AS DOUBLE)) AS na2,
+         sum(CAST(q.qe[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS nb2
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q CROSS JOIN range(1, 65) i
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos
+FROM comp ORDER BY cos DESC, vec_id LIMIT 5
+"""
+
+
+@query("simsearch_lsh_bucketed", "2.9 llm-data", _LSH_ORACLE)
+def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 cosine search for vec_id 0: md5-derived
+    random-hyperplane buckets prune candidates before exact re-scoring
+    (operators/simsearch.py::lsh_search_topk). At scale the scan cost drops
+    ~2^n_planes vs brute force while the re-score stays exact."""
+    return lsh_search_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------- multimodal
+
+_MM_EXTRACT_ORACLE = """
+SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes
+FROM documents ORDER BY media_id LIMIT 100
+"""
+
+
+@query("multimodal_extract", "2.9 llm-data", _MM_EXTRACT_ORACLE)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (operators/multimodal.py): documents -> fake encoded payloads -> per-blob
+    byte stats. Declares the payload-size column (oracle = UTF-8 byte length);
+    checksum/feature vectors are unit-tested (not SQL-expressible)."""
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select("media_id", "n_bytes").orderBy("media_id").limit(100)
+
+
+_MM_FRAMES_ORACLE = """
+SELECT CAST(count(*) * 10 AS BIGINT) AS n_frames, count(*) AS n_media FROM documents
+"""
+
+
+@query("multimodal_frame_sample", "2.9 llm-data", _MM_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan fan-out (operators/multimodal.py::
+    frame_sample_plan): every media row emits its frame-index schedule for a
+    downstream decoder; validates the 1->N plumbing row counts."""
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    frames = frame_sample_plan(media, every_n=10)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"), F.countDistinct("media_id").alias("n_media")
+    )

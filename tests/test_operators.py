@@ -236,3 +236,43 @@ def test_keyset_ranges_matches_value_division(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     got = o.select(keyset_ranges(o, "o_orderkey", 1000).alias("b"), "o_orderkey").collect()
     assert all(r["b"] == r["o_orderkey"] // 1000 for r in got)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import simhash16, simhash_topk_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "the quick brown fox jumps", "en"),   # exact dup of 1
+            (3, "a completely different sentence here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash16(docs, block_cols=["lang"]).collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < (1 << 16)
+    pairs = simhash_topk_pairs(docs, k=3).collect()
+    assert pairs[0]["doc_id"] == 1 and pairs[0]["doc_id2"] == 2 and pairs[0]["hamming"] == 0
+
+
+def test_lsh_search_recall_vs_brute_force(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.simsearch import cosine_topk, lsh_search_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = [r["vec_id"] for r in cosine_topk(emb, query_vec_id=0, k=5).collect()]
+    approx = [r["vec_id"] for r in lsh_search_topk(emb, query_vec_id=0, k=5, n_planes=4).collect()]
+    # approximate search returns a full top-5 and overlaps the exact answer
+    assert len(approx) == 5
+    assert len(set(exact) & set(approx)) >= 1
+
+
+def test_cosine_pairs_topk_blocked_and_ordered(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.simsearch import cosine_pairs_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = cosine_pairs_topk(emb, k=10).collect()
+    assert len(rows) == 10
+    cosines = [r["cos"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r["vec_id"] < r["vec_id2"] for r in rows)
