@@ -276,3 +276,34 @@ def test_cosine_pairs_topk_blocked_and_ordered(spark, sf_dir):
     cosines = [r["cos"] for r in rows]
     assert cosines == sorted(cosines, reverse=True)
     assert all(r["vec_id"] < r["vec_id2"] for r in rows)
+
+
+def test_diff_merge_roundtrip_hypothesis(spark):
+    """Property (SURVEY §5.4): for ANY source/target with a shared PK space,
+    merge(target, diff(source, target)) == source — including null payloads,
+    empty sides, and disjoint key sets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hdc_dataengineering_sqlsync_spark.operators.diff import snapshot_diff
+    from hdc_dataengineering_sqlsync_spark.operators.merge import merge_apply
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=2)),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    )
+    # unique-by-pk frames (pk = first element)
+    frame = st.lists(row, max_size=10, unique_by=lambda r: r[0])
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(src_rows=frame, tgt_rows=frame)
+    def prop(src_rows, tgt_rows):
+        schema = "pk long, s string, v long"
+        source = spark.createDataFrame(src_rows, schema)
+        target = spark.createDataFrame(tgt_rows, schema)
+        changes = snapshot_diff(source, target, pk=["pk"])
+        merged = merge_apply(target, changes, pk=["pk"])
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, source.collect()))
+
+    prop()
