@@ -9,6 +9,7 @@ never global-sorts, window top-k group-limits, aggregates are two-phase
 from __future__ import annotations
 
 from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+from hdc_dataengineering_sqlsync_spark.registry import load
 
 
 def _explain(df) -> str:
@@ -88,3 +89,57 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     pruned = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
     plan = _explain(pruned)
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(o.withColumnRenamed("o_custkey", "c_custkey"), c, on=["c_custkey"], n_salts=8)
+        .groupBy("c_mktsegment").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+    )
+    # disable auto-broadcast so the join would otherwise shuffle both sides
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "b_orders", "b_lineitem", on=["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_lsh_bucket_projection_is_shuffle_free(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.simsearch import lsh_bucket_md5
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = lsh_bucket_md5(emb, n_planes=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_multimodal_extract_is_shuffle_free(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
