@@ -22,6 +22,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     sync,
     llmdata,
     llmdata_ext,
+    reshape,
     streaming_batch,
     udfs,
 )
