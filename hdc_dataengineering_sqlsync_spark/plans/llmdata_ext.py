@@ -159,6 +159,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_ORACLE = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT array_to_string(t[CAST(i.i AS INT):CAST(i.i + 1 AS INT)], ' ') AS bigram
+  FROM toks, unnest(range(1, len(t))) AS i(i)
+)
+SELECT bigram, count(*) AS cnt
+FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
+@query("text_ngram_stats", "2.9 llm-data", _NGRAM_ORACLE)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies, top-20 — n-gram LM data prep
+    (operators/dedup.py::word_shingles with k=2, counted with multiplicity).
+    Same explode -> groupBy shape as wordcount; shuffles on the bigram key."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(word_shingles(F.col("text"), k=2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 _SIMHASH_ORACLE = """

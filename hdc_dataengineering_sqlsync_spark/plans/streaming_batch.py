@@ -66,7 +66,7 @@ _SESSION_ORACLE = """
 WITH o AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -93,8 +93,10 @@ FROM s GROUP BY user_id ORDER BY user_id
 def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via the native session_window
     primitive; oracle is the gaps-and-islands formulation. Boundary semantics
-    match: a gap of exactly 30min starts a NEW session (Spark closes the
-    window at last_ts + gap, exclusive) — SURVEY §7 known-hard #3."""
+    match: an event at EXACTLY last_ts + gap still merges into the session
+    (Spark merges touching per-event windows; verified by
+    tests/test_streaming.py::test_session_window_boundary_exact_gap), so the
+    oracle's island break is strict '>' — SURVEY §7 known-hard #3."""
     e = load(spark, sf_dir, "events")
     sess = (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))

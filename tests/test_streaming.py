@@ -218,3 +218,25 @@ def test_transform_with_state_counter(spark, sf_dir):
         assert canonicalize(gc, gr) == canonicalize(wc, wr)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_window_boundary_exact_gap(spark):
+    """SURVEY §7 known-hard #3, measured on PySpark 4.1: an event at exactly
+    prev_ts + gap MERGES into the running session (per-event windows
+    [ts, ts+gap) merge when touching), while one microsecond past the gap
+    starts a new session. The oracle's gaps-and-islands break is therefore
+    strict '>' on the diff — '>=' would wrongly split the boundary event."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 29, 59)),  # same session (< 30min after prev)
+        (1, datetime(2024, 1, 1, 0, 59, 59)),  # exactly 30min after prev -> merges
+        (2, datetime(2024, 1, 1, 0, 0, 0)),
+        (2, datetime(2024, 1, 1, 0, 30, 0, 1)),  # 30min + 1us -> NEW session
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess = e.groupBy("user_id", F.session_window("ts", "30 minutes")).count()
+    per_user = {r["user_id"]: r["n"] for r in
+                sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_user == {1: 1, 2: 2}
