@@ -268,3 +268,31 @@ def join_asof_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "prior_view_ts")
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_null_safe_eq",
+    "2.3 joins",
+    """
+    WITH a AS (SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS p FROM orders),
+    b AS (SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS p FROM orders)
+    SELECT coalesce(a.p, '<null>') AS prio, count(*) AS n
+    FROM a JOIN b ON a.p IS NOT DISTINCT FROM b.p AND a.o_orderkey = b.o_orderkey
+    GROUP BY prio ORDER BY prio
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics a sync diff needs when a
+    nullable column participates in the key. Self-join on (nullable prio,
+    orderkey) so row counts stay linear."""
+    o = load(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    a = o.select("o_orderkey", prio.alias("p"))
+    b = o.select(F.col("o_orderkey").alias("k2"), prio.alias("p2"))
+    return (
+        a.join(b, a["p"].eqNullSafe(b["p2"]) & (a["o_orderkey"] == b["k2"]))
+        .groupBy(F.coalesce(a["p"], F.lit("<null>")).alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prio")
+    )

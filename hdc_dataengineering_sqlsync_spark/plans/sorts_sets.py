@@ -113,3 +113,31 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cust = o.select("o_custkey").distinct()
     f_cust = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return all_cust.subtract(f_cust).orderBy("o_custkey")
+
+
+@query(
+    "set_except_all",
+    "2.6 sorts/sets",
+    """
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics, Spark .exceptAll): per-customer order
+    multiplicities survive the subtraction — customers keeping >= 2
+    non-cancelled-out rows. Complements set_except's DISTINCT form."""
+    o = load(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        o.select("o_custkey")
+        .exceptAll(f)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("o_custkey")
+        .orderBy("o_custkey")
+    )
