@@ -23,6 +23,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     llmdata,
     llmdata_ext,
     reshape,
+    workloads,
     streaming_batch,
     udfs,
 )
