@@ -24,6 +24,7 @@ from hdc_dataengineering_sqlsync_spark.operators.multimodal import (
 )
 from hdc_dataengineering_sqlsync_spark.operators.simsearch import (
     cosine_pairs_topk,
+    ivf_search_topk,
     lsh_search_topk,
 )
 from hdc_dataengineering_sqlsync_spark.operators.text import (
@@ -155,6 +156,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("fingerprint").alias("n_fp"))
+        .orderBy("lang")
+    )
+
+
+_CLEAN_ORACLE = r"""
+WITH c AS (
+  SELECT lang,
+         length(text) AS raw_len,
+         length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                    '\s+', ' ', 'g'))) AS clean_len
+  FROM documents
+)
+SELECT lang, count(*) AS n,
+       CAST(sum(raw_len) AS BIGINT) AS raw_chars,
+       CAST(sum(clean_len) AS BIGINT) AS clean_chars,
+       round(avg(raw_len - clean_len), 2) AS avg_removed
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+@query("text_clean_normalize", "2.9 llm-data", _CLEAN_ORACLE)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass of a training-data pipeline: lowercase, strip
+    non-alphanumerics, collapse whitespace — per-lang before/after char
+    accounting. Pure map-side builtin regexps until the final rollup."""
+    t = F.lower(F.col("text"))
+    clean = F.trim(F.regexp_replace(F.regexp_replace(t, r"[^a-z0-9\s]", ""), r"\s+", " "))
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.length("text").alias("raw_len"), F.length(clean).alias("clean_len")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("raw_len").alias("raw_chars"),
+            F.sum("clean_len").alias("clean_chars"),
+            F.round(F.avg(F.col("raw_len") - F.col("clean_len")), 2).alias("avg_removed"),
+        )
         .orderBy("lang")
     )
 
@@ -325,6 +364,15 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/simsearch.py::lsh_search_topk). At scale the scan cost drops
     ~2^n_planes vs brute force while the re-score stays exact."""
     return lsh_search_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, n_planes=4)
+
+
+@query("simsearch_ivf", "2.9 llm-data", None)  # rows-only: centroid set engine-specific
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 cosine search for vec_id 0: seeded KMeans coarse
+    cells, probe the 2 nearest cells, exact re-score the slice
+    (operators/simsearch.py::ivf_search_topk). Recall vs brute force is
+    unit-tested; rows-only in t2 like MinHash-LSH."""
+    return ivf_search_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
 
 
 # ---------------------------------------------------------------- multimodal

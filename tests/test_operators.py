@@ -307,3 +307,17 @@ def test_diff_merge_roundtrip_hypothesis(spark):
         assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, source.collect()))
 
     prop()
+
+
+def test_ivf_search_recall_vs_brute_force(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.simsearch import cosine_topk, ivf_search_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = [r["vec_id"] for r in cosine_topk(emb, query_vec_id=0, k=5).collect()]
+    approx = ivf_search_topk(emb, query_vec_id=0, k=5, n_cells=8, n_probe=2).collect()
+    assert len(approx) == 5
+    # probing 2/8 cells must still recover some of the true neighborhood
+    assert len(set(exact) & {r["vec_id"] for r in approx}) >= 1
+    # deterministic across runs (seeded quantizer)
+    again = ivf_search_topk(emb, query_vec_id=0, k=5, n_cells=8, n_probe=2).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in again]
