@@ -143,3 +143,25 @@ def test_multimodal_extract_is_shuffle_free(spark, sf_dir):
     plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_workload_q3_broadcasts_and_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_unshipped_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_workload_q10_broadcasts_nation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snapshot_diff_is_single_join(spark, sf_dir):
+    """The diff is ONE full-outer join keyed on the PK — no extra shuffles
+    beyond the two scan-side exchanges feeding it (SCALE.md sync core).
+    Uses the raw executed-plan tree (explain('formatted') repeats operator
+    names in its details section)."""
+    df = CATALOG["sync_snapshot_diff"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
