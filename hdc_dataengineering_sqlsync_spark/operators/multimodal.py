@@ -48,13 +48,19 @@ FEATURE_SCHEMA = T.StructType(
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic fake media table: the text bytes stand in for an encoded
-    payload so the binary-column plumbing is testable without codecs."""
+    payload so the binary-column plumbing is testable without codecs. Kind
+    cycles image/audio/video by id so every modality path has rows."""
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.struct(
-            F.lit("image").alias("kind"),
-            F.lit("image/x-fake").alias("mime"),
+            kind.alias("kind"),
+            F.concat(kind, F.lit("/x-fake")).alias("mime"),
             (F.length(F.col(text_col)) % 640).cast("int").alias("width"),
             F.lit(480).alias("height"),
         ).alias("meta"),
@@ -66,6 +72,20 @@ def decode_image(payload: bytes):  # pragma: no cover - intentional stub
     this container. The Spark-side contract (binary in, array out) is what
     matters; swap this body when codecs are available."""
     raise NotImplementedError("image decode requires a codec library (not in container)")
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - intentional stub
+    """STUB: audio decode (soundfile/librosa not in container). Contract:
+    binary in -> (sample_rate, float32 pcm array) out."""
+    raise NotImplementedError("audio decode requires a codec library (not in container)")
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
+    """STUB: image resize (Pillow not in container). Deployment shape: a
+    mapInPandas stage identical to extract_features — binary in, resized
+    binary out, meta.width/height rewritten — so it slots into the same
+    Arrow-batched, shuffle-free pipeline position."""
+    raise NotImplementedError("image resize requires a codec library (not in container)")
 
 
 def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
@@ -96,9 +116,11 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
-def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(media: DataFrame, every_n: int = 10, video_only: bool = False) -> DataFrame:
     """Video frame-sampling *plan*: emits (media_id, frame_idx) rows for a
     downstream decoder via the same mapInPandas contract. Frame decode itself
-    is stubbed (no codec)."""
+    is stubbed (no codec). ``video_only`` restricts the fan-out to
+    meta.kind == 'video' rows."""
+    src = media.where(F.col("meta.kind") == "video") if video_only else media
     idx = F.sequence(F.lit(0), F.lit(every_n - 1))
-    return media.select("media_id", F.explode(idx).alias("frame_idx"))
+    return src.select("media_id", F.explode(idx).alias("frame_idx"))

@@ -395,17 +395,19 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_FRAMES_ORACLE = """
-SELECT CAST(count(*) * 10 AS BIGINT) AS n_frames, count(*) AS n_media FROM documents
+SELECT CAST(count(*) * 10 AS BIGINT) AS n_frames, count(*) AS n_media
+FROM documents WHERE doc_id % 3 = 2
 """
 
 
 @query("multimodal_frame_sample", "2.9 llm-data", _MM_FRAMES_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan fan-out (operators/multimodal.py::
-    frame_sample_plan): every media row emits its frame-index schedule for a
-    downstream decoder; validates the 1->N plumbing row counts."""
+    frame_sample_plan): every video-kind media row (doc_id % 3 = 2 in the
+    synthesized table) emits its frame-index schedule for a downstream
+    decoder; validates the typed-metadata filter + 1->N plumbing counts."""
     media = synthesize_media(load(spark, sf_dir, "documents"))
-    frames = frame_sample_plan(media, every_n=10)
+    frames = frame_sample_plan(media, every_n=10, video_only=True)
     return frames.agg(
         F.count(F.lit(1)).alias("n_frames"), F.countDistinct("media_id").alias("n_media")
     )
