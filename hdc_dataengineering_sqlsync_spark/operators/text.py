@@ -27,19 +27,22 @@ def wordcount(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def tf_idf_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-term max TF-IDF across the corpus: tf = in-doc term count,
-    idf = ln(N / df). Two keyed shuffles (by (doc, term), by term); the
-    corpus size N rides the plan as a broadcast 1-row aggregate instead of a
-    driver-side count() (one job, not two)."""
+    idf = ln(N / df).
+
+    Because idf is constant within a term, max(tf * idf) = max(tf) * idf —
+    so df (= number of tf rows per term) and max(tf) come out of ONE
+    per-term aggregation over the tf table: two keyed shuffles total, no
+    tf⋈df join. Corpus size N rides the plan as a broadcast 1-row aggregate
+    (no driver-side count())."""
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.max("tf").alias("mtf")
+    )
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    score = F.col("tf") * F.log(F.col("_n") / F.col("df"))
-    return (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .groupBy("term")
-        .agg(F.round(F.max(score), 4).alias("score"))
+    score = F.col("mtf") * F.log(F.col("_n") / F.col("df"))
+    return per_term.crossJoin(F.broadcast(n)).select(
+        "term", F.round(score, 4).alias("score")
     )
 
 
