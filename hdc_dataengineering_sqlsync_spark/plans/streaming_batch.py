@@ -113,3 +113,33 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_tumbling_replay",
+    "2.10 streaming",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL Structured Streaming pipeline, declared: replay events
+    through the file source (readStream -> watermark -> window agg ->
+    availableNow memory sink), then return the drained final state. Same
+    oracle as stream_tumbling_1h — a readStream job hash-matched against
+    DuckDB, proving batch/stream convergence inside the t2 gate rather than
+    only in unit tests."""
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        events_path,
+        read_events_stream,
+        run_to_memory,
+        tumbling_1h,
+    )
+
+    stream = read_events_stream(spark, events_path(sf_dir))
+    view, q = run_to_memory(tumbling_1h(stream), mode="complete")
+    q.stop()
+    return spark.table(view).orderBy("window_start", "event_type")
