@@ -310,3 +310,31 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("top_name"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_bitwise",
+    "2.4 aggregations",
+    """
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey % 256) AS BIGINT) AS band,
+           CAST(bit_or(o_orderkey % 256) AS BIGINT) AS bor,
+           CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS bxor
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_and/or/xor) over a bounded domain —
+    the flag-accumulation aggregates a sync engine uses for row-presence
+    bitmaps."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 256
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(k).alias("band"),
+            F.bit_or(k).alias("bor"),
+            F.bit_xor(k).alias("bxor"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -296,3 +296,26 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prio")
     )
+
+
+@query(
+    "join_right_outer",
+    "2.3 joins",
+    """
+    SELECT n_name, count(c_custkey) AS n_customers
+    FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER: every nation appears even with zero customers (null
+    extension counted as 0 by count(c_custkey)) — completes the join-type
+    surface next to left/full/semi/anti/cross."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("n_name")
+    )
