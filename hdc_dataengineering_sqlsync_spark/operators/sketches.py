@@ -1,0 +1,59 @@
+"""Count-min sketch — sublinear frequency estimation (SURVEY.md §2.9 family;
+the "custom sketch operator" class).
+
+A CMS is a d x w counter matrix; item frequency is estimated as the MINIMUM
+over its d hashed buckets, so estimates only ever overcount (collision
+noise), never undercount. At 100 TB the sketch build is one map-side explode
+(d rows per token) plus ONE keyed shuffle into d*w counters — the counter
+table is tiny and broadcastable no matter how large the corpus, which is the
+whole point: heavy-hitter frequencies without materializing a full per-token
+count table.
+
+Hashing is md5-nibble based (probed byte-identical across engines), so a
+DuckDB oracle reproduces the sketch exactly — same buckets, same counts,
+same estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_bucket(item: Column, row: Column, w: int) -> Column:
+    """Bucket of ``item`` in hash row ``row``: first 16 bits of
+    md5("<row>:<item>") mod w. conv() hex->int keeps it builtin/JVM-side."""
+    h = F.substring(F.md5(F.concat_ws(":", row.cast("string"), item)), 1, 4)
+    return F.conv(h, 16, 10).cast("long") % w
+
+
+def cms_build(df: DataFrame, item_col: str, d: int = 4, w: int = 64) -> DataFrame:
+    """Build the (row, bucket, cnt) counter table: explode each item into its
+    d hash rows, one groupBy. Output has at most d*w rows regardless of
+    input size."""
+    rows = df.select(
+        F.col(item_col).alias("_item"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    )
+    return (
+        rows.select("r", cms_bucket(F.col("_item"), F.col("r"), w).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, queries: DataFrame, item_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Estimated frequency per query item: min over the d (row, bucket)
+    counters. The sketch side is tiny -> broadcast; the lookup is a map-side
+    join however many query items there are."""
+    probes = queries.select(
+        F.col(item_col),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    ).withColumn("bucket", cms_bucket(F.col(item_col), F.col("r"), w))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

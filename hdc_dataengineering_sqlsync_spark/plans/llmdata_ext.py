@@ -319,6 +319,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_topk(load(spark, sf_dir, "embeddings"), k=10)
 
 
+_CMS_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents
+),
+h AS (
+  SELECT token, r.range AS r,
+         substr(md5(CAST(r.range AS VARCHAR) || ':' || token), 1, 4) AS hx
+  FROM tok CROSS JOIN range(0, 4) r
+),
+b AS (
+  SELECT token, r,
+         ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 64 AS bucket
+  FROM h
+),
+sketch AS (SELECT r, bucket, count(*) AS cnt FROM b GROUP BY r, bucket),
+true_top AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+),
+qb AS (SELECT DISTINCT token, r, bucket FROM b WHERE token IN (SELECT token FROM true_top)),
+est AS (
+  SELECT qb.token, min(s.cnt) AS est
+  FROM qb JOIN sketch s ON s.r = qb.r AND s.bucket = qb.bucket
+  GROUP BY qb.token
+)
+SELECT t.token AS token, CAST(t.cnt AS BIGINT) AS true_cnt, CAST(e.est AS BIGINT) AS est_cnt
+FROM true_top t JOIN est e ON t.token = e.token
+ORDER BY true_cnt DESC, t.token
+"""
+
+
+@query("sketch_cms_wordfreq", "2.9 llm-data", _CMS_ORACLE)
+def sketch_cms_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the top-20 corpus tokens,
+    next to true counts (operators/sketches.py). The 4x64 counter table is
+    corpus-size-independent and broadcastable; estimates only overcount
+    (CMS guarantee, unit-tested). md5-derived buckets reproduce exactly in
+    the oracle."""
+    from hdc_dataengineering_sqlsync_spark.operators.sketches import cms_build, cms_estimate
+    from hdc_dataengineering_sqlsync_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sketch = cms_build(tok, "token", d=4, w=64)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "token")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("token"), "token", d=4, w=64)
+    return (
+        top.join(est, "token")
+        .select("token", "true_cnt", F.col("est").alias("est_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "token")
+    )
+
+
 # ---------------------------------------------------------------- simsearch
 
 _LSH_ORACLE = """

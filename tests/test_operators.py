@@ -321,3 +321,26 @@ def test_ivf_search_recall_vs_brute_force(spark, sf_dir):
     # deterministic across runs (seeded quantizer)
     again = ivf_search_topk(emb, query_vec_id=0, k=5, n_cells=8, n_probe=2).collect()
     assert [tuple(r) for r in approx] == [tuple(r) for r in again]
+
+
+def test_cms_never_undercounts_and_is_exact_with_wide_sketch(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.sketches import cms_build, cms_estimate
+    from hdc_dataengineering_sqlsync_spark.operators.text import tokens
+    from pyspark.sql import functions as FF
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(FF.explode(tokens(FF.col("text"))).alias("token"))
+    true_counts = tok.groupBy("token").agg(FF.count(FF.lit(1)).alias("cnt"))
+
+    # narrow sketch: estimates must be >= truth for EVERY token (CMS bound)
+    sk = cms_build(tok, "token", d=4, w=64)
+    est = cms_estimate(sk, true_counts.select("token"), "token", d=4, w=64)
+    j = true_counts.join(est, "token")
+    assert j.where(FF.col("est") < FF.col("cnt")).count() == 0
+
+    # wide sketch (few collisions): heavy hitters should be exact
+    sk_wide = cms_build(tok, "token", d=4, w=4096)
+    top = true_counts.orderBy(FF.col("cnt").desc()).limit(5)
+    est_w = cms_estimate(sk_wide, top.select("token"), "token", d=4, w=4096)
+    jw = top.join(est_w, "token")
+    assert jw.where(FF.col("est") != FF.col("cnt")).count() == 0
