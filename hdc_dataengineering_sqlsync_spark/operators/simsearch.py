@@ -122,29 +122,31 @@ def cosine_pairs_topk(
     )
 
 
+def _md5_plane_coeff(plane: int, pos: int) -> float:
+    """+-1 coefficient from the parity of the first md5 nibble of
+    "p:<plane>:<pos>" — the exact expression a SQL oracle can replay."""
+    import hashlib
+
+    h = hashlib.md5(f"p:{plane}:{pos}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
 def lsh_bucket_md5(
-    emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding"
+    emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket per vector with +-1 plane
-    coefficients derived from ``md5("p:<plane>:<pos>")`` parity — md5 is
-    byte-identical across engines (probed), so a DuckDB oracle reproduces the
-    buckets exactly. Projection is a map-side higher-order-function sum; no
-    shuffle, no UDF."""
+    coefficients from md5("p:<plane>:<pos>") parity — md5 is byte-identical
+    across engines (probed), so a DuckDB oracle reproduces the buckets
+    exactly. The coefficients are constants, so they are precomputed
+    driver-side and enter the plan as literal arrays: the per-row work is one
+    zip_with dot product per plane — no per-row hashing, no shuffle, no
+    UDF."""
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        # parity of first md5 nibble of "p:<plane>:<pos>" -> +1 / -1
-        coeff = lambda i, p=p: F.when(  # noqa: E731
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.lit("p"), F.lit(str(p)), i.cast("string"))), 1, 1),
-                16, 10,
-            ).cast("int") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+        plane_vec = F.array(*[F.lit(_md5_plane_coeff(p, i)) for i in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                F.sequence(F.lit(0), F.size(vec_col) - 1), xs, lambda i, x: coeff(i) * x
-            ),
+            F.zip_with(plane_vec, xs, lambda c, x: c * x),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
