@@ -102,15 +102,15 @@ def simhash16(
     blocks = block_cols or []
     tok = docs.select(
         F.col(id_col), *blocks, F.explode(distinct_tokens(F.col(text_col))).alias("token")
-    )
+    ).withColumn("_h", F.md5(F.col("token")))  # hash ONCE per token, before the x16 explode
     bits = tok.select(
         F.col(id_col),
         *blocks,
-        F.col("token"),
+        F.col("_h"),
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bitpos"),
     )
     # nibble index 1..4 from bitpos, bit-within-nibble 0..3
-    nib_char = F.substring(F.md5(F.col("token")), (F.col("bitpos") / 4 + 1).cast("int"), 1)
+    nib_char = F.substring(F.col("_h"), (F.col("bitpos") / 4 + 1).cast("int"), 1)
     nib_val = F.conv(nib_char, 16, 10).cast("int")
     bit = (F.floor(nib_val / F.pow(F.lit(2.0), (F.col("bitpos") % 4).cast("double"))).cast("int") % 2)
     vote = (bit * 2 - 1).alias("vote")
