@@ -143,3 +143,33 @@ def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, q = run_to_memory(tumbling_1h(stream), mode="complete")
     q.stop()
     return spark.table(view).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding_replay",
+    "2.10 streaming",
+    """
+    SELECT ws AS window_start, count(*) AS n
+    FROM (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS ws
+      FROM events
+    )
+    GROUP BY ws ORDER BY ws
+    """,
+)
+def stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sliding-window streaming run (2h window, 1h slide) via file-source
+    replay + availableNow memory sink; same oracle as the batch twin
+    stream_sliding_2h_1h — second declared readStream pipeline."""
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        events_path,
+        read_events_stream,
+        run_to_memory,
+        sliding_2h_1h,
+    )
+
+    stream = read_events_stream(spark, events_path(sf_dir))
+    view, q = run_to_memory(sliding_2h_1h(stream), mode="complete")
+    q.stop()
+    return spark.table(view).orderBy("window_start")

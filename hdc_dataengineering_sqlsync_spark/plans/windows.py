@@ -173,3 +173,36 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     )
+
+
+@query(
+    "win_nth_value",
+    "2.5 windows",
+    """
+    SELECT c_mktsegment, c_custkey,
+           nth_value(c_custkey, 2) OVER w AS second_richest,
+           last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / last_value over an explicit full-partition ROWS frame
+    (default frames would truncate both at the current row — declared
+    explicitly per SURVEY §2.5 convention)."""
+    c = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
+        F.last("c_custkey").over(w).alias("poorest"),
+    ).orderBy("c_mktsegment", "c_custkey")
