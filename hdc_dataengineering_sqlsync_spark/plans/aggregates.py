@@ -338,3 +338,30 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_bool",
+    "2.4 aggregations",
+    """
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_totalprice > 150000) AS any_large,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_large
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or + filtered count) — the
+    every/any invariant checks a sync validation pass runs per table."""
+    o = load(spark, sf_dir, "orders")
+    large = F.col("o_totalprice") > 150000
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+            F.bool_or(large).alias("any_large"),
+            F.sum(F.when(large, 1).otherwise(0)).cast("long").alias("n_large"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -276,3 +276,54 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_great_cond"
         ),
     )
+
+
+@query(
+    "fn_levenshtein",
+    "2.7 scalar functions",
+    """
+    SELECT lang,
+           round(avg(levenshtein(substr(text, 1, 20), substr(text, 21, 20))), 2) AS avg_lev,
+           max(levenshtein(substr(text, 1, 20), substr(text, 21, 20))) AS max_lev
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between two fixed slices of each doc, aggregated per
+    lang — the fuzzy-match primitive behind typo-tolerant dedup (both
+    engines implement the same Wagner-Fischer distance)."""
+    d = load(spark, sf_dir, "documents")
+    lev = F.levenshtein(F.substring("text", 1, 20), F.substring("text", 21, 20))
+    return (
+        d.groupBy("lang")
+        .agg(F.round(F.avg(lev), 2).alias("avg_lev"), F.max(lev).alias("max_lev"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "fn_bitwise_scalar",
+    "2.7 scalar functions",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(((o_orderkey % 16) << 2) | ((o_orderkey % 16) >> 1)) AS BIGINT) AS s1,
+           CAST(sum(xor(o_orderkey % 16, 5)) AS BIGINT) AS s2,
+           CAST(sum((o_orderkey % 16) & 12) AS BIGINT) AS s3
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def fn_bitwise_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit ops (shift left/right, or, xor, and) over a bounded domain,
+    summed per status — the bit-packing primitives used by SimHash/LSH
+    signatures."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 16
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.shiftleft(k, 2).bitwiseOR(F.shiftright(k, 1))).alias("s1"),
+            F.sum(k.bitwiseXOR(F.lit(5))).alias("s2"),
+            F.sum(k.bitwiseAND(F.lit(12))).alias("s3"),
+        )
+        .orderBy("o_orderstatus")
+    )
