@@ -58,9 +58,19 @@ def row_digest_fast(df: DataFrame, cols: list[str] | None = None) -> Column:
     reproduce in another engine (it never does for xxhash64). Collision odds
     at 64 bits are ~n^2/2^65 — irrelevant below ~1e8 rows per comparison and
     still negligible against a PK-bearing column list at 100 TB.
+
+    NULL hazard (same one the md5 path's concat_ws has): Spark's hash
+    expressions SKIP null inputs, so xxhash64('x', NULL) == xxhash64(NULL,
+    'x'). Each column is therefore interleaved with an is-null flag, which
+    keeps ('x', NULL) and (NULL, 'x') distinct while staying entirely on raw
+    values (no string rendering).
     """
     use = cols or df.columns
-    return F.xxhash64(*[F.col(c) for c in use])
+    parts: list[Column] = []
+    for c in use:
+        parts.append(F.isnull(F.col(c)).cast("int"))
+        parts.append(F.col(c))
+    return F.xxhash64(*parts)
 
 
 def duckdb_canonical_str(name: str, dtype: T.DataType) -> str:

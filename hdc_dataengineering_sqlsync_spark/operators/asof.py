@@ -46,19 +46,28 @@ def asof_join(
         )
     out_names = [f"{v}{suffix}" for v in value_cols]
 
+    from pyspark.sql import types as T
+
     left_tag, right_tag = (0, 1) if strict else (1, 0)
+    # The right payload rides as ONE struct so last(ignorenulls) picks the
+    # latest right ROW atomically — filling each column independently would
+    # back-fill NULL fields of the latest row from OLDER rows and emit
+    # column mixtures that never existed.
+    payload_type = T.StructType(
+        [T.StructField(o, right.schema[v].dataType) for v, o in zip(value_cols, out_names)]
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(right_tag).alias(_TAG),
-        *[F.col(v).alias(o) for v, o in zip(value_cols, out_names)],
+        F.struct(*[F.col(v).alias(o) for v, o in zip(value_cols, out_names)]).alias("_payload"),
         *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
     )
     l = left.select(  # noqa: E741
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(left_tag).alias(_TAG),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(o) for v, o in zip(value_cols, out_names)],
+        F.lit(None).cast(payload_type).alias("_payload"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     unioned = r.unionByName(l)
@@ -69,7 +78,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_names],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
         *[F.col(f"_l_{c}") for c in left.columns],
         F.col(_TAG),
     )
@@ -78,5 +87,6 @@ def asof_join(
     # after the left row and never enters its frame; non-strict tags right
     # first so same-ts right rows are visible.
     return filled.where(is_left).select(
-        *[F.col(f"_l_{c}").alias(c) for c in left.columns], *out_names
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_payload.{o}").alias(o) for o in out_names],
     )

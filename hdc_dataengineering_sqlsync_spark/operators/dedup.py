@@ -80,9 +80,6 @@ def word_shingles(text: Column | str, k: int = 3, sep: str = " ") -> Column:
     return F.when(n >= k, F.transform(idx, mk)).otherwise(F.array().cast("array<string>"))
 
 
-_HEX = "0123456789abcdef"
-
-
 def simhash16(
     docs: DataFrame,
     id_col: str = "doc_id",

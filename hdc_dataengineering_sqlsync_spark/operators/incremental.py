@@ -35,7 +35,8 @@ def keyset_batches(df: DataFrame, key: str, batch_size: int = 500) -> DataFrame:
     return df.withColumn("batch", F.floor((rn - F.lit(1)) / F.lit(batch_size)))
 
 
-def keyset_ranges(df: DataFrame, key: str, range_width: int) -> Column:
-    """Value-based batch id (pk div width): no global sort, fully parallel —
-    the scale path for chunked extracts."""
-    return F.floor(F.col(key) / F.lit(range_width))
+def keyset_ranges(df: DataFrame, key: str, range_width: int) -> DataFrame:
+    """Value-based batching (pk div width): no global sort, fully parallel —
+    the scale path for chunked extracts. Returns ``df`` with a ``batch``
+    column, mirroring ``keyset_batches``' shape."""
+    return df.withColumn("batch", F.floor(F.col(key) / F.lit(range_width)))

@@ -225,7 +225,7 @@ def ivf_search_topk(
         cent_df.crossJoin(F.broadcast(q.select("_qarr")))
         .select(
             "_cell",
-            cosine_similarity_double(F.col("_cvec"), F.col("_qarr")).alias("_sim"),
+            cosine_similarity(F.col("_cvec"), F.col("_qarr")).alias("_sim"),
         )
         .orderBy(F.col("_sim").desc(), "_cell")
         .limit(n_probe)
@@ -242,14 +242,6 @@ def ivf_search_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
-
-
-def cosine_similarity_double(a, b):
-    """Cosine of two array<double> columns via higher-order functions."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
 
 
 def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 42, vec_col: str = "embedding") -> DataFrame:

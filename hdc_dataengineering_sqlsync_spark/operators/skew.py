@@ -29,8 +29,18 @@ def salted_join(
 
     The salt is deterministic (xxhash64 of the whole big row, mod n_salts) so
     repeated runs shuffle identically — no rand(), per SURVEY.md §2
-    convention 7. Result is row-identical to ``big.join(small, on, how)``.
+    convention 7. Result is row-identical to ``big.join(small, on, how)``
+    for the supported join types; right/full outer are rejected because the
+    replicated small side would null-extend once per unmatched salt,
+    duplicating output rows.
     """
+    supported = {"inner", "left", "leftouter", "left_outer", "left_semi",
+                 "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join supports {sorted(supported)} joins; {how!r} would "
+            "emit one null-extended row per unmatched salt on the small side"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn(_SALT, salt.cast("int"))
     s = small.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))

@@ -54,8 +54,8 @@ _STOPWORDS = (
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc quality signals: length, token count, punct ratio, stopword
-    ratio, all-caps ratio — map-side only, no shuffle."""
+    """Per-doc quality signals: length, token count, avg token length,
+    punct ratio, distinct-stopword ratio — map-side only, no shuffle."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)

@@ -74,7 +74,6 @@ def normalize_oracle_rounding(sql: str) -> str:
             elif ch == "," and depth == 1:
                 last_comma = k
             k += 1
-        inner = sql[j + len("round(") : k - 1]
         if last_comma == -1:
             out.append(sql[j:k])  # round(x) single-arg: leave alone
         else:

@@ -7,6 +7,7 @@ querying the *original* table.
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 from pathlib import Path
 
@@ -16,7 +17,12 @@ from pyspark.sql import functions as F
 from hdc_dataengineering_sqlsync_spark.plans.catalog import query
 from hdc_dataengineering_sqlsync_spark.registry import SCHEMAS, load
 
-_RT_BASE = Path(tempfile.gettempdir()) / "hdc_sqlsync_roundtrip"
+def _rt_base(sf_dir: str) -> Path:
+    """Round-trip staging dir, keyed by sf_dir so concurrent sessions running
+    the catalog against different scale factors never overwrite each other's
+    in-flight round-trip files (same-sf_dir runs write identical content)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return Path(tempfile.gettempdir()) / f"hdc_sqlsync_roundtrip_{tag}"
 
 
 @query("scan_parquet_count", "2.1 scans", "SELECT count(*) AS n FROM lineitem")
@@ -50,14 +56,14 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source with explicit schema read-back (bulk extract/load is
     the reference's transport surface; header CSV keeps it lossless for
     int/string columns)."""
-    out = str(_RT_BASE / "nation_csv")
+    out = str(_rt_base(sf_dir) / "nation_csv")
     load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(SCHEMAS["nation"]).option("header", True).csv(out)
 
 
 @query("json_roundtrip_region", "2.1 scans", "SELECT * FROM region")
 def json_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = str(_RT_BASE / "region_json")
+    out = str(_rt_base(sf_dir) / "region_json")
     load(spark, sf_dir, "region").write.mode("overwrite").json(out)
     return spark.read.schema(SCHEMAS["region"]).json(out)
 
@@ -71,7 +77,7 @@ def parquet_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned sink + partition-discovery source. The read-back group-by
     on the partition column is answerable from directory listing + row-group
     metadata — the layout a 100 TB table would use for partition pruning."""
-    out = str(_RT_BASE / "orders_by_status")
+    out = str(_rt_base(sf_dir) / "orders_by_status")
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     return (
         spark.read.parquet(out)

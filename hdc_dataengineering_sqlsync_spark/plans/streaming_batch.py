@@ -65,6 +65,7 @@ def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_ORACLE = """
 WITH o AS (
   SELECT user_id, ts,
+         event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
@@ -73,7 +74,7 @@ WITH o AS (
 ),
 i AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 ),

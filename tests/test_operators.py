@@ -234,8 +234,8 @@ def test_decode_image_is_stubbed():
 
 def test_keyset_ranges_matches_value_division(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
-    got = o.select(keyset_ranges(o, "o_orderkey", 1000).alias("b"), "o_orderkey").collect()
-    assert all(r["b"] == r["o_orderkey"] // 1000 for r in got)
+    got = keyset_ranges(o, "o_orderkey", 1000).select("batch", "o_orderkey").collect()
+    assert all(r["batch"] == r["o_orderkey"] // 1000 for r in got)
 
 
 def test_simhash_identical_docs_hamming_zero(spark):
