@@ -186,6 +186,118 @@ def shingle_jaccard_pairs(
     )
 
 
+# Universal-hash family for the cross-engine MinHash: h_i(x) = (a_i*H(x) +
+# b_i) mod P with H = first 7 hex nibbles of md5 (28 bits, < P). P is the
+# Mersenne prime 2^31-1; a_i < 1e9 keeps a*H < 2.7e17, far inside int64.
+# The SAME literals feed the Spark plan and the DuckDB oracle — one family,
+# two renderings, so t2 can hash-match the signatures exactly.
+MINHASH_P = 2147483647
+MINHASH_AB: list[tuple[int, int]] = [
+    (370248451, 95089), (204506323, 1299721), (522289757, 433024223),
+    (650000117, 87178291), (131542391, 15485863), (96002369, 49979687),
+    (812376289, 67867967), (431100041, 23456789), (277000213, 122949829),
+    (157858213, 86028157), (908060467, 32452843), (555555559, 179424673),
+]
+
+
+def minhash_signature(shingle_hashes: Column, n_hashes: int = 12) -> Column:
+    """MinHash signature (array of ``n_hashes`` minima) from an array of
+    pre-computed 28-bit shingle hashes — pure map-side higher-order
+    functions, zero shuffle."""
+    def uh(a: int, b: int):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so the returned lambda must take exactly one argument
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    return F.array(*[
+        F.array_min(F.transform(shingle_hashes, uh(a, b)))
+        for a, b in MINHASH_AB[:n_hashes]
+    ])
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Cross-engine MinHash + banded LSH near-dup candidates.
+
+    The from-scratch counterpart of ``minhash_lsh_pairs`` (spark.ml): per-doc
+    signatures are computed entirely map-side (md5 base hash + universal-hash
+    minima over distinct 3-word shingles); banding (md5 of each
+    ``rows_per_band``-slice) buckets docs so candidate generation is a
+    self-equi-join on (band, bucket) — pair count tracks true-dup density,
+    not corpus size². With b=4, r=3 the S-curve catch threshold is
+    (1/b)^(1/r) ≈ 0.63 Jaccard. Output: (id, id2, est_jaccard = matching
+    signature fraction), ordered est DESC then ids.
+
+    Unlike the spark.ml hash family, this one reproduces in ANSI SQL, so the
+    t2 oracle hash-matches it exactly (SURVEY.md §2.9).
+    """
+    n_hashes = bands * rows_per_band
+    assert n_hashes <= len(MINHASH_AB)
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(text_col))).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        # materialize the base hashes once; signature minima reuse the column
+        .withColumn(
+            "_hs",
+            F.transform(
+                "_sh", lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+            ),
+        )
+    )
+    sigs = base.select(
+        F.col(id_col), minhash_signature(F.col("_hs"), n_hashes).alias("_sig")
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("_sig", j * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bkey"),
+        )
+        for j in range(bands)
+    ])
+    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band", "b.bkey"
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    est = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)) / F.lit(
+        float(n_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias(f"{id_col}2"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .orderBy(F.col("est_jaccard").desc(), id_col, f"{id_col}2")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

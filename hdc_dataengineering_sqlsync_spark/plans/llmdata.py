@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdc_dataengineering_sqlsync_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+from hdc_dataengineering_sqlsync_spark.operators.dedup import (
+    MINHASH_AB,
+    MINHASH_P,
+    jaccard_pairs,
+    minhash_banded_pairs,
+    minhash_lsh_pairs,
+)
 from hdc_dataengineering_sqlsync_spark.operators.simsearch import cosine_topk, knn_per_label
 from hdc_dataengineering_sqlsync_spark.operators.text import tf_idf_terms, wordcount
 from hdc_dataengineering_sqlsync_spark.plans.catalog import query
@@ -73,6 +79,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (3-word shingles, seed=42, 5 tables,
     Jaccard distance < 0.3) — operators/dedup.py::minhash_lsh_pairs."""
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+# Oracle restates operators/dedup.py::minhash_banded_pairs verbatim: same
+# md5 base hash, the SAME (a, b) universal-hash literals (single source:
+# MINHASH_AB), same band keys — so the signature algebra hash-matches.
+_MINHASH_BANDED_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i.i AS INT):CAST(i.i + 2 AS INT)], ' ') AS shingle
+       FROM toks, unnest(range(1, len(t) - 1)) AS i(i)),
+hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh),
+hf(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))}),
+mh AS (SELECT doc_id, hf.i AS hfi, min((hf.a * h + hf.b) % {MINHASH_P}) AS mh
+       FROM hs CROSS JOIN hf GROUP BY doc_id, hf.i),
+bands AS (SELECT doc_id, CAST(hfi // 3 AS INT) AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hfi)) AS bkey
+          FROM mh GROUP BY doc_id, CAST(hfi // 3 AS INT)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+est AS (SELECT c.id_a, c.id_b, round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 12.0, 4) AS est_jaccard
+        FROM cand c JOIN mh x ON x.doc_id = c.id_a JOIN mh y ON y.doc_id = c.id_b AND y.hfi = x.hfi
+        GROUP BY c.id_a, c.id_b)
+SELECT id_a AS doc_id, id_b AS doc_id2, est_jaccard FROM est
+ORDER BY est_jaccard DESC, doc_id, doc_id2
+"""
+
+
+@query("dedup_minhash_banded", "2.9 llm-data", _MINHASH_BANDED_ORACLE)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch MinHash + banded LSH with a cross-engine hash family —
+    the oracle-verified counterpart of dedup_minhash_lsh. Signatures are
+    map-side (md5 base hash + 12 universal-hash minima over distinct 3-word
+    shingles); b=4 bands of r=3 bucket the candidates (catch threshold
+    (1/4)^(1/3) ≈ 0.63 Jaccard); output pairs carry the estimated Jaccard
+    (operators/dedup.py::minhash_banded_pairs)."""
+    return minhash_banded_pairs(load(spark, sf_dir, "documents"))
 
 
 _COSINE_ORACLE = """

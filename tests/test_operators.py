@@ -186,6 +186,26 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
 
 
+def test_minhash_banded_finds_planted_near_dups(spark):
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import minhash_banded_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words entirely here now for sure")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_id"], r["doc_id2"]): r["est_jaccard"] for r in minhash_banded_pairs(docs).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+    assert 0.5 <= pairs[(1, 2)] <= 1.0  # 13/14 shared shingles -> high estimate
+
+
+def test_minhash_banded_exact_dup_estimates_one(spark):
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import minhash_banded_pairs
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([(10, txt), (20, txt)], "doc_id long, text string")
+    rows = minhash_banded_pairs(docs).collect()
+    assert len(rows) == 1 and rows[0]["est_jaccard"] == 1.0
+
+
 def test_lsh_bucket_deterministic_and_groups_identical_vectors(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").limit(50)
     b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).collect()}
