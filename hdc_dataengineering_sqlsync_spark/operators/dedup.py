@@ -186,6 +186,75 @@ def shingle_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id",
+    dst: str = "doc_id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id; each
+    round replaces the label with the minimum over itself and its neighbors'
+    labels, until a fixpoint. Returns ``(node, comp)`` where ``comp`` is the
+    smallest node id in the component — the canonical cluster representative
+    a dedup pipeline keeps.
+
+    Scale notes: labels only ever decrease, so the loop converges in at most
+    ``diameter(G)`` rounds; near-dup graphs are dense little cliques, so 2-3
+    rounds in practice. Each round is ONE shuffle (join on nbr + groupBy
+    node); ``localCheckpoint`` truncates lineage so the plan stays flat
+    across rounds. The convergence probe is a ``limit(1).count()`` — driver
+    coordination only, never row data. For adversarial long-chain graphs at
+    100 TB, swap the body for alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") which
+    converge in O(log n) rounds; the interface stays the same.
+    """
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    und = fwd.unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    labels = und.select("node").distinct().withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.select(F.col("node").alias("nbr"), F.col("comp").alias("nc")), "nbr")
+            .groupBy("node")
+            .agg(F.min("nc").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "nc2")
+            .join(labels, "node")
+            .where(F.col("nc2") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_summary(labels: DataFrame, node_col: str = "node", comp_col: str = "comp") -> DataFrame:
+    """Per-component rollup of a components labeling: ``(cluster_id, n_docs,
+    members)`` with members as the comma-joined sorted id list (SURVEY §2
+    convention 3: no raw arrays in t2 output)."""
+    return (
+        labels.groupBy(F.col(comp_col).alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(node_col)), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # Universal-hash family for the cross-engine MinHash: h_i(x) = (a_i*H(x) +
 # b_i) mod P with H = first 7 hex nibbles of md5 (28 bits, < P). P is the
 # Mersenne prime 2^31-1; a_i < 1e9 keeps a*H < 2.7e17, far inside int64.

@@ -116,6 +116,59 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_banded_pairs(load(spark, sf_dir, "documents"))
 
 
+# Oracle computes the same components via transitive closure (recursive CTE
+# over the undirected near-dup edges, label = min reachable id) — finite
+# domain + UNION dedup guarantees termination; fine at oracle scale. The
+# pairs CTE restates _JACCARD_ORACLE's edge set (threshold 0.5).
+_CC_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+),
+edges AS (SELECT id_a AS node, id_b AS nbr FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, m) AS (
+  SELECT node, nbr FROM edges
+  UNION
+  SELECT r.node, e.nbr FROM reach r JOIN edges e ON e.node = r.m
+),
+lab AS (SELECT node, least(node, min(m)) AS comp FROM reach GROUP BY node)
+SELECT comp AS cluster_id, count(*) AS n_docs,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM lab GROUP BY comp ORDER BY cluster_id
+"""
+
+
+@query("dedup_cluster_components", "2.9 llm-data", _CC_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the blocked-Jaccard
+    edge set (>= 0.5, same edges as dedup_near_jaccard), labeled by
+    min-label propagation; output one row per duplicate cluster
+    ``(cluster_id = min doc_id, n_docs, members)`` — the grouping step a
+    dedup pipeline needs before keeping one representative per cluster
+    (operators/dedup.py::connected_components)."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import (
+        cluster_summary,
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d, block_cols=["lang"], threshold=0.5)
+    return cluster_summary(connected_components(edges))
+
+
 _COSINE_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 comp AS (

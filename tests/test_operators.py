@@ -206,6 +206,25 @@ def test_minhash_banded_exact_dup_estimates_one(spark):
     assert len(rows) == 1 and rows[0]["est_jaccard"] == 1.0
 
 
+def test_connected_components_chain_and_pair(spark):
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import (
+        cluster_summary,
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3 forces multiple propagation rounds) + pair 9-8
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8)], "doc_id long, doc_id2 long"
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+    summary = cluster_summary(connected_components(edges)).collect()
+    assert [(r["cluster_id"], r["n_docs"], r["members"]) for r in summary] == [
+        (1, 4, "1,2,3,4"),
+        (8, 2, "8,9"),
+    ]
+
+
 def test_lsh_bucket_deterministic_and_groups_identical_vectors(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").limit(50)
     b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).collect()}
