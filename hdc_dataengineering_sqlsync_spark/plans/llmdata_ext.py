@@ -435,6 +435,121 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
 
 
+# Probes = corpus vocabulary plus its reversed forms: reversed words are
+# mostly non-members, so the query exercises both the no-false-negative
+# guarantee (positives >= members) and real false positives (m=128 is sized
+# small enough that some reversed tokens collide into all-set bits).
+_BLOOM_ORACLE = """
+WITH en AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents WHERE lang = 'en'),
+allv AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents),
+probes AS (SELECT token FROM allv UNION SELECT reverse(token) FROM allv),
+bits AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || ':' || token), 1, 4) AS BIGINT) % 128 AS bit
+  FROM en CROSS JOIN range(0, 4) j
+),
+pb AS (
+  SELECT token, CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || ':' || token), 1, 4) AS BIGINT) % 128 AS bit
+  FROM probes CROSS JOIN range(0, 4) j
+),
+pos AS (SELECT token FROM pb JOIN bits USING (bit) GROUP BY token HAVING count(*) = 4)
+SELECT (SELECT count(*) FROM probes) AS n_probed,
+       (SELECT count(*) FROM probes WHERE token IN (SELECT token FROM en)) AS n_member,
+       (SELECT count(*) FROM pos) AS n_bloom_positive
+"""
+
+
+@query("sketch_bloom_membership", "2.9 llm-data", _BLOOM_ORACLE)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (operators/sketches.py::bloom_build/
+    bloom_probe): filter built over the distinct 'en' vocabulary (k=4 hashes,
+    m=128 bits — at most 128 rows, broadcastable), probed with the corpus
+    vocabulary plus its reversed forms (mostly non-members). Output: probes,
+    true members, Bloom positives — positives >= members always (no false
+    negatives, unit-tested); the surplus is the false positives."""
+    from hdc_dataengineering_sqlsync_spark.operators.sketches import bloom_build, bloom_probe
+
+    d = load(spark, sf_dir, "documents")
+    vocab = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).distinct()
+    en = (
+        d.where(F.col("lang") == "en")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+    )
+    probes = vocab.union(vocab.select(F.reverse("token").alias("token"))).distinct()
+    probed = bloom_probe(bloom_build(en, "token", k=4, m=128), probes, "token", k=4, m=128)
+    marked = probed.join(en.withColumn("_m", F.lit(1)), "token", "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0)).cast("long").alias("n_member"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0)).cast("long").alias("n_bloom_positive"),
+    )
+
+
+# ---------------------------------------------------------------- sampling
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1, "fr": 0.1, "zh": 0.1}
+
+_STRAT_SAMPLE_ORACLE = f"""
+WITH u AS (
+  SELECT lang,
+         CAST('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) / 268435456.0 AS u,
+         CASE lang {" ".join(f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in sorted(_SAMPLE_RATES.items()))} ELSE CAST(0.0 AS DOUBLE) END AS rate
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS frac
+FROM u GROUP BY lang ORDER BY lang
+"""
+
+
+@query("sample_hash_stratified", "2.9 llm-data", _STRAT_SAMPLE_ORACLE)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable stratified corpus sampling (operators/sampling.py): keep rate
+    per language from a literal CASE chain over an md5-derived uniform —
+    deterministic under re-partitioning/retries, unlike df.sample. Output:
+    per-lang total vs sampled counts and achieved fraction."""
+    from hdc_dataengineering_sqlsync_spark.operators.sampling import stratified_hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    sampled = (
+        stratified_hash_sample(d, "doc_id", "lang", _SAMPLE_RATES)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(
+                F.coalesce("n_sampled", F.lit(0)) / F.col("n_total").cast("double"), 4
+            ).alias("frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BOTTOMK_ORACLE = """
+SELECT doc_id, lang FROM documents
+ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+"""
+
+
+@query("sample_hash_bottomk", "2.9 llm-data", _BOTTOMK_ORACLE)
+def sample_hash_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size consistent sample: the 50 docs with the smallest salted
+    md5 hashes (operators/sampling.py::bottom_k_sample). A bottom-k sketch —
+    the sample evolves minimally as the corpus grows, and plans as
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    from hdc_dataengineering_sqlsync_spark.operators.sampling import bottom_k_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return bottom_k_sample(d, "doc_id", k=50)
+
+
 # ---------------------------------------------------------------- multimodal
 
 _MM_EXTRACT_ORACLE = """

@@ -206,6 +206,53 @@ def test_minhash_banded_exact_dup_estimates_one(spark):
     assert len(rows) == 1 and rows[0]["est_jaccard"] == 1.0
 
 
+def test_bloom_never_false_negative(spark):
+    from hdc_dataengineering_sqlsync_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"w{i}",) for i in range(40)], "token string")
+    probes = spark.createDataFrame([(f"w{i}",) for i in range(80)], "token string")
+    got = {
+        r["token"]: r["bloom_positive"]
+        for r in bloom_probe(bloom_build(members, "token", k=4, m=64), probes, "token", k=4, m=64).collect()
+    }
+    # every true member is positive, regardless of how tight m is
+    assert all(got[f"w{i}"] for i in range(40))
+    # the deliberately tight m=64 filter must show at least one false positive
+    assert any(got[f"w{i}"] for i in range(40, 80))
+
+
+def test_hash_sample_stable_under_repartitioning(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.operators.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(d.repartition(13), "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < d.count()  # unlike df.sample, partitioning-invariant
+
+
+def test_stratified_sample_default_rate_excludes_unlisted(spark):
+    from hdc_dataengineering_sqlsync_spark.operators.sampling import stratified_hash_sample
+
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zz") for i in range(100)], "doc_id long, lang string"
+    )
+    got = stratified_hash_sample(d, "doc_id", "lang", {"en": 1.0}).collect()
+    assert {r["lang"] for r in got} == {"en"} and len(got) == 50
+
+
+def test_bottom_k_sample_consistent_as_corpus_grows(spark):
+    from hdc_dataengineering_sqlsync_spark.operators.sampling import bottom_k_sample
+
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    grown = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    s = {r["doc_id"] for r in bottom_k_sample(small, "doc_id", 20).collect()}
+    g = {r["doc_id"] for r in bottom_k_sample(grown, "doc_id", 20).collect()}
+    # consistent-sampling property: the grown corpus's bottom-k keeps every
+    # old member that still ranks in the top k — no wholesale reshuffle
+    assert len(s) == len(g) == 20 and len(s & g) >= 10
+    assert g & s == {d for d in s if d in g}
+
+
 def test_connected_components_chain_and_pair(spark):
     from hdc_dataengineering_sqlsync_spark.operators.dedup import (
         cluster_summary,
