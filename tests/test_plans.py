@@ -165,3 +165,38 @@ def test_snapshot_diff_is_single_join(spark, sf_dir):
     df = CATALOG["sync_snapshot_diff"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+
+
+def test_bottom_k_sample_is_take_ordered_no_shuffle(spark, sf_dir):
+    """Consistent sampling must never global-sort: per-partition top-k then a
+    k-row driver merge (operators/sampling.py::bottom_k_sample)."""
+    plan = _plan(spark, sf_dir, "sample_hash_bottomk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_stratified_sample_filter_is_map_side(spark, sf_dir):
+    """The sample selection itself (before any rollup) is a pure map-side
+    filter — no Exchange, no Python."""
+    from hdc_dataengineering_sqlsync_spark.operators.sampling import stratified_hash_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_bits_table(spark, sf_dir):
+    """The set-bits table is <= m rows; the probe must broadcast it, never
+    shuffle the probe stream against it."""
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.operators.sketches import bloom_build, bloom_probe
+
+    d = load(spark, sf_dir, "documents")
+    vocab = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).distinct()
+    probed = bloom_probe(bloom_build(vocab, "token", k=4, m=128), vocab, "token", k=4, m=128)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
