@@ -25,6 +25,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     reshape,
     workloads,
     streaming_batch,
+    subqueries,
     udfs,
 )
 
