@@ -26,6 +26,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     workloads,
     streaming_batch,
     subqueries,
+    timeseries,
     udfs,
 )
 

@@ -174,3 +174,33 @@ def stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, q = run_to_memory(sliding_2h_1h(stream), mode="complete")
     q.stop()
     return spark.table(view).orderBy("window_start")
+
+
+@query("stream_session_replay", "2.10 streaming", _SESSION_ORACLE)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live session-window streaming run: readStream -> watermark ->
+    session_window(30 min) state -> availableNow memory sink, then the
+    per-user rollup on the drained session table (streaming allows a single
+    stateful aggregation per query, so the second-level rollup runs batch on
+    the sink — the production shape for session analytics). Same oracle as
+    stream_session_30m."""
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        events_path,
+        read_events_stream,
+        run_to_memory,
+        session_30m,
+    )
+
+    stream = read_events_stream(spark, events_path(sf_dir))
+    view, q = run_to_memory(session_30m(stream), mode="complete")
+    q.stop()
+    return (
+        spark.table(view)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("secs"), 1).alias("avg_session_secs"),
+            F.max("n_events").alias("max_events"),
+        )
+        .orderBy("user_id")
+    )
