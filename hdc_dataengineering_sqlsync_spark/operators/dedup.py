@@ -284,6 +284,49 @@ def minhash_signature(shingle_hashes: Column, n_hashes: int = 12) -> Column:
     ])
 
 
+def _minhash_sigs(docs: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
+    """(id, _sig) cross-engine MinHash signatures — entirely map-side."""
+    assert n_hashes <= len(MINHASH_AB)
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(text_col))).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        # materialize the base hashes once; signature minima reuse the column
+        .withColumn(
+            "_hs",
+            F.transform(
+                "_sh", lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+            ),
+        )
+    )
+    return base.select(F.col(id_col), minhash_signature(F.col("_hs"), n_hashes).alias("_sig"))
+
+
+def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bkey) bucket assignments from signatures: one md5 per
+    ``rows_per_band``-slice of the signature."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("_sig", j * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bkey"),
+        )
+        for j in range(bands)
+    ])
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band", "b.bkey"
+    )
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -306,42 +349,8 @@ def minhash_banded_pairs(
     t2 oracle hash-matches it exactly (SURVEY.md §2.9).
     """
     n_hashes = bands * rows_per_band
-    assert n_hashes <= len(MINHASH_AB)
-    base = (
-        docs.select(
-            F.col(id_col),
-            F.array_distinct(word_shingles(F.col(text_col))).alias("_sh"),
-        )
-        .where(F.size("_sh") > 0)
-        # materialize the base hashes once; signature minima reuse the column
-        .withColumn(
-            "_hs",
-            F.transform(
-                "_sh", lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
-            ),
-        )
-    )
-    sigs = base.select(
-        F.col(id_col), minhash_signature(F.col("_hs"), n_hashes).alias("_sig")
-    )
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(j).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("_sig", j * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bkey"),
-        )
-        for j in range(bands)
-    ])
-    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, "b.band", "b.bkey"
-    )
+    sigs = _minhash_sigs(docs, id_col, text_col, n_hashes)
+    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
     cand = (
@@ -364,6 +373,39 @@ def minhash_banded_pairs(
             F.round(est, 4).alias("est_jaccard"),
         )
         .orderBy(F.col("est_jaccard").desc(), id_col, f"{id_col}2")
+    )
+
+
+def lsh_star_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """O(n·bands) clustering edges from LSH buckets: within each (band,
+    bucket), connect every doc to the bucket's MINIMUM doc id (a star).
+
+    A bucket with m docs contributes m-1 star edges instead of the clique's
+    m(m-1)/2 — same connectivity (any two docs sharing a bucket reach each
+    other through the bucket root), so connected components over star edges
+    equal components over the full candidate-pair graph. This is what makes
+    LSH dedup clustering linear in corpus size even when the corpus is
+    pathologically dense (every doc a near-dup of every other): the
+    quadratic explosion of pair enumeration never happens.
+    """
+    buckets = _band_buckets(
+        _minhash_sigs(docs, id_col, text_col, bands * rows_per_band),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    roots = buckets.groupBy("band", "bkey").agg(F.min(id_col).alias("_root"))
+    return (
+        buckets.join(roots, ["band", "bkey"])
+        .where(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias(id_col), F.col(id_col).alias(f"{id_col}2"))
+        .distinct()
     )
 
 

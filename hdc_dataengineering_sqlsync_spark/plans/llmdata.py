@@ -117,32 +117,29 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Oracle computes the same components via transitive closure (recursive CTE
-# over the undirected near-dup edges, label = min reachable id) — finite
-# domain + UNION dedup guarantees termination; fine at oracle scale. The
-# pairs CTE restates _JACCARD_ORACLE's edge set (threshold 0.5).
-_CC_ORACLE = """
-WITH RECURSIVE tok AS (
-  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM tok a JOIN tok b
-    ON a.lang = b.lang AND a.token = b.token AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-pairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
-),
-edges AS (SELECT id_a AS node, id_b AS nbr FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
+# over the undirected star edges, label = min reachable id) — finite domain
+# + UNION dedup guarantees termination; fine at oracle scale. The bucket
+# CTEs restate _MINHASH_BANDED_ORACLE's signature algebra (same literals).
+_CC_ORACLE = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i.i AS INT):CAST(i.i + 2 AS INT)], ' ') AS shingle
+       FROM toks, unnest(range(1, len(t) - 1)) AS i(i)),
+hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh),
+hf(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))}),
+mh AS (SELECT doc_id, hf.i AS hfi, min((hf.a * h + hf.b) % {MINHASH_P}) AS mh
+       FROM hs CROSS JOIN hf GROUP BY doc_id, hf.i),
+bands AS (SELECT doc_id, CAST(hfi // 3 AS INT) AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hfi)) AS bkey
+          FROM mh GROUP BY doc_id, CAST(hfi // 3 AS INT)),
+stars AS (SELECT band, bkey, min(doc_id) AS root FROM bands GROUP BY band, bkey),
+e0 AS (SELECT DISTINCT s.root AS a, b.doc_id AS b
+       FROM bands b JOIN stars s ON b.band = s.band AND b.bkey = s.bkey
+       WHERE b.doc_id <> s.root),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
 reach(node, m) AS (
-  SELECT node, nbr FROM edges
+  SELECT a, b FROM edges
   UNION
-  SELECT r.node, e.nbr FROM reach r JOIN edges e ON e.node = r.m
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
 ),
 lab AS (SELECT node, least(node, min(m)) AS comp FROM reach GROUP BY node)
 SELECT comp AS cluster_id, count(*) AS n_docs,
@@ -153,20 +150,25 @@ FROM lab GROUP BY comp ORDER BY cluster_id
 
 @query("dedup_cluster_components", "2.9 llm-data", _CC_ORACLE)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over the blocked-Jaccard
-    edge set (>= 0.5, same edges as dedup_near_jaccard), labeled by
-    min-label propagation; output one row per duplicate cluster
-    ``(cluster_id = min doc_id, n_docs, members)`` — the grouping step a
-    dedup pipeline needs before keeping one representative per cluster
-    (operators/dedup.py::connected_components)."""
+    """Near-dup clustering: connected components over LSH star edges —
+    within each MinHash band bucket, every doc links to the bucket's min
+    doc, giving O(n·bands) edges with the same connectivity as the full
+    candidate clique (operators/dedup.py::lsh_star_edges; equality of the
+    two component sets is unit-tested). Components labeled by min-label
+    propagation; output one row per duplicate cluster ``(cluster_id = min
+    doc_id, n_docs, members)`` — the grouping step a dedup pipeline needs
+    before keeping one representative per cluster. The star contraction is
+    what keeps this linear even on a pathologically dense corpus where every
+    doc is a near-dup of every other (operators/dedup.py::
+    connected_components)."""
     from hdc_dataengineering_sqlsync_spark.operators.dedup import (
         cluster_summary,
         connected_components,
+        lsh_star_edges,
     )
 
     d = load(spark, sf_dir, "documents")
-    edges = jaccard_pairs(d, block_cols=["lang"], threshold=0.5)
-    return cluster_summary(connected_components(edges))
+    return cluster_summary(connected_components(lsh_star_edges(d)))
 
 
 _COSINE_ORACLE = """

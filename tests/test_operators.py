@@ -253,6 +253,24 @@ def test_bottom_k_sample_consistent_as_corpus_grows(spark):
     assert g & s == {d for d in s if d in g}
 
 
+def test_star_edges_preserve_bucket_connectivity(spark, sf_dir):
+    """Components over O(n) star edges must equal components over the full
+    O(n^2) LSH candidate-pair graph — the invariant that lets clustering
+    skip pair enumeration entirely."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+        minhash_banded_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(120)
+    via_star = connected_components(lsh_star_edges(docs))
+    via_pairs = connected_components(minhash_banded_pairs(docs))
+    star = {(r["node"], r["comp"]) for r in via_star.collect()}
+    pairs = {(r["node"], r["comp"]) for r in via_pairs.collect()}
+    assert star == pairs and len(star) > 0
+
+
 def test_connected_components_chain_and_pair(spark):
     from hdc_dataengineering_sqlsync_spark.operators.dedup import (
         cluster_summary,
