@@ -210,7 +210,9 @@ def connected_components(
     converge in O(log n) rounds; the interface stays the same.
     """
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-    und = fwd.unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    und = fwd.unionByName(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    ).localCheckpoint(eager=True)  # materialize ONCE — every round re-reads it
     labels = und.select("node").distinct().withColumn("comp", F.col("node"))
     for _ in range(max_iter):
         nbr_min = (
@@ -218,9 +220,16 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("nc").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp")
+        )
+        # pointer jumping: comp := min(comp, label(comp)). Every comp value is
+        # itself a node id, so this hop doubles the propagation distance per
+        # round — O(log diameter) rounds instead of O(diameter).
+        jump = stepped.select(F.col("node").alias("comp"), F.col("comp").alias("jc"))
         new = (
-            labels.join(nbr_min, "node", "left")
-            .select("node", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"))
+            stepped.join(jump, "comp", "left")
+            .select("node", F.least("comp", F.coalesce("jc", "comp")).alias("comp"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -349,7 +358,9 @@ def minhash_banded_pairs(
     t2 oracle hash-matches it exactly (SURVEY.md §2.9).
     """
     n_hashes = bands * rows_per_band
-    sigs = _minhash_sigs(docs, id_col, text_col, n_hashes)
+    # signatures are the expensive part (one md5 per shingle); materialize
+    # once — they feed the bucket join twice and the estimate join twice
+    sigs = _minhash_sigs(docs, id_col, text_col, n_hashes).localCheckpoint(eager=True)
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
@@ -394,12 +405,14 @@ def lsh_star_edges(
     pathologically dense (every doc a near-dup of every other): the
     quadratic explosion of pair enumeration never happens.
     """
+    # materialize the bucket table once: the signature pipeline behind it is
+    # the expensive part, and it feeds both the root agg and the star join
     buckets = _band_buckets(
         _minhash_sigs(docs, id_col, text_col, bands * rows_per_band),
         id_col,
         bands,
         rows_per_band,
-    )
+    ).localCheckpoint(eager=True)
     roots = buckets.groupBy("band", "bkey").agg(F.min(id_col).alias("_root"))
     return (
         buckets.join(roots, ["band", "bkey"])
