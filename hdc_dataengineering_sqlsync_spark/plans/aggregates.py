@@ -365,3 +365,83 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 25000), 19) AS INT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("agg_histogram", "2.4 aggregations", _HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (25k buckets, top-capped at 19):
+    a single map-side bucket expression + one hash agg — the profile query a
+    sync validation or data-quality pass runs per column. Fixed literal
+    edges, never a data-dependent discovery pass."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_KEY_SKEW_ORACLE = """
+WITH k AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total, max(cnt) AS mx FROM k)
+SELECT key, cnt, round(cnt / t.total, 6) AS share,
+       round(cnt / (t.total / (SELECT count(*) FROM k)), 2) AS x_mean
+FROM k CROSS JOIN t
+ORDER BY cnt DESC, key LIMIT 10
+"""
+
+
+@query("diag_key_skew", "2.4 aggregations", _KEY_SKEW_ORACLE)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest o_custkey values with their
+    share of all rows and multiple-of-mean factor — the report that decides
+    whether a join needs AQE skew-split or an explicit salt
+    (operators/skew.py::salted_join). One keyed agg + a broadcast 1-row
+    totals join + top-k."""
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    t = k.agg(
+        F.sum("cnt").cast("double").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / (F.col("total") / F.col("n_keys")), 2).alias("x_mean"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(10)
+    )
+
+
+@query("agg_approx_percentile", "2.4 aggregations", None)  # rows-only: sketch engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of l_extendedprice
+    per returnflag — the 100 TB companion to the exact agg_percentile (the
+    sketch is mergeable and single-pass). Engine-specific estimates, so
+    rows-only in t2; the error bound vs the exact percentile is
+    unit-tested."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 2).alias("p50_approx"),
+            F.round(F.percentile_approx("l_extendedprice", 0.9, 1000), 2).alias("p90_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -448,3 +448,25 @@ def test_cms_never_undercounts_and_is_exact_with_wide_sketch(spark, sf_dir):
     est_w = cms_estimate(sk_wide, top.select("token"), "token", d=4, w=4096)
     jw = top.join(est_w, "token")
     assert jw.where(FF.col("est") != FF.col("cnt")).count() == 0
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """GK-sketch estimates with accuracy=1000 must land within 1% rank error
+    of the exact interpolated percentile's neighborhood (loose bound: value
+    within the exact p45..p55 / p85..p95 envelope)."""
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    row = (
+        li.agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("a90"),
+            F.percentile("l_extendedprice", 0.45).alias("e45"),
+            F.percentile("l_extendedprice", 0.55).alias("e55"),
+            F.percentile("l_extendedprice", 0.85).alias("e85"),
+            F.percentile("l_extendedprice", 0.95).alias("e95"),
+        )
+        .collect()[0]
+    )
+    assert row["e45"] <= row["a50"] <= row["e55"]
+    assert row["e85"] <= row["a90"] <= row["e95"]
