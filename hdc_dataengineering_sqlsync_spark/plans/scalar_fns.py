@@ -327,3 +327,31 @@ def fn_bitwise_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_BINARY_ORACLE = """
+SELECT c_mktsegment,
+       count(DISTINCT base64(CAST(c_name AS BLOB))) AS n_b64,
+       CAST(sum(length(hex(CAST(c_name AS BLOB)))) AS BIGINT) AS hex_chars,
+       count(*) AS n
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("fn_binary_encode", "2.7 scalar-fns", _BINARY_ORACLE)
+def fn_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encodings (base64 / hex — probed byte-identical across
+    engines): per segment, distinct base64 payloads and total hex length.
+    The encode path a sync uses to move varbinary columns through text
+    transports."""
+    c = load(spark, sf_dir, "customer")
+    b = F.col("c_name").cast("binary")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct(F.base64(b)).alias("n_b64"),
+            F.sum(F.length(F.hex(b))).alias("hex_chars"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -85,3 +85,26 @@ def parquet_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "orc_roundtrip_part",
+    "2.1 scans",
+    """
+    SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (Spark's second bundled columnar format — same
+    pushdown/pruning machinery as parquet): write `part`, read back, verify
+    via per-brand rollup. Oracle reads the original table — the
+    roundtrip must be lossless for the numeric/string columns."""
+    out = str(_rt_base(sf_dir) / "part_orc")
+    load(spark, sf_dir, "part").write.mode("overwrite").orc(out)
+    return (
+        spark.read.schema(SCHEMAS["part"]).orc(out)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("p_retailprice"), 2).alias("total"))
+        .orderBy("p_brand")
+    )

@@ -470,3 +470,28 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     )
     assert row["e45"] <= row["a50"] <= row["e55"]
     assert row["e85"] <= row["a90"] <= row["e95"]
+
+
+def test_compact_parquet_bounds_file_count(spark, sf_dir, tmp_path):
+    from hdc_dataengineering_sqlsync_spark.operators.maintenance import (
+        compact_parquet,
+        parquet_file_counts,
+    )
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    orders = load(spark, sf_dir, "orders")
+    # simulate micro-batch accretion: 16 writer tasks per partition value
+    orders.repartition(16).write.partitionBy("o_orderstatus").parquet(frag)
+    before = parquet_file_counts(frag)
+    assert max(before.values()) > 1  # genuinely fragmented
+
+    compacted = compact_parquet(spark, frag, out, partition_col="o_orderstatus")
+    after = parquet_file_counts(out)
+    assert max(after.values()) == 1  # one file per partition dir
+    assert compacted.count() == orders.count()
+    got = {r["o_orderstatus"]: r["n"] for r in
+           compacted.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r["o_orderstatus"]: r["n"] for r in
+            orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
