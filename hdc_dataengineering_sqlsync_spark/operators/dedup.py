@@ -241,8 +241,12 @@ def connected_components(
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "returning partial labels would split components silently; raise "
+        "max_iter (rounds needed ~ log2(graph diameter) with pointer jumping)"
+    )
 
 
 def cluster_summary(labels: DataFrame, node_col: str = "node", comp_col: str = "comp") -> DataFrame:

@@ -82,7 +82,10 @@ def bloom_probe(
     hits = (
         pb.join(F.broadcast(bloom), "bit", "left_semi")
         .groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("_nset"))
+        # countDistinct, not count: duplicate probe rows would otherwise
+        # inflate the per-item hit count past k and flip true members to
+        # negative — the one failure mode a Bloom filter must never have
+        .agg(F.countDistinct("j").alias("_nset"))
     )
     return (
         probes.join(hits, item_col, "left")

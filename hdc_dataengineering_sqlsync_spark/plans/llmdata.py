@@ -81,23 +81,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-# Oracle restates operators/dedup.py::minhash_banded_pairs verbatim: same
-# md5 base hash, the SAME (a, b) universal-hash literals (single source:
-# MINHASH_AB), same band keys — so the signature algebra hash-matches.
-_MINHASH_BANDED_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared oracle CTE block restating operators/dedup.py::_minhash_sigs /
+# _band_buckets verbatim: same md5 base hash, the SAME (a, b) universal-hash
+# literals (single source: MINHASH_AB), same band keys — so the signature
+# algebra hash-matches. Parameterized on the operator defaults so a change
+# to bands/rows_per_band can't silently diverge one copy.
+_MH_ROWS_PER_BAND = 3
+_MH_N_HASHES = len(MINHASH_AB)
+_MINHASH_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i.i AS INT):CAST(i.i + 2 AS INT)], ' ') AS shingle
        FROM toks, unnest(range(1, len(t) - 1)) AS i(i)),
 hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh),
 hf(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))}),
 mh AS (SELECT doc_id, hf.i AS hfi, min((hf.a * h + hf.b) % {MINHASH_P}) AS mh
        FROM hs CROSS JOIN hf GROUP BY doc_id, hf.i),
-bands AS (SELECT doc_id, CAST(hfi // 3 AS INT) AS band,
+bands AS (SELECT doc_id, CAST(hfi // {_MH_ROWS_PER_BAND} AS INT) AS band,
                  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hfi)) AS bkey
-          FROM mh GROUP BY doc_id, CAST(hfi // 3 AS INT)),
+          FROM mh GROUP BY doc_id, CAST(hfi // {_MH_ROWS_PER_BAND} AS INT))"""
+
+_MINHASH_BANDED_ORACLE = f"""
+WITH {_MINHASH_CTES},
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-est AS (SELECT c.id_a, c.id_b, round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 12.0, 4) AS est_jaccard
+est AS (SELECT c.id_a, c.id_b, round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MH_N_HASHES}.0, 4) AS est_jaccard
         FROM cand c JOIN mh x ON x.doc_id = c.id_a JOIN mh y ON y.doc_id = c.id_b AND y.hfi = x.hfi
         GROUP BY c.id_a, c.id_b)
 SELECT id_a AS doc_id, id_b AS doc_id2, est_jaccard FROM est
@@ -119,18 +125,9 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle computes the same components via transitive closure (recursive CTE
 # over the undirected star edges, label = min reachable id) — finite domain
 # + UNION dedup guarantees termination; fine at oracle scale. The bucket
-# CTEs restate _MINHASH_BANDED_ORACLE's signature algebra (same literals).
+# CTEs are the shared _MINHASH_CTES fragment.
 _CC_ORACLE = f"""
-WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i.i AS INT):CAST(i.i + 2 AS INT)], ' ') AS shingle
-       FROM toks, unnest(range(1, len(t) - 1)) AS i(i)),
-hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh),
-hf(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))}),
-mh AS (SELECT doc_id, hf.i AS hfi, min((hf.a * h + hf.b) % {MINHASH_P}) AS mh
-       FROM hs CROSS JOIN hf GROUP BY doc_id, hf.i),
-bands AS (SELECT doc_id, CAST(hfi // 3 AS INT) AS band,
-                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hfi)) AS bkey
-          FROM mh GROUP BY doc_id, CAST(hfi // 3 AS INT)),
+WITH RECURSIVE {_MINHASH_CTES},
 stars AS (SELECT band, bkey, min(doc_id) AS root FROM bands GROUP BY band, bkey),
 e0 AS (SELECT DISTINCT s.root AS a, b.doc_id AS b
        FROM bands b JOIN stars s ON b.band = s.band AND b.bkey = s.bkey

@@ -90,6 +90,21 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def _session_rollup(sessions: DataFrame) -> DataFrame:
+    """Per-user rollup over a (user_id, n_events, secs) session table — the
+    single definition both the batch and live-replay session qids share
+    (they also share _SESSION_ORACLE, so the contract must not fork)."""
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("secs"), 1).alias("avg_session_secs"),
+            F.max("n_events").alias("max_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query("stream_session_30m", "2.10 streaming", _SESSION_ORACLE, bench=True)
 def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via the native session_window
@@ -104,16 +119,7 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t0"), F.max("ts").alias("t1"))
     )
     secs = (F.unix_micros("t1") - F.unix_micros("t0")).cast("double") / 1e6
-    return (
-        sess.select("user_id", "n_events", secs.alias("secs"))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("secs"), 1).alias("avg_session_secs"),
-            F.max("n_events").alias("max_events"),
-        )
-        .orderBy("user_id")
-    )
+    return _session_rollup(sess.select("user_id", "n_events", secs.alias("secs")))
 
 
 @query(
@@ -194,13 +200,4 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, events_path(sf_dir))
     view, q = run_to_memory(session_30m(stream), mode="complete")
     q.stop()
-    return (
-        spark.table(view)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("secs"), 1).alias("avg_session_secs"),
-            F.max("n_events").alias("max_events"),
-        )
-        .orderBy("user_id")
-    )
+    return _session_rollup(spark.table(view))

@@ -247,10 +247,11 @@ def test_bottom_k_sample_consistent_as_corpus_grows(spark):
     grown = spark.range(0, 400).withColumnRenamed("id", "doc_id")
     s = {r["doc_id"] for r in bottom_k_sample(small, "doc_id", 20).collect()}
     g = {r["doc_id"] for r in bottom_k_sample(grown, "doc_id", 20).collect()}
-    # consistent-sampling property: the grown corpus's bottom-k keeps every
-    # old member that still ranks in the top k — no wholesale reshuffle
+    # consistent-sampling property: every grown-corpus sample member that
+    # already existed in the small corpus must also be in the small corpus's
+    # sample (its hash rank can only improve when competitors are removed)
     assert len(s) == len(g) == 20 and len(s & g) >= 10
-    assert g & s == {d for d in s if d in g}
+    assert {d for d in g if d < 200} <= s
 
 
 def test_star_edges_preserve_bucket_connectivity(spark, sf_dir):
@@ -263,7 +264,9 @@ def test_star_edges_preserve_bucket_connectivity(spark, sf_dir):
         minhash_banded_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents").limit(120)
+    # deterministic subset — an unordered limit() could pick different rows
+    # for the two independently-executed pipelines
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     via_star = connected_components(lsh_star_edges(docs))
     via_pairs = connected_components(minhash_banded_pairs(docs))
     star = {(r["node"], r["comp"]) for r in via_star.collect()}
@@ -451,9 +454,10 @@ def test_cms_never_undercounts_and_is_exact_with_wide_sketch(spark, sf_dir):
 
 
 def test_approx_percentile_within_rank_error(spark, sf_dir):
-    """GK-sketch estimates with accuracy=1000 must land within 1% rank error
-    of the exact interpolated percentile's neighborhood (loose bound: value
-    within the exact p45..p55 / p85..p95 envelope)."""
+    """GK-sketch estimates must land inside a ±5%-rank envelope of the exact
+    percentile (p45..p55 for p50, p85..p95 for p90) — deliberately looser
+    than accuracy=1000's theoretical ~0.1% rank error so the test doesn't
+    flake on implementation changes, while still catching a broken sketch."""
     from pyspark.sql import functions as F
 
     li = load(spark, sf_dir, "lineitem")
@@ -495,3 +499,14 @@ def test_compact_parquet_bounds_file_count(spark, sf_dir, tmp_path):
     want = {r["o_orderstatus"]: r["n"] for r in
             orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_bloom_probe_duplicate_probe_rows_stay_positive(spark):
+    """Regression: duplicate probe rows must not inflate the per-item hit
+    count past k and flip a true member to negative."""
+    from hdc_dataengineering_sqlsync_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([("w1",), ("w2",)], "token string")
+    probes = spark.createDataFrame([("w1",), ("w1",), ("w2",)], "token string")
+    got = bloom_probe(bloom_build(members, "token", k=4, m=64), probes, "token", k=4, m=64).collect()
+    assert len(got) == 3 and all(r["bloom_positive"] for r in got)
