@@ -586,3 +586,115 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.agg(
         F.count(F.lit(1)).alias("n_frames"), F.countDistinct("media_id").alias("n_media")
     )
+
+
+_CONTAM_ORACLE = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, lang,
+              array_to_string(t[CAST(i.i AS INT):CAST(i.i + 4 AS INT)], ' ') AS shingle
+       FROM toks, unnest(range(1, len(t) - 3)) AS i(i)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT s.doc_id, s.lang, count(*) AS n_overlap
+  FROM sh s JOIN ev ON s.shingle = ev.shingle
+  WHERE s.doc_id % 10 <> 0
+  GROUP BY s.doc_id, s.lang
+),
+contam AS (SELECT doc_id, lang FROM hits WHERE n_overlap >= 3)
+SELECT d.lang, count(*) AS n_train,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       round(count(c.doc_id) / CAST(count(*) AS DOUBLE), 4) AS frac
+FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 10 <> 0
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@query("dedup_contamination", "2.9 llm-data", _CONTAM_ORACLE)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the decontamination step of a
+    training-data pipeline: docs with doc_id % 10 = 0 act as the eval set;
+    a train doc is contaminated when it shares >= 3 distinct 5-gram shingles
+    with the eval pool. The eval shingle pool is small and broadcastable; the
+    train side is one explode + one semi-shaped join, so cost scales with
+    the train corpus, not train x eval. Per-lang counts + contamination
+    fraction."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("shingle"),
+    )
+    ev = sh.where(F.col("doc_id") % 10 == 0).select("shingle").distinct()
+    hits = (
+        sh.where(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= 3)
+    )
+    train = d.where(F.col("doc_id") % 10 != 0)
+    return (
+        train.join(hits.select("doc_id", F.lit(1).alias("_c")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("_c").alias("n_contaminated"),
+            F.round(F.count("_c") / F.count(F.lit(1)).cast("double"), 4).alias("frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Quantization rounding is floor(x + 0.5) — "half toward +inf" — rather than
+# round(): both engines floor identically, while round() half-even/half-away
+# conventions could differ at exact .5 boundaries.
+_QUANT_ORACLE = """
+WITH comp AS (
+  SELECT label, vec_id, i.range AS pos, CAST(embedding[i.range] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) i
+),
+mx AS (SELECT vec_id, max(abs(x)) AS m FROM comp GROUP BY vec_id),
+err AS (
+  SELECT c.label, c.vec_id,
+         abs(c.x - floor(c.x * (127.0 / mx.m) + 0.5) * mx.m / 127.0) AS e
+  FROM comp c JOIN mx ON c.vec_id = mx.vec_id
+  WHERE mx.m > 0
+)
+SELECT label, count(*) AS n_components,
+       round(avg(e), 6) AS avg_abs_err, round(max(e), 6) AS max_abs_err
+FROM err GROUP BY label ORDER BY label
+"""
+
+
+@query("simsearch_quantize_int8", "2.9 llm-data", _QUANT_ORACLE)
+def simsearch_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector scale = 127/max|x|)
+    with dequantization-error profile per label — the compression step an
+    ANN index applies before storing 100 TB of vectors (4x smaller, dot
+    products in int arithmetic). All math map-side via higher-order array
+    functions; rounding is floor(x+0.5) so both engines agree at exact .5
+    boundaries."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = F.lit(127.0) / F.col("_m")
+    err = F.transform(
+        "_x", lambda v: F.abs(v - F.floor(v * scale + F.lit(0.5)) * F.col("_m") / F.lit(127.0))
+    )
+    per_vec = (
+        e.select("label", "vec_id", x.alias("_x"), mx.alias("_m"))
+        .where(F.col("_m") > 0)
+        .select("label", "vec_id", F.explode(err).alias("e"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.round(F.avg("e"), 6).alias("avg_abs_err"),
+            F.round(F.max("e"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
