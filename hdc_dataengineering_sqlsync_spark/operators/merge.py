@@ -1,10 +1,13 @@
 """Changeset apply (MERGE/upsert without Delta Lake) — SURVEY.md §2.8 & §4.
 
 Spark has no MERGE INTO against plain parquet, so the merge is expressed as
-  kept    = target ANTI JOIN (keys with op in {U, D})   -- drop stale rows
+  kept    = target ANTI JOIN (keys with op in {I, U, D})  -- drop all changed keys
   applied = kept UNION ALL (changeset rows with op in {I, U})
-which is exactly the relational algebra a MERGE executes. ``unionByName``
-keeps column order/type alignment (SURVEY.md §7 known-hard #2).
+which is exactly the relational algebra an insert-or-replace MERGE executes.
+Anti-joining the I keys too makes the apply IDEMPOTENT: re-running the same
+changeset after a partial failure replaces rather than duplicates the
+inserted rows. ``unionByName`` keeps column order/type alignment
+(SURVEY.md §7 known-hard #2).
 
 Scale: the anti join and the union are both keyed on the PK; with the
 changeset typically << target, Catalyst/AQE broadcasts the changeset side of
@@ -30,8 +33,13 @@ def merge_apply(target: DataFrame, changeset: DataFrame, pk: list[str]) -> DataF
     expensive diff — both branches below reference it.
     """
     cols = target.columns
-    stale_keys = changeset.where(F.col(CHANGE_OP).isin("U", "D")).select(*pk)
-    kept = target.join(stale_keys, pk, "left_anti")
+    # anti-join ALL changed keys, including I: on a fresh target the I keys
+    # aren't present (no-op), but on retry-after-partial-apply they are, and
+    # keeping them while unioning the upserts would duplicate rows. This is
+    # exactly MERGE's insert-or-replace semantics, and it makes the apply
+    # idempotent (tests/test_operators.py::test_merge_apply_is_idempotent).
+    changed_keys = changeset.where(F.col(CHANGE_OP).isin("I", "U", "D")).select(*pk)
+    kept = target.join(changed_keys, pk, "left_anti")
     upserts = changeset.where(F.col(CHANGE_OP).isin("I", "U")).select(*cols)
     return kept.unionByName(upserts)
 

@@ -510,3 +510,36 @@ def test_bloom_probe_duplicate_probe_rows_stay_positive(spark):
     probes = spark.createDataFrame([("w1",), ("w1",), ("w2",)], "token string")
     got = bloom_probe(bloom_build(members, "token", k=4, m=64), probes, "token", k=4, m=64).collect()
     assert len(got) == 3 and all(r["bloom_positive"] for r in got)
+
+
+def test_cli_list_and_oracle(capsys):
+    import io
+
+    from hdc_dataengineering_sqlsync_spark.cli import main
+
+    buf = io.StringIO()
+    assert main(["--list"], out=buf) == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert len(lines) >= 127 and any(l.startswith("agg_pricing_summary") for l in lines)
+
+    buf = io.StringIO()
+    assert main(["--oracle", "dedup_exact"], out=buf) == 0
+    assert "FROM documents" in buf.getvalue()
+
+    buf = io.StringIO()
+    assert main(["--oracle", "nope_not_a_qid"], out=buf) == 2
+
+
+def test_merge_apply_is_idempotent(spark, sf_dir):
+    """Re-applying the same changeset to an already-merged target is a
+    no-op — the property that makes retry-after-partial-failure safe."""
+    source = load(spark, sf_dir, "orders")
+    target = source.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    changes = snapshot_diff(source, target, pk=["o_orderkey"])
+    once = merge_apply(target, changes, pk=["o_orderkey"])
+    twice = merge_apply(once, changes, pk=["o_orderkey"])
+    assert twice.exceptAll(once).count() == 0
+    assert once.exceptAll(twice).count() == 0
