@@ -698,3 +698,42 @@ def simsearch_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_REPETITION_ORACLE = r"""
+WITH r AS (
+  SELECT lang,
+         1.0 - len(list_distinct(string_split_regex(lower(text), '\s+')))
+             / len(string_split_regex(lower(text), '\s+')) AS rep
+  FROM documents
+)
+SELECT lang,
+       round(avg(rep), 4) AS avg_rep,
+       round(max(rep), 4) AS max_rep,
+       CAST(count(CASE WHEN rep > 0.5 THEN 1 END) AS BIGINT) AS n_repetitive
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+@query("text_repetition_ratio", "2.9 llm-data", _REPETITION_ORACLE)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signal: 1 - |distinct tokens| / |tokens| per
+    document (the dominant cheap filter for boilerplate/spam in pretraining
+    corpora), aggregated per language with a >0.5 repetitive-doc count. The
+    per-row ratio is an exact int/int IEEE division, identical across
+    engines, so the 0.5 threshold cannot flap; narrow projection (lang,
+    text) reaches the scan. Scale path: pure JVM string/array ops, no
+    shuffle besides the final per-lang aggregate."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    rep = 1.0 - F.size(F.array_distinct(words)) / F.size(words)
+    return (
+        d.select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("rep"), 4).alias("avg_rep"),
+            F.round(F.max("rep"), 4).alias("max_rep"),
+            F.count(F.when(F.col("rep") > 0.5, 1)).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )

@@ -88,3 +88,96 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, value, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT h, value,
+         first_value(value) OVER (PARTITION BY h ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+         last_value(value) OVER (PARTITION BY h ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+  FROM b
+)
+SELECT h AS bucket_ts,
+       round(min(o), 2) AS open, round(max(value), 2) AS high,
+       round(min(value), 2) AS low, round(min(c), 2) AS close,
+       count(*) AS n
+FROM w GROUP BY h ORDER BY bucket_ts
+"""
+
+
+@query("ts_resample_ohlc", "2.10 streaming", _OHLC_ORACLE)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resample of the purchase-value series: open/close via
+    min_by/max_by on a (ts, event_id) struct — a single hash aggregate, no
+    window sort — with the unique event_id breaking intra-hour timestamp
+    ties deterministically (the oracle expresses the same pick as framed
+    first/last_value since DuckDB's arg_min lacks composite keys). min/max/
+    count ride the same aggregate, so the whole resample is one shuffle on
+    the hour bucket."""
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.round(F.expr("min_by(value, struct(ts, event_id))"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.expr("max_by(value, struct(ts, event_id))"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket_ts")
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, h
+),
+scored AS (
+  SELECT event_type, h, n,
+         avg(n)         OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h AS bucket_ts, n,
+       round((n - mu) / sigma, 4) AS zscore
+FROM scored
+WHERE sigma IS NOT NULL AND sigma > 1e-9 AND abs((n - mu) / sigma) > 2.0
+ORDER BY event_type, bucket_ts
+"""
+
+
+@query("ts_anomaly_zscore", "2.10 streaming", _ZSCORE_ORACLE)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against the trailing 24 fully-closed hours (frame ends at 1 PRECEDING so
+    the current hour never contaminates its own baseline), flagging |z| > 2.
+    Counts are exact integers, so mean/variance drift is sub-ulp and
+    round(·,4) absorbs it; sigma≈0 buckets are excluded on both sides before
+    the division. One shuffle (type+hour agg), one window sort per type."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where(F.col("sigma").isNotNull() & (F.col("sigma") > 1e-9) & (F.abs(z) > 2.0))
+        .select("event_type", F.col("h").alias("bucket_ts"), "n", F.round(z, 4).alias("zscore"))
+        .orderBy("event_type", "bucket_ts")
+    )
