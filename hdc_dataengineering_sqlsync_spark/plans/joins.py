@@ -319,3 +319,46 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("c_custkey").alias("n_customers"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "join_bucketed_colocate",
+    "2.3 joins",
+    """
+    SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join through bucketed storage: both tables are written
+    bucketed (and sorted) on the order key with equal bucket counts, so the
+    SortMergeJoin reads matching bucket files pairwise with NO Exchange and
+    no per-query sort on either side (sources/bucketing.py; zero-exchange
+    property pinned by tests/test_plans.py::test_bucketed_join_has_no_exchange).
+    At 100 TB this converts every repeated join on the same key from a
+    full two-sided shuffle into a local merge — the storage-level analog of
+    the reference's PK-clustered sync tables. The write cost is paid once;
+    this query pays it inline only because the driver contract is
+    self-contained per call."""
+    from pathlib import Path
+
+    from hdc_dataengineering_sqlsync_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    t_o, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    write_bucketed(o, t_o, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(li, t_li, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    return (
+        bucketed_join(spark, t_o, t_li, on=["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -141,3 +141,32 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "set_intersect_all",
+    "2.6 sorts/sets",
+    """
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics, Spark .intersectAll): each customer
+    keeps min(total orders, open orders) rows — those with >= 2 surviving.
+    Completes the set-op family (union/union all/except/except all/
+    intersect already declared)."""
+    o = load(spark, sf_dir, "orders")
+    open_o = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        o.select("o_custkey")
+        .intersectAll(open_o)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("o_custkey")
+        .orderBy("o_custkey")
+    )
