@@ -200,3 +200,36 @@ def test_bloom_probe_broadcasts_bits_table(spark, sf_dir):
     probed = bloom_probe(bloom_build(vocab, "token", k=4, m=128), vocab, "token", k=4, m=128)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_workload_q9_broadcasts_dims_and_prunes_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_product_profit")
+    # part (LIKE-filtered), supplier, nation all broadcast; only
+    # orders<->lineitem may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrdered" not in plan  # full ordered result, no limit
+
+
+def test_workload_q18_preaggregates_before_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_large_volume_customer")
+    assert "TakeOrderedAndProject" in plan
+    # the quantity rollup is two-phase (map-side partial on the raw scan)
+    # and the HAVING threshold filters the slim aggregate before the joins
+    assert "partial_sum(l_quantity" in plan
+    assert "> 150.0" in plan
+    # with the >150 aggregate down to a handful of orders, both remaining
+    # joins broadcast-build
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_resample_ohlc")
+    assert "Window" not in plan  # min_by/max_by struct keys, not a window sort
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_repetition_ratio_prunes_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_repetition_ratio")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" in read_schema
+    assert "doc_id" not in read_schema and "source" not in read_schema
