@@ -445,3 +445,42 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_mode",
+    "2.4 aggregations",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cnt DESC, o_orderstatus DESC) AS rn
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, cnt
+    FROM r WHERE rn = 1 ORDER BY o_orderpriority
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic modal value: most frequent order status per priority,
+    ties broken toward the lexicographically greatest status (Spark's builtin
+    mode() is tie-nondeterministic, so the mode is computed as max_by over a
+    (count, value) struct — two hash aggregates, the second over the tiny
+    (priority x status) domain; the oracle expresses the same pick as a
+    ranked window)."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("o_orderpriority").agg(
+        F.expr("max_by(struct(o_orderstatus, cnt), struct(cnt, o_orderstatus))").alias("m")
+    )
+    return (
+        m.select(
+            "o_orderpriority",
+            F.col("m.o_orderstatus").alias("mode_status"),
+            F.col("m.cnt").alias("cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -201,3 +201,38 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, q = run_to_memory(session_30m(stream), mode="complete")
     q.stop()
     return _session_rollup(spark.table(view))
+
+
+@query(
+    "stream_dedup_replay",
+    "2.10 streaming",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_ts, count(DISTINCT event_id) AS n
+    FROM events GROUP BY bucket_ts ORDER BY bucket_ts
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stateful stream dedup: the events file source is unioned with
+    itself (every event arrives twice), dropDuplicatesWithinWatermark on
+    event_id keeps one arrival, and the deduped append stream drains to a
+    memory sink; the hourly rollup then runs as a batch query on the drained
+    rows (one stateful operator per streaming query, as with the session
+    replay). Whichever duplicate arrival wins, the kept row is bit-identical,
+    so the result is deterministic and equals the batch DISTINCT oracle."""
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        dedup_within_watermark,
+        events_path,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, events_path(sf_dir))
+    doubled = stream.union(read_events_stream(spark, events_path(sf_dir)))
+    view, q = run_to_memory(dedup_within_watermark(doubled), mode="append")
+    q.stop()
+    return (
+        spark.table(view)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket_ts")
+    )

@@ -181,3 +181,58 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("h").alias("bucket_ts"), "n", F.round(z, 4).alias("zscore"))
         .orderBy("event_type", "bucket_ts")
     )
+
+
+_EWMA_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, h
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hourly
+)
+SELECT a.event_type, a.h AS bucket_ts, a.n,
+       round(sum(b.n * pow(0.6, a.rn - b.rn)) / sum(pow(0.6, a.rn - b.rn)), 4) AS ewma
+FROM r a JOIN r b
+  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 9 AND a.rn
+GROUP BY a.event_type, a.h, a.n
+ORDER BY a.event_type, bucket_ts
+"""
+
+
+@query("ts_ewma", "2.10 streaming", _EWMA_ORACLE)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exponential moving average (decay 0.6 per observed bucket,
+    last 10 buckets) of hourly event counts per type. Spark side: one window
+    collect_list over a ROWS -9..0 frame, then a sequential higher-order
+    `aggregate` over the reversed list — weights are generated positionally
+    in the lambda, never materialized, and the whole series needs one sort
+    per type (no self-join). The oracle expresses the same math as a bounded
+    rn-range self-join, which DuckDB can write but which would be the wrong
+    plan at scale. round(·,4) absorbs the engines' differing summation
+    order over the ≤10 products."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-9, 0)
+    ewma = F.expr(
+        "aggregate(reverse(xs), "
+        "named_struct('s', cast(0.0 as double), 'w', cast(0.0 as double), 'k', 0), "
+        "(acc, x) -> named_struct("
+        "  's', acc.s + x * pow(0.6, acc.k), "
+        "  'w', acc.w + pow(0.6, acc.k), "
+        "  'k', acc.k + 1), "
+        "acc -> acc.s / acc.w)"
+    )
+    return (
+        hourly.select("event_type", "h", "n", F.collect_list("n").over(w).alias("xs"))
+        .select(
+            "event_type",
+            F.col("h").alias("bucket_ts"),
+            "n",
+            F.round(ewma, 4).alias("ewma"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )

@@ -14,6 +14,9 @@ Spark requires ``bucketBy`` writes to go through the session catalog
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -27,7 +30,19 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
     catalog table. Sorting by the join key lets SortMergeJoin skip its sort
-    step too (zero-exchange, zero-sort join)."""
+    step too (zero-exchange, zero-sort join).
+
+    A managed table's files outlive the in-memory catalog that created it, so
+    a table written by a previous session is an *orphaned location*:
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS even in overwrite
+    mode (overwrite only replaces tables the current catalog knows about).
+    Drop any registered table AND clear the orphaned directory first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(warehouse.removeprefix("file:")) / table.lower()
+    if loc.exists():
+        shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
