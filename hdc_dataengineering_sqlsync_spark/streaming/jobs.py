@@ -46,21 +46,25 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     )
 
 
-def events_path(sf_dir: str) -> str:
+def table_stream_dir(sf_dir: str, table: str) -> str:
     """The file stream source needs a *directory*; stage a temp dir holding a
-    symlink to the events parquet (read-only testdata cannot be moved)."""
+    symlink to the table's parquet (read-only testdata cannot be moved)."""
     import hashlib
     import os
     import tempfile
 
-    src = path_for(sf_dir, "events")
+    src = path_for(sf_dir, table)
     tag = hashlib.md5(src.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"hdc_stream_events_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"hdc_stream_{table}_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
     return d
+
+
+def events_path(sf_dir: str) -> str:
+    return table_stream_dir(sf_dir, "events")
 
 
 def tumbling_1h(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
