@@ -737,3 +737,67 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CENTROIDS = [[-20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15], [11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16], [1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6], [-9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4]]
+
+_CENTROID_ASSIGN_ORACLE = """
+WITH dots AS (
+  SELECT vec_id,
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([-20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15])[i])) AS BIGINT) AS d0,
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16])[i])) AS BIGINT) AS d1,
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6])[i])) AS BIGINT) AS d2,
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([-9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4])[i])) AS BIGINT) AS d3
+  FROM embeddings
+),
+long AS (
+  SELECT vec_id, u.c AS c, u.d AS d
+  FROM dots, unnest([struct_pack(d := d0, c := 0), struct_pack(d := d1, c := 1), struct_pack(d := d2, c := 2), struct_pack(d := d3, c := 3)]) AS t(u)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c DESC) AS rn
+  FROM long
+)
+SELECT c AS centroid, count(*) AS n,
+       round(cast(sum(d) AS DOUBLE) / count(*) / 1e6, 4) AS avg_sim
+FROM ranked WHERE rn = 1 GROUP BY c ORDER BY centroid
+"""
+
+
+@query("simsearch_centroid_assign", "2.9 llm-data", _CENTROID_ASSIGN_ORACLE)
+def simsearch_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step (the building block under IVF indexing):
+    every embedding goes to the argmax-dot-product of K pinned centroids.
+    Determinism by construction: embeddings quantize to integer 1e-3 units
+    and the centroids are integers, so each dot product is an exact int64 —
+    associative, order-free, bit-identical across engines and cluster sizes
+    (the float path's summation order is not) — and the argmax breaks ties
+    toward the greatest centroid id via (dot, cid) struct ordering.
+    Map-side only until the final tiny groupBy on K keys; the centroid
+    arrays ride the plan as literals (at real scale: a broadcast)."""
+    e = load(spark, sf_dir, "embeddings")
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, y: F.round(x.cast("double") * 1000, 0).cast("long") * y.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"d{k}")
+        for k, c in enumerate(_CENTROIDS)
+    ]
+    best = F.greatest(
+        *[F.struct(F.col(f"d{k}").alias("d"), F.lit(k).alias("c")) for k in range(len(_CENTROIDS))]
+    ).alias("best")
+    return (
+        e.select("vec_id", *dots)
+        .select("vec_id", best)
+        .groupBy(F.col("best.c").alias("centroid"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("best.d").cast("double") / F.count(F.lit(1)) / 1e6, 4).alias("avg_sim"),
+        )
+        .orderBy("centroid")
+    )

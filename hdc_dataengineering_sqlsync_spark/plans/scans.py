@@ -108,3 +108,35 @@ def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("p_retailprice"), 2).alias("total"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "scan_schema_merge",
+    "2.1 scans",
+    """
+    SELECT count(*) AS n,
+           count(CASE WHEN p_partkey % 2 = 1 THEN 1 END) AS n_with_size,
+           round(sum(p_retailprice), 2) AS total_price
+    FROM part
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches of the same logical table,
+    the newer one carrying an extra column (p_size), unified by
+    ``mergeSchema`` — old rows surface NULL for the new column, the count of
+    non-null p_size equals the new-batch row count. This is the schema-drift
+    posture for a long-lived 100 TB table: additive columns need no rewrite
+    of historical files, and the footer-only schema merge costs one metadata
+    pass, not a data scan."""
+    p = load(spark, sf_dir, "part")
+    out = _rt_base(sf_dir) / "part_evolving"
+    old_batch = p.where(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_retailprice")
+    new_batch = p.where(F.col("p_partkey") % 2 == 1).select("p_partkey", "p_retailprice", "p_size")
+    old_batch.write.mode("overwrite").parquet(str(out / "batch=1"))
+    new_batch.write.mode("overwrite").parquet(str(out / "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(out))
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("p_size").alias("n_with_size"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
