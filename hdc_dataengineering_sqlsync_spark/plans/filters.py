@@ -18,17 +18,21 @@ _CUSTKEY_SUBSET = (3, 7, 11, 19, 23, 42, 57, 73, 88, 101, 115, 131)
     "2.2 projection/filter",
     """
     SELECT c_custkey AS id, upper(c_name) AS name_u,
-           cast(round(c_acctbal, 2) AS DECIMAL(12,2)) AS bal
+           cast(c_nationkey AS BIGINT) AS nat,
+           round(c_acctbal, 2) AS bal
     FROM customer
     """,
 )
 def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round-then-cast: after round(x,2) the decimal(12,2) cast is exact, so
-    # Spark and DuckDB cannot disagree on the half-even/half-up boundary.
+    # bal stays DOUBLE post-round on both sides (SURVEY §2 convention 5):
+    # a decimal(12,2) output hash-failed in the round-1 driver because decimal
+    # rendering is environment-sensitive; the widening int->bigint cast keeps
+    # the cast semantics this qid exists to exercise.
     return load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.upper("c_name").alias("name_u"),
-        F.round("c_acctbal", 2).cast("decimal(12,2)").alias("bal"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.round("c_acctbal", 2).alias("bal"),
     )
 
 

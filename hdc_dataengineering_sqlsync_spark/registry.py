@@ -14,7 +14,6 @@ the vectorized reader path is unchanged).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["SCHEMAS", "PRIMARY_KEYS", "TABLES", "path_for", "load", "register_views"]
@@ -24,9 +23,12 @@ def _struct(*fields: tuple[str, T.DataType]) -> T.StructType:
     return T.StructType([T.StructField(name, dtype, True) for name, dtype in fields])
 
 
-# Measured schemas (FIXTURES.md). Timestamps are TimestampType (µs); the
-# events table is ns in parquet but both Spark and DuckDB truncate to µs on
-# read, identically (FIXTURES.md "hazards" #1).
+# Measured schemas (FIXTURES.md). All timestamps — including events.ts — are
+# parquet timestamp[us] (re-probed via pyarrow 2026-08-13 at sf0.001/0.01/0.1),
+# which Spark maps natively to TimestampType. A canary test
+# (tests/test_catalog_oracle.py) pins events.ts to 2024-era values so a
+# regenerated-testdata unit change fails loudly instead of silently shifting
+# every event-time query.
 SCHEMAS: dict[str, T.StructType] = {
     "region": _struct(
         ("r_regionkey", T.IntegerType()),
@@ -128,25 +130,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one registry table with its declared schema.
 
     Declared (not inferred) schema mirrors the reference's fixed-schema model;
-    pushdown/pruning still apply because the schema matches the file.
-
-    events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 cannot map to
-    TimestampType; with ``spark.sql.legacy.parquet.nanosAsLong`` on we read
-    the raw int64 and truncate ns -> µs with integer division (``div`` — a
-    double division would lose precision above 2^53). DuckDB truncates
-    identically on read (FIXTURES.md hazard #1).
+    pushdown/pruning still apply because the schema matches the file. Every
+    timestamp column (o_orderdate, l_shipdate, events.ts) is parquet
+    timestamp[us], which Spark maps natively to TimestampType — no unit
+    conversion is performed here.
     """
-    if table == "events":
-        raw = T.StructType(
-            [
-                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
-                for f in SCHEMAS[table].fields
-            ]
-        )
-        df = spark.read.schema(raw).parquet(path_for(sf_dir, table))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-            *[f.name for f in SCHEMAS[table].fields]
-        )
     return spark.read.schema(SCHEMAS[table]).parquet(path_for(sf_dir, table))
 
 

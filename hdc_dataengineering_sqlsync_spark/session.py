@@ -53,10 +53,6 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic cross-engine timestamps (DuckDB oracle is UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
-        # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts); read the raw
-        # int64 nanos and truncate to µs in the loader (registry.load) — the
-        # same truncation DuckDB applies on read (FIXTURES.md hazard #1).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quiet the UI in non-interactive runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )

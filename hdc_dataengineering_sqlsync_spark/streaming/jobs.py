@@ -29,21 +29,10 @@ from hdc_dataengineering_sqlsync_spark.operators.diff import snapshot_diff
 from hdc_dataengineering_sqlsync_spark.operators.merge import merge_apply
 from hdc_dataengineering_sqlsync_spark.registry import SCHEMAS, path_for
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
-        for f in SCHEMAS["events"].fields
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-source stream over events parquet (ns -> µs truncation identical
-    to the batch loader in registry.load)."""
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        *[f.name for f in SCHEMAS["events"].fields]
-    )
+    """File-source stream over events parquet (timestamp[us], read natively
+    with the same declared schema as the batch loader in registry.load)."""
+    return spark.readStream.schema(SCHEMAS["events"]).parquet(events_path)
 
 
 def table_stream_dir(sf_dir: str, table: str) -> str:

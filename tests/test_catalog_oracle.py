@@ -23,6 +23,35 @@ def test_query_matches_oracle(spark, oracle, sf_dir, qid):
     assert_query_matches(spark, oracle, q.fn, q.oracle, sf_dir)
 
 
+def test_events_timestamp_canary(spark, oracle, sf_dir):
+    """Pin events.ts to 2024-era values in BOTH engines and the parquet footer.
+
+    Round 1 shipped a ×1000 unit bug (loader assumed parquet timestamp[ns];
+    testdata is timestamp[us]) that silently shifted every event-time query to
+    1970 and failed 15 qids. This canary makes any future unit drift — a
+    regenerated testdata set, a loader change — fail loudly at the source.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.registry import load, path_for
+
+    unit = pq.read_schema(path_for(sf_dir, "events")).field("ts").type
+    assert str(unit) == "timestamp[us]", f"events.ts parquet unit drifted: {unit}"
+
+    row = (
+        load(spark, sf_dir, "events")
+        .agg(F.min(F.year("ts")).alias("y0"), F.max(F.year("ts")).alias("y1"))
+        .collect()[0]
+    )
+    assert row.y0 == 2024 and row.y1 == 2024, f"Spark sees years {row.y0}..{row.y1}"
+
+    y0, y1 = oracle.execute(
+        "SELECT min(extract(year FROM ts)), max(extract(year FROM ts)) FROM events"
+    ).fetchone()
+    assert y0 == 2024 and y1 == 2024, f"DuckDB sees years {y0}..{y1}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
