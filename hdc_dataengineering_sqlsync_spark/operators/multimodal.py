@@ -2,10 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata structs.
 The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
-batch shapes — is real and tested; the actual codec step is STUBBED (decode
-libraries are not in this container): ``decode_image`` raises
-NotImplementedError, and ``extract_features`` uses a deterministic fake
-(byte-level stats) so the pipeline shape is exercised end-to-end.
+batch shapes — is real and tested. Decode/resize are REAL for uncompressed
+formats that need no codec library (24-bit BMP, 16-bit PCM WAV — pure
+numpy/stdlib, see operators/media_codecs.py) and oracle-verified by the
+multimodal_decode_* / multimodal_resize_stats qids; only compressed formats
+(JPEG/PNG/MP3/...) remain stubbed behind NotImplementedError because their
+codec libraries are not in this container. ``extract_features`` keeps its
+deterministic byte-stats featurizer (the multimodal_extract oracle mirrors
+it in SQL) — a real encoder slots into the same mapInPandas stage.
 
 At scale: binary payloads ride the same parquet row groups as their metadata;
 feature extraction is an Arrow-batched mapInPandas (one Python worker per
@@ -67,25 +71,57 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """STUB: real decode needs an image codec (Pillow/opencv), not present in
-    this container. The Spark-side contract (binary in, array out) is what
-    matters; swap this body when codecs are available."""
-    raise NotImplementedError("image decode requires a codec library (not in container)")
+def decode_image(payload: bytes):
+    """Decode an image payload to an HxWx3 uint8 RGB numpy array.
+
+    REAL for uncompressed 24-bit BMP (pure numpy/struct — no codec library
+    needed; see operators/media_codecs.py, oracle-verified by the
+    multimodal_decode_image qid). Compressed formats (JPEG/PNG/...) still
+    raise: those genuinely need a codec library absent from this container;
+    swap in Pillow/opencv here when available — the mapInPandas contract
+    (binary in, array out) is unchanged.
+    """
+    if bytes(payload[:2]) == b"BM":
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_bmp
+
+        return decode_bmp(bytes(payload))
+    raise NotImplementedError("compressed image decode requires a codec library (not in container)")
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - intentional stub
-    """STUB: audio decode (soundfile/librosa not in container). Contract:
-    binary in -> (sample_rate, float32 pcm array) out."""
-    raise NotImplementedError("audio decode requires a codec library (not in container)")
+def decode_audio(payload: bytes):
+    """Decode an audio payload -> (sample_rate, int16 sample array).
+
+    REAL for mono 16-bit PCM WAV (stdlib wave — oracle-verified by the
+    multimodal_decode_audio qid). Compressed formats (MP3/OGG/...) still
+    raise: codec library absent from this container.
+    """
+    if bytes(payload[:4]) == b"RIFF":
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_wav
+
+        return decode_wav(bytes(payload))
+    raise NotImplementedError("compressed audio decode requires a codec library (not in container)")
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
-    """STUB: image resize (Pillow not in container). Deployment shape: a
-    mapInPandas stage identical to extract_features — binary in, resized
-    binary out, meta.width/height rewritten — so it slots into the same
-    Arrow-batched, shuffle-free pipeline position."""
-    raise NotImplementedError("image resize requires a codec library (not in container)")
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload, returning a re-encoded payload of the same
+    format.
+
+    REAL for BMP: decode -> nearest-neighbor resample (floor index mapping,
+    media_codecs.resize_nearest) -> re-encode; oracle-verified by the
+    multimodal_resize_stats qid. Compressed formats still raise (no codec
+    library in container). Deployment shape either way: a mapInPandas stage
+    identical to extract_features — binary in, resized binary out,
+    meta.width/height rewritten — zero shuffle.
+    """
+    if bytes(payload[:2]) == b"BM":
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+            decode_bmp,
+            encode_bmp,
+            resize_nearest,
+        )
+
+        return encode_bmp(resize_nearest(decode_bmp(bytes(payload)), width, height))
+    raise NotImplementedError("compressed image resize requires a codec library (not in container)")
 
 
 def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:

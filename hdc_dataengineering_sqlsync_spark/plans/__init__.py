@@ -19,6 +19,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     sync,
     llmdata,
     llmdata_ext,
+    mediacodec,
     workloads,
     streaming_batch,
     timeseries,
