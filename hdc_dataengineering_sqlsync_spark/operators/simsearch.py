@@ -39,6 +39,40 @@ def cosine_topk(
     )
 
 
+def cosine_batch_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for EACH of a small query-vector set in ONE pass
+    — the batch form of ``cosine_topk``.
+
+    The query rows broadcast (tiny); every candidate partition scores all
+    |Q| queries map-side, so the big table is scanned once regardless of
+    batch size. Per-query top-k is a ranked window over q_id: Spark inserts
+    WindowGroupLimit, so each partition keeps only k rows per query before
+    the shuffle — the exchange carries O(|Q| * k * partitions), never the
+    full |Q| x N score matrix. Self-matches are excluded; other query
+    vectors remain candidates. Deterministic (rounded cos DESC, id ASC).
+    """
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_q")
+    )
+    cos = F.round(cosine_similarity(F.col(vec_col), F.col("_q")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, "cos")
+        .orderBy("q_id", F.col("cos").desc(), F.col(id_col))
+    )
+
+
 def knn_per_label(
     emb: DataFrame,
     id_col: str = "vec_id",

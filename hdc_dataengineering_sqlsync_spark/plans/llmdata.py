@@ -191,6 +191,40 @@ def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
 
 
+_BATCH_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+comp AS (
+  SELECT q.q_id, e.vec_id,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS dot,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(e.embedding[i.range] AS DOUBLE)) AS na2,
+         sum(CAST(q.qe[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS nb2
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) i
+  WHERE e.vec_id <> q.q_id
+  GROUP BY q.q_id, e.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY round(dot / (sqrt(na2) * sqrt(nb2)), 4) DESC, vec_id) AS rn
+  FROM comp
+)
+SELECT q_id, vec_id, cos FROM ranked WHERE rn <= 5
+ORDER BY q_id, cos DESC, vec_id
+"""
+
+
+@query("simsearch_batch_topk", "2.9 llm-data", _BATCH_COSINE_ORACLE)
+def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN baseline: exact top-5 cosine neighbors for each of query
+    vec_ids 0-4 in one candidate scan (operators/simsearch.py::
+    cosine_batch_topk — broadcast query set, map-side scoring,
+    WindowGroupLimit per-query top-k)."""
+    from hdc_dataengineering_sqlsync_spark.operators.simsearch import cosine_batch_topk
+
+    return cosine_batch_topk(load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 _KNN_ORACLE = """
 WITH comp AS (
   SELECT label, vec_id, i.range AS pos, CAST(embedding[i.range] AS DOUBLE) AS x

@@ -233,3 +233,11 @@ def test_repetition_ratio_prunes_scan(spark, sf_dir):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" in read_schema and "lang" in read_schema
     assert "doc_id" not in read_schema and "source" not in read_schema
+
+
+def test_batch_topk_group_limits_and_broadcasts(spark, sf_dir):
+    """Batch ANN: query set broadcasts (no shuffle of the candidate scan) and
+    per-query top-k group-limits before the window exchange."""
+    plan = _plan(spark, sf_dir, "simsearch_batch_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
