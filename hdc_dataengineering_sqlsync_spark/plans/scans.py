@@ -110,6 +110,57 @@ def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("xml_roundtrip_supplier", "2.1 scans", "SELECT * FROM supplier")
+def xml_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (built into Spark 4 — no external package): write
+    `supplier` as row-tagged XML, read back with the declared schema. XML is
+    the classic enterprise-integration transport; lossless here for
+    int/long/double/string columns. Oracle reads the original table."""
+    out = str(_rt_base(sf_dir) / "supplier_xml")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").format("xml").option(
+        "rowTag", "supplier"
+    ).save(out)
+    return (
+        spark.read.schema(SCHEMAS["supplier"])
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
+
+
+@query(
+    "text_roundtrip_tokens",
+    "2.1 scans",
+    r"""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def text_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + source — the format raw LLM corpora arrive
+    in. Write one tab-joined line per document, read back as `value`, split,
+    and verify counts/char totals survive. At 100 TB the text source splits
+    on line boundaries per 128 MB block, so parallelism is free."""
+    out = str(_rt_base(sf_dir) / "documents_text")
+    docs = load(spark, sf_dir, "documents")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    back = spark.read.text(out).select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("text"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 @query(
     "scan_schema_merge",
     "2.1 scans",
