@@ -801,3 +801,127 @@ def simsearch_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid")
     )
+
+
+# ------------------------------------------------- corpus scoring & packing
+
+_UNIGRAM_LP_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+total AS (SELECT count(*) AS total FROM tok),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         avg(-ln(f.cnt / CAST(total.total AS DOUBLE))) AS nll
+  FROM tok t JOIN freq f ON t.token = f.token CROSS JOIN total
+  GROUP BY t.doc_id, t.lang
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_nll,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@query("text_unigram_logprob", "2.9 llm-data", _UNIGRAM_LP_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-doc mean negative log corpus
+    unigram probability — the cheap statistical stand-in for an LM quality
+    filter (docs of rare tokens score high, boilerplate scores low).
+
+    Shape: one explode -> token-keyed count (map-side partial agg) -> token
+    join back (the frequency table is Zipf-small -> AQE broadcasts it) ->
+    per-doc mean -> per-lang rollup. Corpus total rides as a broadcast 1-row
+    aggregate, the same pattern as text_tfidf_top_terms. No UDFs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    nll = -F.log(F.col("cnt") / F.col("total").cast("double"))
+    per_doc = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(nll).alias("nll"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PACK_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split_regex(text, '\s+')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT lang, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS shard
+  FROM d
+),
+shards AS (
+  SELECT lang, shard, count(*) AS n_docs, sum(n_tok) AS shard_tokens
+  FROM packed GROUP BY lang, shard
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
+       round(avg(shard_tokens), 2) AS avg_shard_tokens
+FROM shards GROUP BY lang ORDER BY lang
+"""
+
+
+@query("pack_token_budget", "2.9 llm-data", _PACK_ORACLE)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents (per lang, doc_id order)
+    to contiguous training shards of ~2048 tokens via an exclusive running
+    token count — the deterministic sharding step before sequence packing in
+    a training-data pipeline. Exact integer math on both sides, so the
+    shard assignment cannot drift between engines.
+
+    Scale shape: one window pass keyed by the pack group (lang) — the same
+    partitioning a writer would use — then two keyed rollups. At 100 TB the
+    pack group is (lang, date-bucket) so no single window partition grows
+    unbounded; semantics are identical.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = d.select(
+        "lang",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 2048.0).alias("shard"),
+    )
+    shards = packed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("shard_tokens")
+    )
+    return (
+        shards.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_docs").alias("n_docs"),
+            F.max("shard_tokens").alias("max_shard_tokens"),
+            F.round(F.avg("shard_tokens"), 2).alias("avg_shard_tokens"),
+        )
+        .orderBy("lang")
+    )
