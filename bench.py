@@ -1,6 +1,7 @@
 """Benchmark harness (BASELINE.md protocol).
 
-Runs the 12 starred query families (Query.bench flags in the catalog) at
+Runs the starred query families (Query.bench flags in the catalog; 14 as of
+round 2) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]: one discarded warm-up + median of N timed runs per
 query, wall-clock to a fully materialized result (collect).

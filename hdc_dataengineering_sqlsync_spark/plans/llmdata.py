@@ -214,7 +214,7 @@ ORDER BY q_id, cos DESC, vec_id
 """
 
 
-@query("simsearch_batch_topk", "2.9 llm-data", _BATCH_COSINE_ORACLE)
+@query("simsearch_batch_topk", "2.9 llm-data", _BATCH_COSINE_ORACLE, bench=True)
 def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN baseline: exact top-5 cosine neighbors for each of query
     vec_ids 0-4 in one candidate scan (operators/simsearch.py::

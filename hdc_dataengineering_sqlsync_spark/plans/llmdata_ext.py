@@ -826,7 +826,7 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
-@query("text_unigram_logprob", "2.9 llm-data", _UNIGRAM_LP_ORACLE)
+@query("text_unigram_logprob", "2.9 llm-data", _UNIGRAM_LP_ORACLE, bench=True)
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring: per-doc mean negative log corpus
     unigram probability — the cheap statistical stand-in for an LM quality
