@@ -161,6 +161,54 @@ def text_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PYDS_ORACLE = """
+SELECT CAST(i % 10 AS INT) AS bucket, count(*) AS n,
+       round(sum(((i * 37) % 1000) / 10.0), 2) AS total
+FROM (SELECT unnest(range(0, 10000)) AS i)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("pyds_custom_source", "2.1 scans", _PYDS_ORACLE)
+def pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API: a custom pure-Python batch source with
+    planned InputPartitions (sources/pydatasource.py) — the extensibility
+    path for transports with no built-in connector. The source generates
+    rows from a closed form, so the oracle recomputes them from range()
+    without running the source."""
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.read.format("synthetic_events").option("rows", 10000).option("partitions", 8).load()
+    return (
+        df.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("bucket")
+    )
+
+
+_PYDS_PUSH_ORACLE = """
+SELECT count(*) AS n, round(sum(((i * 37) % 1000) / 10.0), 2) AS total
+FROM (SELECT unnest(range(0, 10000)) AS i) WHERE i % 10 = 3
+"""
+
+
+@query("pyds_filter_pushdown", "2.1 scans", _PYDS_PUSH_ORACLE)
+def pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO a Python data source: the reader's pushFilters
+    accepts `bucket = 3`, so non-matching rows are never generated (for a
+    network transport: never transferred) — the DSv2 pushdown contract from
+    pure Python. Requires spark.sql.python.filterPushdown.enabled
+    (session.py)."""
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.read.format("synthetic_events").option("rows", 10000).option("partitions", 8).load()
+    return df.where(F.col("bucket") == 3).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
 @query(
     "scan_schema_merge",
     "2.1 scans",

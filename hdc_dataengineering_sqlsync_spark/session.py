@@ -53,6 +53,9 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic cross-engine timestamps (DuckDB oracle is UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
+        # Let Python DataSource readers receive pushed filters
+        # (sources/pydatasource.py implements pushFilters).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Quiet the UI in non-interactive runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )

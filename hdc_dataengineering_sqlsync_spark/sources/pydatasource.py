@@ -1,0 +1,82 @@
+"""Spark 4 Python DataSource API — a custom batch source with partition
+planning and filter pushdown (SURVEY.md §2.1 sources surface).
+
+This is the extensibility story for transports Spark has no built-in
+connector for (a bespoke REST/export API, a proprietary dump format): a
+pure-Python `DataSource` whose reader plans N independent `InputPartition`s
+(so a 1000-executor cluster reads in parallel — no driver bottleneck) and
+accepts pushed filters via ``pushFilters`` (so selective reads skip
+generation/transfer instead of filtering after the fact, the same contract
+DSv2 gives JVM sources).
+
+The concrete source here generates deterministic synthetic events from a
+closed form — which makes it *oracle-verifiable*: a DuckDB range() query
+recomputes every row without running the source. Swap `read` for HTTP/file
+calls and the partition/pushdown mechanics carry over unchanged.
+
+Closed form (event_id = i, striped over partitions):
+  bucket = i % 10
+  value  = ((i * 37) % 1000) / 10.0
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+
+SOURCE_NAME = "synthetic_events"
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", N)`` batch
+    source. Options: ``rows`` (total row count, default 1000),
+    ``partitions`` (read parallelism, default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return "event_id bigint, bucket int, value double"
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+        self.bucket_eq: int | None = None  # set by pushFilters
+
+    def pushFilters(self, filters: list[Filter]):
+        """Accept ``bucket = k`` equality pushdown; everything else is
+        returned for Spark to evaluate post-scan. A pushed bucket filter
+        skips row *generation* (for a network transport: skips transfer)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("bucket",) and self.bucket_eq is None:
+                self.bucket_eq = int(f.value)
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition: InputPartition):
+        # rows striped by partition id -> equal-size independent slices; no
+        # shared state, so executors read concurrently without coordination.
+        for i in range(partition.value, self.n_rows, self.n_parts):
+            bucket = i % 10
+            if self.bucket_eq is not None and bucket != self.bucket_eq:
+                continue
+            yield (i, bucket, ((i * 37) % 1000) / 10.0)
+
+
+def register(spark) -> None:
+    """Idempotently register the source with this session."""
+    spark.dataSource.register(SyntheticEventsDataSource)

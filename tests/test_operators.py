@@ -612,3 +612,20 @@ def test_decode_dispatch_stubs_compressed_formats():
         decode_audio(b"\x49\x44\x33 mp3-ish")
     with _pytest.raises(NotImplementedError):
         resize_image(jpeg_magic, 2, 2)
+
+
+def test_pyds_pushdown_accepts_bucket_eq_only():
+    """The Python data source reader consumes a bucket-equality filter and
+    returns every other filter to Spark for post-scan evaluation."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import SyntheticEventsReader
+
+    r = SyntheticEventsReader({"rows": "100", "partitions": "4"})
+    remaining = list(r.pushFilters([EqualTo(("bucket",), 3), GreaterThan(("value",), 5.0)]))
+    assert r.bucket_eq == 3
+    assert remaining == [GreaterThan(("value",), 5.0)]
+    # generation skips non-matching rows entirely
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert rows and all(b == 3 for _, b, _ in rows)
+    assert len(rows) == 10
