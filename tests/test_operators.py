@@ -629,3 +629,42 @@ def test_pyds_pushdown_accepts_bucket_eq_only():
     rows = [row for p in r.partitions() for row in r.read(p)]
     assert rows and all(b == 3 for _, b, _ in rows)
     assert len(rows) == 10
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property: any uint8 RGB array / int16 sample vector survives the
+    encode->decode round-trip exactly (hypothesis-driven dims and content)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def bmp_prop(w, h, seed):
+        px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=500),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_prop(n, seed, rate):
+        s = np.random.RandomState(seed).randint(-32768, 32768, size=n).astype(np.int16)
+        got_rate, got = decode_wav(encode_wav(s, sample_rate=rate))
+        assert got_rate == rate and (got == s).all()
+
+    bmp_prop()
+    wav_prop()
