@@ -236,3 +236,47 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket_ts")
     )
+
+
+_PYDS_STREAM_ORACLE = """
+SELECT CAST(i % 10 AS INT) AS bucket, count(*) AS n,
+       round(sum(((i * 37) % 1000) / 10.0), 2) AS total
+FROM (SELECT unnest(range(0, 5000)) AS i)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("pyds_stream_source", "2.10 streaming", _PYDS_STREAM_ORACLE)
+def pyds_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LIVE microbatch run over a custom Python STREAMING data source
+    (sources/pydatasource.py::SyntheticEventsStreamReader — Spark 4
+    SimpleDataSourceStreamReader): offset-tracked chunks drain through a
+    complete-mode memory sink, and the final per-bucket aggregate state is
+    hash-matched against the closed-form oracle. Proves the custom-source
+    offset/commit/replay contract end-to-end, not just the batch reader."""
+    import tempfile
+    import uuid
+
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 5000)  # 2 microbatches: offset advance is still
+        .option("chunk", 2500)  # exercised; per-batch Python cost stays low
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pyds_stream_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).orderBy("bucket")

@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SOURCE_NAME = "synthetic_events"
@@ -46,6 +47,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -80,3 +84,36 @@ class SyntheticEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotently register the source with this session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded closed-form event stream. Offsets are ``{"i": next_row}``;
+    each microbatch serves one chunk and the reader reports caught-up (same
+    offset, empty batch) once ``rows`` have been served, so
+    ``processAllAvailable`` terminates deterministically."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", 1000))
+        self.chunk = int(options.get("chunk", 250))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    @staticmethod
+    def _rows(start: int, end: int) -> list:
+        return [(i, i % 10, ((i * 37) % 1000) / 10.0) for i in range(start, end)]
+
+    def read(self, start: dict):
+        # contract (pyspark datasource_internal): return a COPYABLE iterator
+        # (list_iterator works, a generator does not — the prefetch cache
+        # copy.copy()s it), and when caught up return the SAME offset with an
+        # immediately-exhausted iterator.
+        i = int(start["i"])
+        if i >= self.n_rows:
+            return iter(()), start  # caught up: no data, offset unchanged
+        end = min(i + self.chunk, self.n_rows)
+        return iter(self._rows(i, end)), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: offsets fully define the data
+        return iter(self._rows(int(start["i"]), int(end["i"])))
