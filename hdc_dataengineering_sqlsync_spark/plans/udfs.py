@@ -11,6 +11,8 @@ numpy's half-even np.round would diverge on .xxxx5 boundaries.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Iterator as TypingIterator
+from typing import Tuple as TypingTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -160,3 +162,126 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     out = c.groupBy("c_mktsegment").applyInPandas(rank_normalize, schema="c_custkey long, pct double")
     return out.select("c_custkey", F.round("pct", 4).alias("pct")).orderBy("c_custkey")
+
+
+@query(
+    "udf_pandas_iter",
+    "2.11 udf surface",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[batch] -> Iterator[batch]): the
+    flavor that amortizes one-time setup (model load, dictionary build)
+    across all Arrow batches of a partition instead of paying it per batch —
+    the right shape for featurizers at 100 TB."""
+
+    @F.pandas_udf("double")
+    def charge(
+        it: TypingIterator[TypingTuple[pd.Series, pd.Series, pd.Series]],
+    ) -> TypingIterator[pd.Series]:
+        one = 1.0  # stands in for expensive per-worker init, done ONCE here
+        for ep, disc, tax in it:
+            yield ep * (one - disc) * (one + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(charge("l_extendedprice", "l_discount", "l_tax")), 2).alias("charge")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "udtf_cogroup",
+    "2.11 udf surface",
+    """
+    SELECT o.o_orderkey,
+           CAST(count(l.l_orderkey) AS INT) AS n_lines,
+           round(o.o_totalprice - coalesce(sum(l.l_extendedprice), 0.0), 2) AS price_gap
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    GROUP BY o.o_orderkey, o.o_totalprice ORDER BY o.o_orderkey
+    """,
+)
+def udtf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (groupBy().cogroup(...)): both sides of a key
+    arrive as aligned pandas frames in one Python call — the primitive for
+    per-key reconciliation that doesn't decompose into a join + agg (here it
+    deliberately does, so the oracle can verify the machinery). Each side
+    shuffles once on the key; the pairing itself adds no extra exchange.
+    Restricted to a key subset: cogroup costs ONE Python call per key, so
+    it is for logic that needs both sides at once, never a bulk join
+    replacement (the full-key form measured 59s vs 0.5s for the join at
+    sf0.01 — that asymmetry is the point of documenting it)."""
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=["o_orderkey", "n_lines", "price_gap"])
+        return pd.DataFrame(
+            {
+                "o_orderkey": left["o_orderkey"].iloc[:1],
+                "n_lines": [len(right)],
+                "price_gap": [
+                    float(left["o_totalprice"].iloc[0])
+                    - float(right["l_extendedprice"].sum() if len(right) else 0.0)
+                ],
+            }
+        )
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    out = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(reconcile, schema="o_orderkey long, n_lines int, price_gap double")
+    )
+    return out.select(
+        "o_orderkey", "n_lines", F.round("price_gap", 2).alias("price_gap")
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "udtf_map_in_arrow",
+    "2.11 udf surface",
+    """
+    SELECT CAST(l_linenumber AS INT) AS l_linenumber,
+           round(sum(l_quantity * l_extendedprice), 2) AS weighted
+    FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+    """,
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy tier below mapInPandas — RecordBatches are
+    processed with pyarrow.compute kernels, skipping the Arrow->pandas
+    conversion entirely. The cheapest Python boundary Spark offers; use it
+    when the transform is expressible in Arrow kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def weight(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_linenumber"), pc.multiply(b.column("l_quantity"), b.column("l_extendedprice"))],
+                names=["l_linenumber", "w"],
+            )
+
+    li = load(spark, sf_dir, "lineitem").select("l_linenumber", "l_quantity", "l_extendedprice")
+    out = li.mapInArrow(weight, schema="l_linenumber int, w double")
+    return (
+        out.groupBy("l_linenumber")
+        .agg(F.round(F.sum("w"), 2).alias("weighted"))
+        .orderBy("l_linenumber")
+    )
