@@ -1,7 +1,12 @@
 """JDBC transport — the reference's actual source/sink (SURVEY.md §2.1).
 
-No database is reachable in this sandbox, so this module is pure plan/option
-construction + SQL generation, unit-tested without a server:
+No database SERVER is reachable in this sandbox, but Spark's classpath
+ships embedded Derby (its metastore engine), so the read/write wrappers
+below are exercised LIVE against a real JDBC database by the
+`jdbc_roundtrip_nation` / `jdbc_filter_pushdown` qids (plans/sync.py) —
+including the keyset-partitioned parallel read and WHERE-clause filter
+pushdown (plan-asserted). The SQL-Server-specific pieces remain pure SQL
+generation, unit-tested without a server:
 
   - ``partitioned_read_options``: the parallel-extract spec
     (partitionColumn/lowerBound/upperBound/numPartitions on the PK) — the

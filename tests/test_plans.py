@@ -241,3 +241,12 @@ def test_batch_topk_group_limits_and_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "simsearch_batch_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_jdbc_filter_pushdown_reaches_scan(spark, sf_dir):
+    """The o_totalprice predicate must appear as a pushed filter on the
+    JDBCRelation scan — the DB prunes, not Spark."""
+    plan = _plan(spark, sf_dir, "jdbc_filter_pushdown")
+    assert "JDBCRelation" in plan
+    line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan(O_TOTALPRICE" in line or "GreaterThan(o_totalprice" in line, line
