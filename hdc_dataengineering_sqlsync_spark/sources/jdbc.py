@@ -103,3 +103,42 @@ def write_jdbc(df: DataFrame, table: JdbcTable, mode: str = "append") -> None:
     df.write.format("jdbc").options(url=table.url, dbtable=table.table, **table.properties).mode(
         mode
     ).save()
+
+
+def ansi_merge_statement(
+    table: JdbcTable, set_cols: list[str], staging_table: str, op_col: str = "op"
+) -> str:
+    """ANSI MERGE (Derby/Postgres-15+/standard form) applying a staged
+    changeset with INTEGER op codes (1=I, 2=U, 3=D) — the dialect-portable
+    twin of ``merge_statement`` (T-SQL). Identifiers are double-quoted
+    because Spark's JDBC writer creates case-sensitive quoted columns.
+    Exercised LIVE against embedded Derby by `jdbc_sync_merge_live`."""
+    q = lambda c: f'"{c}"'  # noqa: E731
+    pk = table.pk
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in pk)
+    non_pk = [c for c in set_cols if c not in pk]
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_pk)
+    insert_cols = ", ".join(q(c) for c in set_cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in set_cols)
+    return (
+        f"MERGE INTO {table.table} t USING {staging_table} s ON {on} "
+        f"WHEN MATCHED AND s.{q(op_col)} = 3 THEN DELETE "
+        f"WHEN MATCHED AND s.{q(op_col)} IN (1, 2) THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED AND s.{q(op_col)} IN (1, 2) "
+        f"THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
+def execute_statement(spark: SparkSession, url: str, sql: str) -> int:
+    """Run one DML/DDL statement over JDBC via the JVM's DriverManager —
+    how the sync loop issues its MERGE against the target database (the
+    rows never pass through the driver; the DB applies the staged set)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # type: ignore[union-attr]
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
