@@ -925,3 +925,127 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang,
+         array_to_string(t[CAST(i.i AS INT):CAST(i.i + 2 AS INT)], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 1)) AS i(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a AS doc_id, id_b AS doc_id2,
+       round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.5
+ORDER BY containment DESC, doc_id, doc_id2 LIMIT 20
+"""
+
+
+@query("dedup_containment", "2.9 llm-data", _CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: Broder CONTAINMENT |A∩B| / min(|A|,|B|) over
+    3-word shingles, blocked by lang — catches quote inclusion and
+    doc-inside-doc duplication that symmetric Jaccard underweights (a short
+    doc fully quoted inside a long one has low Jaccard but containment 1.0).
+    Same explode -> (lang, shingle) equi-join -> keyed counts shape as
+    shingle-Jaccard: pair cost tracks shared shingles, never corpus^2."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), k=3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("lang"), F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(
+        F.col("lang").alias("_lang"), F.col("doc_id").alias("id_b"), F.col("shingle").alias("_sh")
+    )
+    inter = (
+        a.join(b, (a.lang == b._lang) & (a.shingle == b._sh) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cont = F.round(F.col("i") / F.least("sz_a", "sz_b").cast("double"), 4)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_id"), F.col("id_b").alias("doc_id2"), cont.alias("containment")
+        )
+        .where(F.col("containment") >= 0.5)
+        .orderBy(F.col("containment").desc(), "doc_id", "doc_id2")
+        .limit(20)
+    )
+
+
+_QFILTER_ORACLE = r"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         1.0 - len(list_distinct(string_split_regex(text, '\s+')))
+             / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS rep
+  FROM documents
+),
+thresholds AS (
+  SELECT lang, avg(n_tok) AS tok_avg, avg(rep) AS rep_avg FROM feat GROUP BY lang
+)
+SELECT f.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN f.n_tok >= t.tok_avg AND f.rep <= t.rep_avg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN f.n_tok >= t.tok_avg AND f.rep <= t.rep_avg
+                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS keep_frac
+FROM feat f JOIN thresholds t ON f.lang = t.lang
+GROUP BY f.lang ORDER BY f.lang
+"""
+
+
+@query("text_quality_filter", "2.9 llm-data", _QFILTER_ORACLE)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation gate: keep documents that are at-least-average
+    length AND at-most-average repetition WITHIN their language — the
+    two-signal filter stage of a training-data pipeline, with per-lang
+    keep counts and fractions. Thresholds are per-lang aggregates joined
+    back (tiny -> AQE broadcast), so the gate is one scan + one 5-row
+    join; exact integer/ratio math keeps the keep/drop decision stable
+    across engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+        ).alias("rep"),
+    )
+    thresholds = feat.groupBy("lang").agg(
+        F.avg("n_tok").alias("tok_avg"), F.avg("rep").alias("rep_avg")
+    )
+    keep = (F.col("n_tok") >= F.col("tok_avg")) & (F.col("rep") <= F.col("rep_avg"))
+    return (
+        feat.join(thresholds, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.round(F.sum(keep.cast("long")) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "keep_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
