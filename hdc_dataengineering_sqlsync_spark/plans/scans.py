@@ -239,3 +239,37 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_size").alias("n_with_size"),
         F.round(F.sum("p_retailprice"), 2).alias("total_price"),
     )
+
+
+_CORRUPT_ORACLE = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+FROM nation
+"""
+
+
+@query("json_corrupt_records", "2.1 scans", _CORRUPT_ORACLE)
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-input handling: a staged JSON file where every
+    5th nation row is truncated garbage. The schema'd read routes broken
+    lines into _corrupt_record instead of failing the job — the ingestion
+    posture for a 100 TB raw feed where one bad line must not kill a
+    multi-hour job. The oracle pins exactly how many lines must land on
+    each side of the valid/corrupt split."""
+    out = str(_rt_base(sf_dir) / "nation_corrupt_json")
+    n = load(spark, sf_dir, "nation")
+    line = F.when(
+        F.col("n_nationkey") % 5 == 0, F.concat(F.lit('{"broken'), F.col("n_name"))
+    ).otherwise(
+        F.to_json(F.struct("n_nationkey", "n_name"))
+    )
+    n.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "n_nationkey int, n_name string, _corrupt_record string"
+    ).json(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("n_name").alias("n_valid"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )
