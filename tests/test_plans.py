@@ -250,3 +250,25 @@ def test_jdbc_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "JDBCRelation" in plan
     line = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "GreaterThan(O_TOTALPRICE" in line or "GreaterThan(o_totalprice" in line, line
+
+
+def test_unigram_logprob_broadcasts_freq_table(spark, sf_dir):
+    """The Zipf-small token-frequency table must join back by broadcast (AQE
+    converts it), never a sort-merge of the exploded token stream."""
+    from hdc_dataengineering_sqlsync_spark.plans.catalog import CATALOG as _C
+
+    df = _C["text_unigram_logprob"].fn(spark, sf_dir)
+    df.collect()  # let AQE finalize
+    plan = _explain(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_quality_filter_thresholds_broadcast(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.plans.catalog import CATALOG as _C
+
+    df = _C["text_quality_filter"].fn(spark, sf_dir)
+    df.collect()
+    final = _explain(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
