@@ -280,3 +280,81 @@ def pyds_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name).orderBy("bucket")
+
+
+_LATE_DROP_ORACLE = """
+SELECT * FROM (VALUES (TIMESTAMP '2024-01-01 00:00:00', CAST(2 AS BIGINT)),
+                      (TIMESTAMP '2024-01-01 06:00:00', CAST(1 AS BIGINT)))
+    AS t(ws, n)
+ORDER BY ws
+"""
+
+
+@query("stream_watermark_late_drop", "2.10 streaming", _LATE_DROP_ORACLE)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, driver-checked: two sequential
+    availableNow runs over ONE checkpoint (the watermark persists between
+    them). Phase 1 advances the watermark past the first window's close;
+    phase 2 delivers a LATE row behind the watermark (dropped — it must not
+    bump the closed window's count) plus fresh rows that close the next
+    window. Append mode emits exactly the closed windows; the oracle pins
+    the emitted rows, so a watermark regression (late row counted, window
+    emitted early) hash-fails. Self-contained fixture — the semantics under
+    test are the streaming engine's, not the data's."""
+    import datetime as dt
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"hdc_late_{uuid.uuid4().hex[:8]}_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp"
+    # 2 shuffle partitions for this 5-row stateful job: the state store
+    # creates one provider dir per shuffle partition per run, and 32x2 of
+    # them dominated wall time (14s -> ~4s). Streaming pins the partition
+    # count in the checkpoint at first start, so this is also stable.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_phase(rows) -> None:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        # phase 1: two rows in the 00:00 window + one at 06:00 -> watermark
+        # 05:00 closes (emits) the 00:00 window with n=2
+        run_phase(
+            [
+                (1, t0 + dt.timedelta(minutes=30)),
+                (2, t0 + dt.timedelta(minutes=40)),
+                (3, t0 + dt.timedelta(hours=6)),
+            ]
+        )
+        # phase 2: a LATE row at 00:45 (behind the 05:00 watermark ->
+        # dropped, the closed 00:00 window stays n=2) + 08:30 -> watermark
+        # 07:30 closes the 06:00 window with n=1
+        run_phase(
+            [
+                (4, t0 + dt.timedelta(minutes=45)),
+                (5, t0 + dt.timedelta(hours=8, minutes=30)),
+            ]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.schema("ws timestamp, n long").parquet(out).orderBy("ws")
