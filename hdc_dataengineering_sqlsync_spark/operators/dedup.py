@@ -32,16 +32,36 @@ def jaccard_pairs(
     text_col: str = "text",
     block_cols: list[str] | None = None,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Blocked pairwise token-set Jaccard, fully relational (SURVEY §2.9):
     explode distinct tokens -> self-join on (block, token) -> |A∩B| counts ->
     jaccard = i / (|A| + |B| - i). Returns (id, id2, jaccard) with id < id2.
+
+    ``max_df``: drop tokens whose per-(block, token) document frequency
+    exceeds it — from BOTH the join key and the set sizes, so the metric is
+    Jaccard over the df-capped token universe. Without the cap, one token in
+    g docs of a block contributes ~g^2/2 candidate pairs, which goes
+    near-quadratic on hot (stopword/template) tokens at corpus scale; with
+    it, per-token join fan-out is bounded by max_df^2 by construction. The
+    surviving hot-token list is Zipf-small, so excluding it is a broadcast
+    anti-join (map-side, no extra shuffle on the big side).
     """
     blocks = block_cols or []
     tok = docs.select(
         F.col(id_col), *blocks, F.explode(distinct_tokens(F.col(text_col))).alias("token")
     )
-    sizes = docs.select(F.col(id_col), F.size(distinct_tokens(F.col(text_col))).alias("sz"))
+    if max_df is not None:
+        hot = (
+            tok.groupBy(*blocks, "token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .drop("df")
+        )
+        tok = tok.join(F.broadcast(hot), [*blocks, "token"], "left_anti")
+        sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = docs.select(F.col(id_col), F.size(distinct_tokens(F.col(text_col))).alias("sz"))
 
     a = tok.select(
         F.col(id_col).alias("id_a"), *[F.col(b).alias(f"ba_{b}") for b in blocks], "token"

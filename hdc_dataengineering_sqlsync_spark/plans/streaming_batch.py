@@ -258,6 +258,7 @@ def pyds_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from hdc_dataengineering_sqlsync_spark.sources.pydatasource import register
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import stream_shuffle
 
     register(spark)
     stream = (
@@ -270,15 +271,16 @@ def pyds_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pyds_stream_ckpt_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="pyds_stream_ckpt_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).orderBy("bucket")
 
 
@@ -305,18 +307,20 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import stream_shuffle
+
     base = tempfile.mkdtemp(prefix=f"hdc_late_{uuid.uuid4().hex[:8]}_")
     src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     schema = "event_id long, ts timestamp"
-    # 2 shuffle partitions for this 5-row stateful job: the state store
-    # creates one provider dir per shuffle partition per run, and 32x2 of
-    # them dominated wall time (14s -> ~4s). Streaming pins the partition
-    # count in the checkpoint at first start, so this is also stable.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     def run_phase(rows) -> None:
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        # One explicit slice: createDataFrame(list) otherwise parallelizes
+        # into defaultParallelism pickled slices and a coalesce(1) then
+        # evaluates all 32 Python slices sequentially in one task — measured
+        # ~4.7s per phase on local[32] for a 3-row fixture vs ~0.3s this way.
+        fixture = spark.createDataFrame(spark.sparkContext.parallelize(rows, numSlices=1), schema)
+        fixture.write.mode("append").parquet(src)
         stream = spark.readStream.schema(schema).parquet(src)
         agg = (
             stream.withWatermark("ts", "1 hour")
@@ -335,8 +339,11 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
 
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try:
+    # 2 shuffle partitions for this 5-row stateful job: the state store
+    # creates one provider dir per shuffle partition per run (see
+    # streaming/jobs.py::STREAM_SHUFFLE_PARTITIONS). The checkpoint pins the
+    # state partitioning at first start, so both phases agree.
+    with stream_shuffle(spark, 2):
         # phase 1: two rows in the 00:00 window + one at 06:00 -> watermark
         # 05:00 closes (emits) the 00:00 window with n=2
         run_phase(
@@ -355,6 +362,4 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (5, t0 + dt.timedelta(hours=8, minutes=30)),
             ]
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.schema("ws timestamp, n long").parquet(out).orderBy("ws")

