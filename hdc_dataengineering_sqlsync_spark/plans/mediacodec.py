@@ -136,7 +136,7 @@ FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
-@query("multimodal_decode_image", "2.9 llm-data", _IMG_ORACLE)
+@query("multimodal_decode_image", "2.9 llm-data", _IMG_ORACLE, bench=True)
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-verified: closed-form pixels -> actual BMP
     bytes (encode_bmp) -> byte-level decode (decode_image) -> channel means.

@@ -131,6 +131,7 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY window_start, event_type
     ORDER BY window_start, event_type
     """,
+    bench=True,  # VERDICT r2 #5: streaming-machinery cost in the bench gate
 )
 def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL Structured Streaming pipeline, declared: replay events
