@@ -73,6 +73,33 @@ def cosine_batch_topk(
     )
 
 
+def cosine_range_search(
+    emb: DataFrame,
+    query_vec_id: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range search: every vector with cosine(query) >= tau — the other ANN
+    primitive next to top-k (radius query: near-duplicate pull, recall-first
+    retrieval). Same plan shape as ``cosine_topk`` (broadcast 1-row query,
+    map-side DOUBLE scoring) but the reducer is a FILTER, not a rank: no
+    window, no TakeOrdered of the full candidate set — output size is decided
+    by the data's similarity mass around the query, never k. The final sort
+    orders only the tau-survivors (presentation; at 100 TB the operator is
+    the map-side filter). Threshold compares the ROUNDED cosine so the
+    boundary is identical cross-engine."""
+    qvec = emb.where(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_q"))
+    cand = emb.where(F.col(id_col) != query_vec_id)
+    cos = F.round(cosine_similarity(F.col(vec_col), F.col("_q")), 4)
+    return (
+        cand.crossJoin(F.broadcast(qvec))
+        .select(F.col(id_col), cos.alias("cos"))
+        .where(F.col("cos") >= tau)
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+    )
+
+
 def knn_per_label(
     emb: DataFrame,
     id_col: str = "vec_id",

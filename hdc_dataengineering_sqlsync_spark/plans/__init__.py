@@ -19,11 +19,11 @@ driver's own ``CORRECTNESS_r*.json`` output):
   3. never-checked qids (no driver row yet), in layout order;
   4. ``green``  — qids whose latest driver row passed, in layout order.
 
-This is a coverage checkpoint, not a hand-tuned ordering: every declared qid
-rotates through the driver's window until the ledger shows a green row for
-all 180, and any qid that changes is declared stale and re-enters the window.
-The full catalog is additionally verified locally every round via
-``scripts/driver_sim.py`` (committed as ``CORRECTNESS_FULL_r*.json``).
+This is a coverage checkpoint, not a hand-tuned ordering: qids rotate
+through the driver's window until the ledger shows a green row for every
+declared qid, and any qid that changes is declared stale and re-enters the
+window. The full catalog is additionally verified locally every round via
+``scripts/driver_sim.py`` (committed as ``CORRECTNESS_FULL_r*.log``).
 """
 
 from __future__ import annotations

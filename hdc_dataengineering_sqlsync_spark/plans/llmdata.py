@@ -208,6 +208,34 @@ def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
 
 
+_RANGE_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+comp AS (
+  SELECT e.vec_id,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS dot,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(e.embedding[i.range] AS DOUBLE)) AS na2,
+         sum(CAST(q.qe[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS nb2
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) i
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos
+FROM comp WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 4) >= 0.15
+ORDER BY cos DESC, vec_id
+"""
+
+
+@query("simsearch_range_query", "2.9 llm-data", _RANGE_COSINE_ORACLE)
+def simsearch_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius/range similarity search: ALL vectors with cosine >= 0.15 to
+    vec_id 0 (operators/simsearch.py::cosine_range_search) — the recall-first
+    ANN primitive (near-dup pull) next to top-k; map-side filter, no ranking
+    of the full candidate set."""
+    from hdc_dataengineering_sqlsync_spark.operators.simsearch import cosine_range_search
+
+    return cosine_range_search(load(spark, sf_dir, "embeddings"), query_vec_id=0, tau=0.15)
+
+
 _BATCH_COSINE_ORACLE = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
            WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -285,6 +285,74 @@ def pyds_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("bucket")
 
 
+@query(
+    "stream_stateful_counter_replay",
+    "2.10 streaming",
+    """
+    SELECT user_id, count(*) AS n_events
+    FROM events WHERE user_id % 5 = 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_stateful_counter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY stateful streaming op, driver-checked with state recovery:
+    the per-user running counter (streaming/jobs.py::running_user_counter,
+    applyInPandasWithState) runs as TWO sequential availableNow queries over
+    ONE checkpoint — phase 1 counts the first half of the slice (ts before
+    Jan 16), phase 2 delivers the rest, and the counter must resume from the
+    RECOVERED per-user state, not restart at zero. Every update emission
+    appends to a parquet log via foreachBatch (the recoverable sink — memory
+    sinks cannot resume a checkpoint); the counter is monotonic per user, so
+    the final count is max(n_events) over the log. The oracle is the
+    whole-slice batch count, so a state-recovery regression (phase 2
+    counting from zero) hash-fails."""
+    import tempfile
+    import uuid
+
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        running_user_counter,
+        stream_shuffle,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"hdc_ctr_{uuid.uuid4().hex[:8]}_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    sliced = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") % 5 == 0)
+        .select("user_id", "ts")
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    schema = "user_id long, ts timestamp"
+
+    def append_updates(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    def run_phase(chunk: DataFrame) -> None:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_user_counter(stream)
+            .writeStream.foreachBatch(append_updates)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    with stream_shuffle(spark):
+        run_phase(sliced.where(F.col("ts") < cut))
+        run_phase(sliced.where(F.col("ts") >= cut))
+    return (
+        spark.read.schema("user_id long, n_events long")
+        .parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 _LATE_DROP_ORACLE = """
 SELECT * FROM (VALUES (TIMESTAMP '2024-01-01 00:00:00', CAST(2 AS BIGINT)),
                       (TIMESTAMP '2024-01-01 06:00:00', CAST(1 AS BIGINT)))

@@ -272,3 +272,28 @@ def test_quality_filter_thresholds_broadcast(spark, sf_dir):
     df.collect()
     final = _explain(df).split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+
+
+def test_jaccard_df_cap_is_broadcast_anti_join(spark, sf_dir):
+    """The hot-token exclusion (df > cap) must be a BROADCAST anti-join on the
+    Zipf-small hot list — the big exploded-token side must not shuffle just to
+    drop stopwords (SCALE.md hot-token fan-out cap)."""
+    df = CATALOG["dedup_near_jaccard"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_sample_is_partition_invariant(spark, sf_dir):
+    """The coarse-quantizer fit sample is bottom-k-by-hash: a pure function of
+    the id set, so the whole search result must be identical regardless of the
+    input's physical partitioning (the round-2 LIMIT-without-ORDER-BY hazard)."""
+    from hdc_dataengineering_sqlsync_spark.operators.simsearch import ivf_search_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = [tuple(r) for r in ivf_search_topk(emb, query_vec_id=0, k=5).collect()]
+    reparted = [
+        tuple(r)
+        for r in ivf_search_topk(emb.repartition(7, "vec_id"), query_vec_id=0, k=5).collect()
+    ]
+    assert base == reparted
