@@ -185,6 +185,68 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_summary(connected_components(lsh_star_edges(d)))
 
 
+# Same transitive-closure CTEs as _CC_ORACLE, but materializing the dedup
+# DECISION: a doc is dropped iff some reachable doc has a smaller id (it is
+# not its cluster's representative); singletons never enter the edge list and
+# are kept implicitly.
+_KEEP_REP_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+stars AS (SELECT band, bkey, min(doc_id) AS root FROM bands GROUP BY band, bkey),
+e0 AS (SELECT DISTINCT s.root AS a, b.doc_id AS b
+       FROM bands b JOIN stars s ON b.band = s.band AND b.bkey = s.bkey
+       WHERE b.doc_id <> s.root),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(node, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+lab AS (SELECT node, least(node, min(m)) AS comp FROM reach GROUP BY node),
+dropped AS (SELECT node FROM lab WHERE comp < node)
+SELECT d.lang, count(*) AS n_docs,
+       count(*) FILTER (WHERE dr.node IS NULL) AS n_kept,
+       round(CAST(count(*) FILTER (WHERE dr.node IS NULL) AS DOUBLE) / count(*), 4)
+           AS keep_frac
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@query("dedup_keep_representative", "2.9 llm-data", _KEEP_REP_ORACLE)
+def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup MATERIALIZATION step (added r3): keep exactly one
+    representative (min doc_id) per near-dup cluster and report the surviving
+    corpus per language — the operation a pretraining pipeline actually
+    executes after clustering (`dedup_cluster_components` is the grouping;
+    this is the keep/drop decision). Drop set = component nodes whose label
+    is smaller than themselves; it arrives as a slim (doc_id) keyed anti-side
+    (O(duplicates), not O(corpus)), so the decision join shuffles only ids —
+    document payloads never move."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    labels = connected_components(lsh_star_edges(d))
+    dropped = (
+        labels.where(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("_dropped"))
+    )
+    kept = F.count(F.when(F.col("_dropped").isNull(), F.lit(1)))
+    return (
+        d.select("doc_id", "lang")
+        .join(dropped, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            F.round(kept.cast("double") / F.count(F.lit(1)), 4).alias("keep_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
 _COSINE_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 comp AS (
