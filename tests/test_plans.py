@@ -297,3 +297,22 @@ def test_ivf_sample_is_partition_invariant(spark, sf_dir):
         for r in ivf_search_topk(emb.repartition(7, "vec_id"), query_vec_id=0, k=5).collect()
     ]
     assert base == reparted
+
+
+def test_dynamic_partition_pruning_on_partitioned_target(spark, sf_dir, tmp_path):
+    """SURVEY §4: joining a partitioned fact on its partition column against
+    a selectively-filtered dimension must inject a dynamic-pruning subquery
+    into the scan's PartitionFilters — at scale this is what keeps a
+    sync/incremental join from reading every partition of the target."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "orders_by_status")
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        spark.sparkContext.parallelize([("F", 1), ("O", 2), ("P", 3)], 1),
+        "status string, rank long",
+    ).where(F.col("rank") == 1)
+    joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy("status").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
