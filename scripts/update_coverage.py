@@ -34,12 +34,15 @@ import json
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEDGER = os.path.join(REPO, "driver_coverage.json")
 
 
-def main() -> None:
+def rebuild_ledger(repo: str) -> dict:
+    """Fold every CORRECTNESS_r*.json (round order) into per-qid latest
+    status; preserve the existing ledger's hand-maintained ``stale`` list.
+    A qid is green iff its LATEST driver row passed (later rounds override
+    earlier ones); rows-only rows (err == no_oracle) count as passed."""
     latest: dict[str, bool] = {}
-    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     for path in rounds:
         with open(path) as f:
             rows = json.load(f)
@@ -50,23 +53,28 @@ def main() -> None:
                 ok = bool(row.get("rows_match") and row.get("schema_match") and row.get("hash_match"))
             latest[qid] = ok
 
+    ledger_path = os.path.join(repo, "driver_coverage.json")
     stale: list[str] = []
-    if os.path.exists(LEDGER):
-        with open(LEDGER) as f:
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
             stale = json.load(f).get("stale", [])
 
-    ledger = {
+    return {
         "rounds_merged": [os.path.basename(p) for p in rounds],
         "green": sorted(q for q, ok in latest.items() if ok and q not in stale),
         "failed": sorted(q for q, ok in latest.items() if not ok),
         "stale": stale,
     }
-    with open(LEDGER, "w") as f:
+
+
+def main() -> None:
+    ledger = rebuild_ledger(REPO)
+    with open(os.path.join(REPO, "driver_coverage.json"), "w") as f:
         json.dump(ledger, f, indent=2)
         f.write("\n")
     print(
-        f"merged {len(rounds)} rounds: {len(ledger['green'])} green, "
-        f"{len(ledger['failed'])} failed, {len(stale)} stale"
+        f"merged {len(ledger['rounds_merged'])} rounds: {len(ledger['green'])} green, "
+        f"{len(ledger['failed'])} failed, {len(ledger['stale'])} stale"
     )
 
 

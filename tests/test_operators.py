@@ -668,3 +668,32 @@ def test_bmp_wav_roundtrip_property():
 
     bmp_prop()
     wav_prop()
+
+
+def test_coverage_ledger_latest_round_wins_and_stale_preserved(tmp_path):
+    """The driver-coverage ledger (scripts/update_coverage.py) is what decides
+    registration order for the external verifier — its merge must be
+    latest-round-wins (a later green overrides an earlier fail and vice
+    versa), rows-only must count as checked, and the hand-maintained stale
+    list must survive a rebuild and stay out of green."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+    from update_coverage import rebuild_ledger
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": ok, "b": bad, "c": ok, "d": rows_only})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"b": ok, "c": bad}))
+    (tmp_path / "driver_coverage.json").write_text(json.dumps({"stale": ["a"]}))
+
+    ledger = rebuild_ledger(str(tmp_path))
+    assert ledger["rounds_merged"] == ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"]
+    assert ledger["green"] == ["b", "d"]  # b: r2 green wins; a: green but stale
+    assert ledger["failed"] == ["c"]  # c: r2 fail overrides r1 green
+    assert ledger["stale"] == ["a"]
