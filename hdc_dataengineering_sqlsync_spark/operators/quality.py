@@ -1,0 +1,100 @@
+"""Declarative data-quality constraint auditing (SURVEY.md §2.8 extension).
+
+A table-sync utility's natural companion: before/after a sync you audit the
+target against declared constraints (NOT NULL, domain membership, key
+uniqueness, referential integrity, header/detail reconciliation) and ship a
+per-constraint violation report.
+
+Scale design
+------------
+* All ROW rules against one table fold into a SINGLE conditional aggregate
+  over one scan — adding a rule adds a map-side `sum(case when ...)` column,
+  never another pass over 100 TB.
+* UNIQUE rules are one hash aggregate on the declared key (count vs distinct
+  count) — map-side partial aggregation applies.
+* FK rules are one left-anti join per rule; the parent side is typically a
+  dimension and is explicitly broadcast when small (caller passes
+  ``broadcast_parent=True``), so the 100 TB fact side never shuffles.
+* The report itself is a union of 1-row aggregates — negligible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["RowRule", "row_rules_report", "unique_report", "fk_orphans_report"]
+
+REPORT_COLS = ("rule_name", "n_checked", "n_violations")
+
+
+@dataclass(frozen=True)
+class RowRule:
+    """A named per-row predicate that must hold (``ok`` True == no violation)."""
+
+    name: str
+    ok: Column
+
+
+def _report_row(name: Column | str, checked: Column, violations: Column) -> Column:
+    nm = F.lit(name) if isinstance(name, str) else name
+    return F.struct(
+        nm.alias("rule_name"),
+        checked.cast("long").alias("n_checked"),
+        violations.cast("long").alias("n_violations"),
+    )
+
+
+def row_rules_report(df: DataFrame, rules: list[RowRule]) -> DataFrame:
+    """All row rules over ``df`` in ONE scan: a single conditional aggregate,
+    then the per-rule counters unpivot into report rows driver-free
+    (inline over an array of structs — no collect)."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum((~r.ok).cast("long")).alias(f"__v_{i}") for i, r in enumerate(rules)
+    ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            _report_row(r.name, F.col("__n"), F.coalesce(F.col(f"__v_{i}"), F.lit(0)))
+            for i, r in enumerate(rules)
+        ]
+    )
+    return one.select(F.inline(rows))
+
+
+def unique_report(df: DataFrame, name: str, key: list[str]) -> DataFrame:
+    """Key-uniqueness audit: violations = rows beyond the first per key
+    (count(*) - count(distinct key)) — one hash aggregate."""
+    return df.agg(
+        _report_row(
+            name,
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in key]),
+        ).alias("r")
+    ).select("r.*")
+
+
+def fk_orphans_report(
+    child: DataFrame,
+    name: str,
+    keys: list[str],
+    parent: DataFrame,
+    parent_keys: list[str],
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Referential-integrity audit: child rows (with non-null key) whose key
+    has no parent. One left-anti join; parent broadcast when it is a
+    dimension so the fact side never shuffles."""
+    non_null = child.na.drop(subset=keys)
+    p = parent.select(*[F.col(pk).alias(f"__p_{i}") for i, pk in enumerate(parent_keys)])
+    if broadcast_parent:
+        p = F.broadcast(p)
+    cond = [non_null[k] == p[f"__p_{i}"] for i, k in enumerate(keys)]
+    orphans = non_null.join(p, cond, "left_anti")
+    checked = non_null.agg(F.count(F.lit(1)).alias("__n"))
+    viol = orphans.agg(F.count(F.lit(1)).alias("__v"))
+    return checked.crossJoin(viol).select(
+        _report_row(name, F.col("__n"), F.col("__v")).alias("r")
+    ).select("r.*")

@@ -52,6 +52,11 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     timeseries,
     udfs,
     workloads,
+    # dataops imports LAST deliberately: its round-3 additions must append to
+    # the END of the never-checked segment so the already-planned round-3
+    # driver window (the first 50 qids after rotation) is unchanged and the
+    # new qids enter the round-4 window (see module docstring).
+    dataops,
 )
 
 _LEDGER = os.path.join(

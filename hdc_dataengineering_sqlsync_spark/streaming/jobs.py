@@ -135,6 +135,46 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def interval_join_view_purchase(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each view event pairs with the same
+    user's purchase events landing within [view.ts, view.ts + horizon].
+
+    Both sides carry a watermark and the join condition carries an explicit
+    event-time range, so Spark can bound join state: a buffered view row is
+    evictable once the purchase-side watermark passes view.ts + horizon
+    (state size tracks the horizon × arrival rate, not stream length). The
+    equality key (user_id) keys the state-store shuffle, so matching is
+    partition-local after one shuffle per side.
+    """
+    v = (
+        views.where(F.col("event_type") == "view")
+        .withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    )
+
+
 def foreach_batch_merge(
     change_stream: DataFrame,
     target_path: str,

@@ -697,3 +697,92 @@ def test_coverage_ledger_latest_round_wins_and_stale_preserved(tmp_path):
     assert ledger["green"] == ["b", "d"]  # b: r2 green wins; a: green but stale
     assert ledger["failed"] == ["c"]  # c: r2 fail overrides r1 green
     assert ledger["stale"] == ["a"]
+
+
+def test_quality_rules_detect_known_violations(spark):
+    """operators/quality.py: seeded violations are counted exactly — row
+    rules, key uniqueness, and FK orphans each see their planted defects."""
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.operators.quality import (
+        RowRule,
+        fk_orphans_report,
+        row_rules_report,
+        unique_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, -2.0), (2, 5.0), (3, 0.0), (None, 1.0)],
+        "k long, qty double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+
+    rows = {
+        r["rule_name"]: (r["n_checked"], r["n_violations"])
+        for r in row_rules_report(
+            child,
+            [
+                RowRule("qty_positive", F.col("qty") > 0),
+                RowRule("k_not_null", F.col("k").isNotNull()),
+            ],
+        ).collect()
+    }
+    assert rows["qty_positive"] == (5, 2)  # -2.0 and 0.0
+    assert rows["k_not_null"] == (5, 1)
+
+    uq = unique_report(child, "k_unique", ["k"]).collect()[0]
+    # 5 rows, 4 distinct k (1,2,3,NULL->distinct counts non-null: 3) — Spark
+    # countDistinct ignores nulls, so violations = 5 - 3 = 2 (the dup and the null)
+    assert (uq["n_checked"], uq["n_violations"]) == (5, 2)
+
+    fk = fk_orphans_report(child, "k_fk", ["k"], parent, ["k"]).collect()[0]
+    # null-key row excluded from the check; k=3 rows are orphans
+    assert (fk["n_checked"], fk["n_violations"]) == (4, 1)
+
+
+def test_ivm_maintained_equals_recomputed_hypothesis(spark):
+    """Property: for ANY source/target pair over a shared PK space, applying
+    grouped_agg_deltas to target's aggregate reproduces source's aggregate
+    exactly — inserts, deletes, measure updates, and group-key moves
+    (operators/ivm.py)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.operators.ivm import (
+        apply_agg_deltas,
+        grouped_agg_deltas,
+    )
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-500, max_value=500),
+    )
+    frame = st.lists(row, max_size=12, unique_by=lambda r: r[0])
+
+    def agg_of(df):
+        return {
+            (r["g"], r["n"], r["total"])
+            for r in df.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("total"))
+            .collect()
+        }
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(src_rows=frame, tgt_rows=frame)
+    def prop(src_rows, tgt_rows):
+        schema = "pk long, g string, m long"
+        source = spark.createDataFrame(src_rows, schema) if src_rows else spark.createDataFrame([], schema)
+        target = spark.createDataFrame(tgt_rows, schema) if tgt_rows else spark.createDataFrame([], schema)
+        base = target.groupBy(F.col("g")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("m").alias("total")
+        )
+        deltas = grouped_agg_deltas(source, target, pk=["pk"], group_col="g", measure_col="m")
+        maintained = apply_agg_deltas(base, deltas, "g")
+        # null totals: sum() over empty group is NULL on both paths; compare sets
+        assert agg_of(source) == {
+            (r["g"], r["n"], r["total"]) for r in maintained.collect()
+        }
+
+    prop()

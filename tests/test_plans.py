@@ -316,3 +316,55 @@ def test_dynamic_partition_pruning_on_partitioned_target(spark, sf_dir, tmp_path
     joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy("status").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_partition_digest_aggregates_are_two_phase(spark, sf_dir):
+    """sync_partition_digest: the per-partition digest XOR must partial-
+    aggregate map-side (XOR is commutative/associative) so the shuffle
+    carries #partitions rows per side, not the table."""
+    plan = _plan(spark, sf_dir, "sync_partition_digest")
+    low = plan.lower()
+    assert "partial_bit_xor" in low or plan.count("HashAggregate") >= 4
+    assert "SortMergeJoin FullOuter" in plan or "full" in low
+
+
+def test_importance_weights_broadcasts_freq_tables(spark, sf_dir):
+    """text_importance_weights: the 1024-bucket frequency tables and the
+    1-row totals must broadcast back onto the token stream — the token
+    stream itself is never shuffled for the join."""
+    plan = _plan(spark, sf_dir, "text_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """join_skew_salted: the physical join condition must include the salt
+    column alongside the supplier key (the fan-out that spreads a hot key
+    over 8 reducers)."""
+    plan = _plan(spark, sf_dir, "join_skew_salted")
+    assert "_salt" in plan and "_dsalt" in plan
+
+
+def test_row_rules_audit_is_single_scan(spark, sf_dir):
+    """operators/quality.py::row_rules_report folds every rule into ONE
+    conditional aggregate over one scan — adding rules must not add
+    passes."""
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.operators.quality import RowRule, row_rules_report
+
+    li = load(spark, sf_dir, "lineitem")
+    report = row_rules_report(
+        li,
+        [
+            RowRule("a", F.col("l_quantity") > 0),
+            RowRule("b", F.col("l_discount") <= 1),
+            RowRule("c", F.col("l_returnflag").isNotNull()),
+        ],
+    )
+    import re
+
+    plan = _explain(report)
+    # formatted explain prints each node in the tree AND the detail section;
+    # count distinct scan node ids
+    assert len(re.findall(r"\(\d+\) (?:Scan parquet|BatchScan)", plan)) == 1
