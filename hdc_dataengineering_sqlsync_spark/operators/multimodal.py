@@ -160,3 +160,26 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10, video_only: bool = Fa
     src = media.where(F.col("meta.kind") == "video") if video_only else media
     idx = F.sequence(F.lit(0), F.lit(every_n - 1))
     return src.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+def dhash64(pixels, resize_fn) -> int:
+    """64-bit difference hash (dHash) of an RGB pixel array: grayscale mean
+    over channels, nearest-neighbor resize to 9x8 (via the caller-supplied
+    resize, e.g. media_codecs.resize_nearest), then one sign bit per
+    horizontal gradient — bit i set iff gray[y, x+1] > gray[y, x].
+
+    Pure integer/numpy; byte-identical across runs and partitionings, so
+    equal images always collide and near-identical images land within a
+    small hamming distance (the property near-dup image dedup keys on).
+    Returns a non-negative int that fits signed int64 (top bit folded).
+    """
+    import numpy as np
+
+    small = resize_fn(pixels, 9, 8)
+    gray = small.astype(np.int32).mean(axis=2)
+    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint64).ravel()
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    # fold the sign bit so the value round-trips through Spark LongType
+    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))

@@ -4,16 +4,18 @@ Cross-family additions a production sync + training-data platform needs on
 top of the core catalog:
 
   2.8 sync core   dq_constraint_report, dq_reconcile_totals,
-                  sync_partition_digest, sync_incremental_agg
-  2.3 joins       join_skew_salted
+                  sync_partition_digest, sync_incremental_agg,
+                  dq_profile_columns, sync_conflict_lww
+  2.3 joins       join_skew_salted, join_range_bucketized, hier_flatten_path
   2.9 llm-data    text_pii_redact, text_importance_weights,
-                  mix_sampling_weights
+                  mix_sampling_weights, multimodal_phash_dedup
   2.10 streaming  stream_join_interval_replay, ts_interp_linear
 
 Registration: this module imports LAST (after workloads) so its qids append
 to the end of the never-driver-checked segment of the rotation ledger — the
 already-planned round-3 driver window is untouched and these enter the
-round-4 window (37 + 10 = 47 ≤ 50 budget; see plans/__init__.py).
+round-4 window (batch 1's 10 fit the round-4 budget exactly alongside the
+37 older unchecked qids; batch 2's last 5 roll to round 5).
 """
 
 from __future__ import annotations
@@ -636,3 +638,307 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("edge")
         .alias("src"),
     ).orderBy("bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# round-3 batch 2
+
+
+_RANGE_BUCKET_ORACLE = """
+WITH probe AS (
+  SELECT o_orderkey AS k,
+         o_orderdate - INTERVAL 3 DAY AS lo,
+         o_orderdate + INTERVAL 3 DAY AS hi
+  FROM orders WHERE o_orderkey % 500 = 0
+)
+SELECT probe.k, CAST(count(o.o_orderkey) AS BIGINT) AS n_in_window
+FROM probe LEFT JOIN orders o
+  ON o.o_orderdate >= probe.lo AND o.o_orderdate <= probe.hi
+GROUP BY probe.k ORDER BY probe.k
+"""
+
+_WEEK = 7 * 86400
+
+
+@query("join_range_bucketized", "2.3 joins", _RANGE_BUCKET_ORACLE)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-range (no equi-key) join executed as an EQUI join on overlap
+    cells — the 100 TB strategy SCALE.md documents for range predicates:
+    bucketize time into 1-week cells, explode each probe interval (±3 days,
+    so ≤2 cells) onto the cells it covers, give each point row its single
+    cell, equi-join on the cell, then re-check the exact range predicate.
+    A point's cell is unique, so each (probe, point) pair matches at most
+    once — no dedup pass. The oracle runs the naive theta join.
+
+    Why it matters: Spark executes a bare range predicate as a
+    nested-loop/cartesian join — quadratic at scale. The cell join hashes
+    and shuffles on the cell key like any equi join (plan-asserted: no
+    BroadcastNestedLoopJoin), at the cost of interval_span/cell_width
+    probe-side replication.
+    """
+    o = load(spark, sf_dir, "orders")
+    probe = (
+        o.where(F.col("o_orderkey") % 500 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderdate") - F.expr("INTERVAL 3 DAY")).alias("lo"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).alias("hi"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_seconds(lo) div {_WEEK}"),
+                    F.expr(f"unix_seconds(hi) div {_WEEK}"),
+                )
+            ),
+        )
+    )
+    points = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderdate").alias("t"),
+        F.expr(f"unix_seconds(o_orderdate) div {_WEEK}").alias("cell"),
+    )
+    j = probe.join(
+        points,
+        (probe["cell"] == points["cell"])
+        & (points["t"] >= probe["lo"])
+        & (points["t"] <= probe["hi"]),
+        "left",
+    )
+    return (
+        j.groupBy("k")
+        .agg(F.count("pk").alias("n_in_window"))
+        .orderBy("k")
+    )
+
+
+_PROFILE_ORACLE = """
+SELECT * FROM (
+  SELECT 'c_acctbal' AS col_name,
+         (SELECT count(*) - count(c_acctbal) FROM customer) AS n_null,
+         (SELECT count(DISTINCT c_acctbal) FROM customer) AS n_distinct
+  UNION ALL
+  SELECT 'c_custkey',
+         (SELECT count(*) - count(c_custkey) FROM customer),
+         (SELECT count(DISTINCT c_custkey) FROM customer)
+  UNION ALL
+  SELECT 'c_mktsegment',
+         (SELECT count(*) - count(c_mktsegment) FROM customer),
+         (SELECT count(DISTINCT c_mktsegment) FROM customer)
+  UNION ALL
+  SELECT 'c_name',
+         (SELECT count(*) - count(c_name) FROM customer),
+         (SELECT count(DISTINCT c_name) FROM customer)
+  UNION ALL
+  SELECT 'c_nationkey',
+         (SELECT count(*) - count(c_nationkey) FROM customer),
+         (SELECT count(DISTINCT c_nationkey) FROM customer)
+)
+ORDER BY col_name
+"""
+
+
+@query("dq_profile_columns", "2.8 sync core", _PROFILE_ORACLE)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the schema-exploration sibling of the constraint
+    audit: per column of customer, null count and exact distinct count, as
+    `(col_name, n_null, n_distinct)` rows.
+
+    One aggregate over one scan computes every column's counters (Catalyst
+    plans multi-distinct via a single Expand), then the counters unpivot to
+    rows driver-free. At 100 TB swap `countDistinct` for
+    `approx_count_distinct` — same plan shape, one pass, no Expand blowup
+    (documented rather than declared: the HLL estimate is engine-specific
+    so it cannot hash-match an oracle).
+    """
+    c = load(spark, sf_dir, "customer")
+    cols = sorted(c.columns)
+    aggs = []
+    for name in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(name)).alias(f"__null_{name}"))
+        aggs.append(F.countDistinct(name).alias(f"__dist_{name}"))
+    one = c.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"__null_{name}").cast("long").alias("n_null"),
+                F.col(f"__dist_{name}").cast("long").alias("n_distinct"),
+            )
+            for name in cols
+        ]
+    )
+    return one.select(F.inline(rows)).orderBy("col_name")
+
+
+_LWW_ORACLE = """
+WITH ra AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'A' ELSE o_orderstatus END AS st,
+         1 + o_orderkey % 3 AS v, 0 AS r
+  FROM orders
+),
+rb AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'B' ELSE o_orderstatus END,
+         1 + (o_orderkey + 1) % 3, 1
+  FROM orders
+),
+u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+res AS (SELECT k, arg_max(st, v * 10 + r) AS st FROM u GROUP BY k)
+SELECT st AS o_orderstatus, count(*) AS n FROM res GROUP BY st ORDER BY st
+"""
+
+
+@query("sync_conflict_lww", "2.8 sync core", _LWW_ORACLE)
+def sync_conflict_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional-sync conflict resolution, last-writer-wins: two
+    deterministically drifted replicas of orders (each stamped with a
+    per-row version and a replica id) union and collapse to one winner per
+    key by `max_by(payload, version*10 + replica_rank)` — version first,
+    replica rank as the deterministic tiebreak. Output is the per-status
+    census of the resolved table.
+
+    Scale: resolution is ONE keyed aggregate over the union (map-side
+    combinable — max_by is associative); no join, no window sort. This is
+    the multi-master counterpart of `sync_changelog_compact`'s
+    single-stream version collapse.
+    """
+    o = load(spark, sf_dir, "orders")
+    ra = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, "A").otherwise(F.col("o_orderstatus")).alias("st"),
+        (1 + F.col("o_orderkey") % 3).alias("v"),
+        F.lit(0).alias("r"),
+    )
+    rb = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, "B").otherwise(F.col("o_orderstatus")).alias("st"),
+        (1 + (F.col("o_orderkey") + 1) % 3).alias("v"),
+        F.lit(1).alias("r"),
+    )
+    resolved = (
+        ra.unionByName(rb)
+        .groupBy("k")
+        .agg(F.expr("max_by(st, v * 10 + r)").alias("o_orderstatus"))
+    )
+    return (
+        resolved.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_FLATTEN_PATH_ORACLE = """
+WITH RECURSIVE walk(k, path) AS (
+  SELECT c_custkey, cast(c_custkey AS VARCHAR) FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, concat(w.path, '/', cast(c.c_custkey AS VARCHAR))
+  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.k
+  WHERE c.c_custkey >= 10
+)
+SELECT CAST(length(path) - length(replace(path, '/', '')) AS INT) AS depth,
+       count(*) AS n, min(path) AS min_path, max(path) AS max_path
+FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
+@query("hier_flatten_path", "2.3 joins", _FLATTEN_PATH_ORACLE)
+def hier_flatten_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-path flattening of the synthetic key hierarchy
+    (parent(k) = k DIV 10, as hier_recursive_cte): each node's full
+    root-to-node path as a '/'-separated string — the denormalized
+    hierarchy table shape downstream filters use (`path LIKE 'root/%'`)
+    instead of re-walking the recursion per query.
+
+    Depth is data-bounded (log10 of the key space) so the recursion is a
+    handful of distributed self-joins; per-level frames stay partitioned on
+    the join key.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(k, path) AS (
+          SELECT c_custkey, cast(c_custkey AS STRING) FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, concat(w.path, '/', cast(c.c_custkey AS STRING))
+          FROM customer c JOIN walk w ON c.c_custkey DIV 10 = w.k
+          WHERE c.c_custkey >= 10
+        )
+        SELECT CAST(length(path) - length(replace(path, '/', '')) AS INT) AS depth,
+               count(*) AS n, min(path) AS min_path, max(path) AS max_path
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+_PHASH_ORACLE = """
+SELECT cast(min(doc_id) AS BIGINT) AS rep_id, count(*) AS n
+FROM documents
+GROUP BY doc_id % 4 ORDER BY rep_id
+"""
+
+
+@query("multimodal_phash_dedup", "2.9 llm-data", _PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL BMP codec: every document
+    gets a synthesized image whose pixels depend only on doc_id % 4 (four
+    distinct gradient classes), the bytes round-trip through encode_bmp /
+    decode_bmp, and a 64-bit dHash (grayscale -> 9x8 nearest-neighbor
+    resize -> horizontal gradient sign bits) computes inside the SAME
+    mapInPandas pass — blobs never shuffle, only (doc_id, phash) rows do.
+    Groups of equal dHash collapse to (representative = min doc_id, n).
+
+    The oracle recomputes the grouping from the closed form (doc_id % 4):
+    it matches iff the codec round-trip is lossless AND dHash is constant
+    within a class and distinct across classes — a decode bug (stride,
+    BGR order, bottom-up flip) or a hash bug breaks the match. The
+    near-dup threshold path (hamming <= k via band-bucketing, as
+    dedup_simhash) is unit-tested on perturbed images.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+    from hdc_dataengineering_sqlsync_spark.operators.multimodal import dhash64
+
+    def _pixels(q: int) -> np.ndarray:
+        # q-period checkerboards: distinct horizontal-gradient SIGN patterns
+        # per class (a monotone gradient would give every class the same
+        # all-ones dHash — probed)
+        w = 8 + (q % 5) * 4
+        h = 6 + (q % 3) * 4
+        y, x = np.mgrid[0:h, 0:w]
+        r = 255 * (((x + y) // (q + 1)) % 2)
+        g = 255 * ((x // (q + 1)) % 2)
+        b = (37 * q + 11 * x + 23 * y) % 256
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("phash", T.LongType())]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for m in pdf["doc_id"]:
+                payload = encode_bmp(_pixels(int(m) % 4))
+                hashes.append(dhash64(decode_bmp(payload), resize_nearest))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.mapInPandas(hash_batch, schema=schema)
+    return (
+        hashed.groupBy("phash")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n"))
+        .select("rep_id", "n")
+        .orderBy("rep_id")
+    )

@@ -786,3 +786,38 @@ def test_ivm_maintained_equals_recomputed_hypothesis(spark):
         }
 
     prop()
+
+
+def test_dhash_properties():
+    """operators/multimodal.py::dhash64 — identical images collide exactly,
+    small perturbations stay within a small hamming distance, and the four
+    phash-dedup fixture classes produce four distinct hashes."""
+    import numpy as np
+
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+    from hdc_dataengineering_sqlsync_spark.operators.multimodal import dhash64
+
+    def pix(q):
+        w = 8 + (q % 5) * 4
+        h = 6 + (q % 3) * 4
+        y, x = np.mgrid[0:h, 0:w]
+        r = 255 * (((x + y) // (q + 1)) % 2)
+        g = 255 * ((x // (q + 1)) % 2)
+        b = (37 * q + 11 * x + 23 * y) % 256
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+    hashes = [dhash64(decode_bmp(encode_bmp(pix(q))), resize_nearest) for q in range(4)]
+    assert len(set(hashes)) == 4
+    # codec round-trip does not change the hash
+    assert dhash64(pix(2), resize_nearest) == hashes[2]
+    # near-duplicate: a small local perturbation moves few gradient bits
+    p = pix(1).copy()
+    p[0, 0, 2] = (int(p[0, 0, 2]) + 6) % 256
+    ham = bin(dhash64(p, resize_nearest) ^ hashes[1]).count("1")
+    assert ham <= 4
+    # all values fit signed int64 (Spark LongType)
+    assert all(0 <= h < 2**63 for h in hashes)

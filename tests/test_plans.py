@@ -368,3 +368,21 @@ def test_row_rules_audit_is_single_scan(spark, sf_dir):
     # formatted explain prints each node in the tree AND the detail section;
     # count distinct scan node ids
     assert len(re.findall(r"\(\d+\) (?:Scan parquet|BatchScan)", plan)) == 1
+
+
+def test_range_bucketized_join_is_equi_not_nested_loop(spark, sf_dir):
+    """join_range_bucketized: the overlap-cell trick must turn the pure
+    range predicate into a hashed/sorted EQUI join — a bare range join
+    falls to BroadcastNestedLoopJoin (quadratic at scale)."""
+    plan = _plan(spark, sf_dir, "join_range_bucketized")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_profile_columns_is_single_scan(spark, sf_dir):
+    """dq_profile_columns: every column's null/distinct counters come from
+    ONE aggregate over one scan (Expand handles multi-distinct)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dq_profile_columns")
+    assert len(re.findall(r"\(\d+\) (?:Scan parquet|BatchScan)", plan)) == 1
