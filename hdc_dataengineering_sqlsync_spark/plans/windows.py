@@ -114,7 +114,13 @@ def win_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric RANGE frame: all peers with quantity in [current-5, current]
-    count, independent of row position — value-based, not row-based."""
+    count, independent of row position — value-based, not row-based.
+
+    Scale note (SCALE.md): the 3-value partition key caps window
+    parallelism at 3 tasks — this qid exercises the RANGE-frame API; at
+    production scale value-RANGE frames belong on high-cardinality keys
+    (win_range_time partitions per user), and a low-cardinality global
+    ranking should be re-posed as an aggregate or pre-bucketed."""
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-5, 0)
     return li.select(
