@@ -9,7 +9,8 @@ top of the core catalog:
   2.3 joins       join_skew_salted, join_range_bucketized, hier_flatten_path
   2.9 llm-data    text_pii_redact, text_importance_weights,
                   mix_sampling_weights, multimodal_phash_dedup
-  2.10 streaming  stream_join_interval_replay, ts_interp_linear
+  2.10 streaming  stream_join_interval_replay, stream_join_outer_replay,
+                  ts_interp_linear
 
 Registration: this module imports LAST (after workloads) so its qids append
 to the end of the never-driver-checked segment of the rotation ledger — the
@@ -941,4 +942,74 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n"))
         .select("rep_id", "n")
         .orderBy("rep_id")
+    )
+
+
+_STREAM_OUTER_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+v AS (
+  SELECT user_id, ts, event_id FROM events, mx
+  WHERE event_type = 'view' AND ts <= m - INTERVAL 150 MINUTE
+),
+j AS (
+  SELECT v.user_id, v.event_id AS v_id, p.ts AS p_ts
+  FROM v LEFT JOIN events p
+    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(count(DISTINCT v_id) AS BIGINT) AS n_views,
+       CAST(count(p_ts) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT v_id) - count(DISTINCT CASE WHEN p_ts IS NOT NULL THEN v_id END) AS BIGINT) AS n_lonely
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("stream_join_outer_replay", "2.10 streaming", _STREAM_OUTER_ORACLE)
+def stream_join_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream LEFT OUTER interval join — the hard half of
+    stream joins: an unmatched view row may only be emitted (null-extended)
+    once the purchase-side watermark proves no match can still arrive, so
+    this qid is an end-to-end proof of watermark-driven state expiry, not
+    just of matching. availableNow runs a final no-data micro-batch that
+    advances the watermark to max event time, flushing every expired
+    window.
+
+    Determinism at the stream tail: views younger than (max_ts - 2.5h) may
+    still be open when the replay drains, so BOTH the drained-result rollup
+    and the batch oracle cut off at `ts <= max(ts) - 150 minutes` — beyond
+    that margin emission is guaranteed (watermark delay 1h + window 1h +
+    30min slack, no boundary equality). Per user: n_views, matched pair
+    count, and views that expired with NO purchase (n_lonely) — the outer
+    rows.
+    """
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        events_path,
+        interval_join_view_purchase,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    left = read_events_stream(spark, events_path(sf_dir))
+    right = read_events_stream(spark, events_path(sf_dir))
+    view, q = run_to_memory(
+        interval_join_view_purchase(left, right, how="left_outer"), mode="append"
+    )
+    q.stop()
+    cutoff = (
+        load(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 150 MINUTE")).alias("m"))
+    )
+    drained = spark.table(view).crossJoin(F.broadcast(cutoff)).where(F.col("v_ts") <= F.col("m"))
+    return (
+        drained.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.countDistinct("v_id").alias("n_views"),
+            F.count("p_ts").alias("n_pairs"),
+            (
+                F.countDistinct("v_id")
+                - F.countDistinct(F.when(F.col("p_ts").isNotNull(), F.col("v_id")))
+            ).alias("n_lonely"),
+        )
+        .orderBy("user_id")
     )

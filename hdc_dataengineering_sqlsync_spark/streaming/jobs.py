@@ -136,7 +136,7 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
 
 
 def interval_join_view_purchase(
-    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour", how: str = "inner"
 ) -> DataFrame:
     """Stream-stream interval join: each view event pairs with the same
     user's purchase events landing within [view.ts, view.ts + horizon].
@@ -171,7 +171,7 @@ def interval_join_view_purchase(
         F.expr(
             f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL {horizon}"
         ),
-        "inner",
+        how,
     )
 
 
