@@ -5,7 +5,8 @@ top of the core catalog:
 
   2.8 sync core   dq_constraint_report, dq_reconcile_totals,
                   sync_partition_digest, sync_incremental_agg,
-                  dq_profile_columns, sync_conflict_lww
+                  dq_profile_columns, sync_conflict_lww, sync_missing_keys
+  2.5 windows     win_cumulative_distinct
   2.3 joins       join_skew_salted, join_range_bucketized, hier_flatten_path
   2.9 llm-data    text_pii_redact, text_importance_weights,
                   mix_sampling_weights, multimodal_phash_dedup
@@ -1012,4 +1013,94 @@ def stream_join_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_lonely"),
         )
         .orderBy("user_id")
+    )
+
+
+_MISSING_KEYS_ORACLE = f"""
+WITH target AS ({_TARGET_SQL}),
+k AS (SELECT o_orderkey AS k FROM target),
+g AS (
+  SELECT k, k - lag(k) OVER (ORDER BY k) - 1 AS gap_len
+  FROM k
+)
+SELECT CAST((SELECT count(*) FROM g WHERE gap_len > 0) AS BIGINT) AS n_gaps,
+       CAST((SELECT coalesce(sum(gap_len), 0) FROM g WHERE gap_len > 0) AS BIGINT) AS total_missing,
+       CAST((SELECT coalesce(max(gap_len), 0) FROM g) AS BIGINT) AS max_gap,
+       (SELECT min(k) FROM k) AS key_lo,
+       (SELECT max(k) FROM k) AS key_hi
+"""
+
+
+@query("sync_missing_keys", "2.8 sync core", _MISSING_KEYS_ORACLE)
+def sync_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sequence gap audit on the sync target: detect ranges of primary
+    keys missing from an expected-contiguous keyspace (here the %97
+    deletion fixture) — the fast 'did the transfer drop rows?' check that
+    needs no source access at all. Reports gap count, total missing keys,
+    the longest gap, and the observed key range.
+
+    The lag-window form shown here needs one global sort; the SCALE.md
+    decomposition for 100 TB keyspaces: `total_missing` is pure aggregate
+    math ((hi - lo + 1) - count) — no sort at all — and gap LOCATIONS
+    decompose per key-block (k div B) with only block-boundary gaps needing
+    a tiny cross-block merge over the #blocks-row summary.
+    """
+    t = _target(spark, sf_dir).select(F.col("o_orderkey").alias("k"))
+    w = Window.orderBy("k")
+    g = t.select("k", (F.col("k") - F.lag("k").over(w) - 1).alias("gap_len"))
+    return g.agg(
+        F.sum((F.col("gap_len") > 0).cast("long")).alias("n_gaps"),
+        F.coalesce(F.sum(F.when(F.col("gap_len") > 0, F.col("gap_len"))), F.lit(0)).alias("total_missing"),
+        F.coalesce(F.max("gap_len"), F.lit(0)).alias("max_gap"),
+        F.min("k").alias("key_lo"),
+        F.max("k").alias("key_hi"),
+    )
+
+
+_CUM_DISTINCT_ORACLE = """
+WITH first_seen AS (
+  SELECT l_returnflag, l_suppkey,
+         min(date_trunc('month', l_shipdate)) AS first_month
+  FROM lineitem GROUP BY l_returnflag, l_suppkey
+),
+monthly AS (
+  SELECT l_returnflag, first_month AS month, count(*) AS n_new
+  FROM first_seen GROUP BY l_returnflag, first_month
+)
+SELECT l_returnflag, cast(month AS DATE) AS month,
+       CAST(n_new AS BIGINT) AS n_new_suppliers,
+       CAST(sum(n_new) OVER (PARTITION BY l_returnflag ORDER BY month) AS BIGINT) AS cum_distinct
+FROM monthly ORDER BY l_returnflag, month
+"""
+
+
+@query("win_cumulative_distinct", "2.5 windows", _CUM_DISTINCT_ORACLE)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — which Spark forbids
+    directly (DISTINCT is unsupported in window functions) and which the
+    naive workaround (size(collect_set() OVER ...)) executes by
+    materializing a growing set PER ROW — quadratic state at scale.
+
+    The scalable rewrite declared here: distinct-counting reduces to FIRST
+    APPEARANCES — aggregate each (flag, supplier) to its first month, roll
+    first-appearances up per month, and a plain running SUM over the tiny
+    monthly series equals the cumulative distinct count. Two keyed
+    map-side-combinable aggregates + one window over #months rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    first_seen = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.min(F.date_trunc("month", "l_shipdate")).alias("first_month")
+    )
+    monthly = first_seen.groupBy("l_returnflag", F.col("first_month").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("month")
+    return (
+        monthly.select(
+            "l_returnflag",
+            F.col("month").cast("date").alias("month"),
+            F.col("n_new").alias("n_new_suppliers"),
+            F.sum("n_new").over(w).alias("cum_distinct"),
+        )
+        .orderBy("l_returnflag", "month")
     )
