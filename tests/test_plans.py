@@ -386,3 +386,37 @@ def test_profile_columns_is_single_scan(spark, sf_dir):
 
     plan = _plan(spark, sf_dir, "dq_profile_columns")
     assert len(re.findall(r"\(\d+\) (?:Scan parquet|BatchScan)", plan)) == 1
+
+
+def test_bucketed_snapshot_diff_has_no_exchange(spark, sf_dir):
+    """SCALE.md sync-core claim, proven: when source and target are both
+    bucketed (and sorted) on the PK with equal bucket counts, the digest
+    diff's full-outer PK join runs with ZERO Exchange — the one shuffle a
+    snapshot diff normally pays disappears at the storage layer. This is
+    the deployment shape for repeated syncs of the same table."""
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.operators.diff import snapshot_diff
+    from hdc_dataengineering_sqlsync_spark.sources.bucketing import write_bucketed
+
+    o = load(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderkey") % 97 != 0)
+    write_bucketed(o, "b_sync_src", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(target, "b_sync_tgt", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        diff = snapshot_diff(
+            spark.table("b_sync_src"), spark.table("b_sync_tgt"), pk=["o_orderkey"],
+            keep_source_payload=False,
+        )
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right changeset
+        ops = {r["change_op"]: r["n"] for r in diff.groupBy("change_op").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_del = o.where(F.col("o_orderkey") % 97 == 0).count()
+        assert ops.get("I", 0) == n_del and "D" not in ops
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_sync_src")
+        spark.sql("DROP TABLE IF EXISTS b_sync_tgt")
