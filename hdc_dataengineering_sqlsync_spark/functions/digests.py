@@ -5,7 +5,13 @@ each row, compare hashes instead of N columns (SURVEY.md §2.8). The
 canonicalization must be *bit-identical* across engines, so every type maps
 to a normalized string (FIXTURES.md hazards 2-5):
 
-  double    -> cast(cast(round(x, 2) as decimal(18,2)) as string)  ("123.46")
+  double    -> cast(cast(floor(x*100 + 0.5)/100 as decimal(18,2)) as string)
+               ("123.46") — the TIE-SAFE formula (see project_rename_cast):
+               round() diverges across engines on repr-tie doubles like
+               1.005 (Spark HALF_UPs the shortest repr, DuckDB rounds the
+               binary value), which would mis-classify identical rows as
+               updated; floor(x*100+0.5) is the same IEEE expression in
+               both engines (caught by the r3 digest-parity property test)
   timestamp -> epoch microseconds as string (rendering-free)
   date      -> ISO string ("1995-01-02", probed identical)
   other     -> plain cast to string
@@ -29,7 +35,11 @@ _SEP = "|"
 def canonical_str(name: str, dtype: T.DataType) -> Column:
     col = F.col(name)
     if isinstance(dtype, T.DoubleType | T.FloatType):
-        s = F.round(col.cast("double"), 2).cast("decimal(18,2)").cast("string")
+        s = (
+            (F.floor(col.cast("double") * 100 + F.lit(0.5)) / 100)
+            .cast("decimal(18,2)")
+            .cast("string")
+        )
     elif isinstance(dtype, T.TimestampType):
         s = F.unix_micros(col).cast("string")
     elif isinstance(dtype, T.DateType):
@@ -75,7 +85,10 @@ def row_digest_fast(df: DataFrame, cols: list[str] | None = None) -> Column:
 
 def duckdb_canonical_str(name: str, dtype: T.DataType) -> str:
     if isinstance(dtype, T.DoubleType | T.FloatType):
-        s = f"cast(cast(round(cast({name} AS DOUBLE), 2) AS DECIMAL(18,2)) AS VARCHAR)"
+        s = (
+            f"cast(cast(floor(cast({name} AS DOUBLE) * 100 + 0.5) / 100"
+            f" AS DECIMAL(18,2)) AS VARCHAR)"
+        )
     elif isinstance(dtype, T.TimestampType):
         s = f"cast(epoch_us({name}) AS VARCHAR)"
     else:

@@ -821,3 +821,72 @@ def test_dhash_properties():
     assert ham <= 4
     # all values fit signed int64 (Spark LongType)
     assert all(0 <= h < 2**63 for h in hashes)
+
+
+def test_row_digest_cross_engine_parity_hypothesis(spark, oracle):
+    """The foundation of every sync oracle: functions/digests.py generates
+    the md5 canonical-string digest TWICE — as Spark Columns and as DuckDB
+    SQL — from one spec. Property: for adversarial values (negative
+    doubles, .xx5 rounding boundaries, NULLs, embedded separator chars,
+    unicode, huge timestamps) the two renderings produce byte-identical
+    digests row by row."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hdc_dataengineering_sqlsync_spark.functions.digests import (
+        duckdb_row_digest,
+        row_digest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    strings = st.one_of(
+        st.none(),
+        st.sampled_from(["", "|", "a|b", "<NULL>", "naïve £", "x" * 40]),
+        st.text(alphabet="ab|<>", max_size=6),
+    )
+    doubles = st.one_of(
+        st.none(),
+        st.sampled_from([0.0, -0.005, 1.005, 2.675, -123.456, 1e9, -1e-9]),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    )
+    stamps = st.one_of(
+        st.none(),
+        st.datetimes(
+            min_value=dt.datetime(1970, 1, 2), max_value=dt.datetime(2100, 1, 1)
+        ),
+    )
+    row = st.tuples(st.integers(min_value=-10, max_value=10**12), strings, doubles, stamps)
+    frame = st.lists(row, min_size=1, max_size=6, unique_by=lambda r: r[0])
+
+    dg_sql = duckdb_row_digest(schema)
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rows=frame)
+    def prop(rows):
+        sdf = spark.createDataFrame(rows, schema)
+        got = {
+            r["k"]: r["dg"]
+            for r in sdf.select("k", row_digest(sdf).alias("dg")).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (k BIGINT, s VARCHAR, d DOUBLE, ts TIMESTAMP)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+        want = dict(con.execute(f"SELECT k, {dg_sql} FROM t").fetchall())
+        con.close()
+        assert got == want
+
+    prop()
