@@ -863,8 +863,9 @@ def test_row_digest_cross_engine_parity_hypothesis(spark, oracle):
     )
     stamps = st.one_of(
         st.none(),
+        # pre-1970 included: negative epoch-microsecond rendering must agree
         st.datetimes(
-            min_value=dt.datetime(1970, 1, 2), max_value=dt.datetime(2100, 1, 1)
+            min_value=dt.datetime(1923, 1, 2), max_value=dt.datetime(2100, 1, 1)
         ),
     )
     row = st.tuples(st.integers(min_value=-10, max_value=10**12), strings, doubles, stamps)
