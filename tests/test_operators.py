@@ -891,3 +891,29 @@ def test_row_digest_cross_engine_parity_hypothesis(spark, oracle):
         assert got == want
 
     prop()
+
+
+def test_normalize_oracle_rounding_parser():
+    """plans/catalog.py::normalize_oracle_rounding — the rewrite every
+    declared oracle passes through. Nested rounds rewrite inside-out,
+    single-arg round() and bround() are untouched, and matching is
+    case-insensitive."""
+    from hdc_dataengineering_sqlsync_spark.plans.catalog import normalize_oracle_rounding as n
+
+    assert (
+        n("SELECT round(x, 2) FROM t")
+        == "SELECT cast(cast(x AS DECIMAL(38,2)) AS DOUBLE) FROM t"
+    )
+    # nested: inner first, then outer
+    assert n("round(round(x, 4), 2)") == (
+        "cast(cast(cast(cast(x AS DECIMAL(38,4)) AS DOUBLE) AS DECIMAL(38,2)) AS DOUBLE)"
+    )
+    # commas inside nested parens do not split the args
+    assert n("round(coalesce(a, b), 2)") == (
+        "cast(cast(coalesce(a, b) AS DECIMAL(38,2)) AS DOUBLE)"
+    )
+    # single-arg round and bround left alone
+    assert n("round(x)") == "round(x)"
+    assert n("bround(x, 2)") == "bround(x, 2)"
+    # case-insensitive
+    assert n("ROUND(x, 2)") == "cast(cast(x AS DECIMAL(38,2)) AS DOUBLE)"
