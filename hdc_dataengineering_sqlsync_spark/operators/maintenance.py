@@ -57,3 +57,34 @@ def compact_parquet(
             .parquet(dst)
         )
     return spark.read.parquet(dst)
+
+
+def repair_partitions(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    part_col: str,
+    parts: list[str],
+) -> None:
+    """Partition-level sync repair: rewrite ONLY the named partitions of the
+    parquet target from the source's rows, via dynamic partition overwrite —
+    untouched partitions' files are left physically in place (asserted in
+    tests by file-listing identity).
+
+    This is the 100 TB companion of the digest pre-pass
+    (plans/dataops.py::sync_partition_digest): after the coarse compare
+    flags diff partitions, repair cost tracks the CHANGED slice only —
+    no row-level merge, no full-table rewrite. Partitions present only in
+    the target (source-side drops of a whole partition) are not removed by
+    an overwrite that writes no rows for them; deployment pairs this with
+    an explicit partition-drop pass for that case.
+    """
+    if not parts:
+        return
+    repl = source.where(F.col(part_col).isin(parts))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        repl.write.mode("overwrite").partitionBy(part_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -917,3 +917,48 @@ def test_normalize_oracle_rounding_parser():
     assert n("bround(x, 2)") == "bround(x, 2)"
     # case-insensitive
     assert n("ROUND(x, 2)") == "cast(cast(x AS DECIMAL(38,2)) AS DOUBLE)"
+
+
+def test_repair_partitions_leaves_untouched_files_in_place(spark, sf_dir, tmp_path):
+    """operators/maintenance.py::repair_partitions — dynamic partition
+    overwrite must rewrite ONLY the flagged partitions: file listings of
+    untouched partitions are byte-for-byte the same paths afterwards, and
+    the repaired table equals source."""
+    import os
+
+    from hdc_dataengineering_sqlsync_spark.operators.maintenance import repair_partitions
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .withColumn("part", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"))
+    )
+    # drift two specific months' rows only
+    drifted = src.withColumn(
+        "o_orderstatus",
+        F.when(F.col("part").isin("1995-03", "1996-07"), "X").otherwise(F.col("o_orderstatus")),
+    )
+    path = str(tmp_path / "repair_target")
+    drifted.write.partitionBy("part").parquet(path)
+
+    def files_by_part():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("part="):
+                out[d] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    before = files_by_part()
+    repair_partitions(spark, src, path, "part", ["1995-03", "1996-07"])
+    after = files_by_part()
+
+    touched = {"part=1995-03", "part=1996-07"}
+    for part, files in before.items():
+        if part in touched:
+            assert after[part] != files, f"{part} should have been rewritten"
+        else:
+            assert after[part] == files, f"{part} should be untouched"
+
+    repaired = spark.read.parquet(path).select(*load(spark, sf_dir, "orders").columns)
+    source = load(spark, sf_dir, "orders")
+    assert repaired.exceptAll(source).count() == 0
+    assert source.exceptAll(repaired).count() == 0
