@@ -51,6 +51,13 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every Python<->JVM data transfer (toPandas, pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96 default:
+        # INT96 row groups carry NO min/max statistics, so a timestamp
+        # predicate can never skip row groups in files we write (probed via
+        # the parquet footer — test_sorted_layout_builds_skippable_row_groups)
+        # and INT96 is deprecated for interop. Matches the testdata's own
+        # timestamp[us] encoding.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Deterministic cross-engine timestamps (DuckDB oracle is UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         # Let Python DataSource readers receive pushed filters

@@ -420,3 +420,61 @@ def test_bucketed_snapshot_diff_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_sync_src")
         spark.sql("DROP TABLE IF EXISTS b_sync_tgt")
+
+
+def test_sorted_layout_builds_skippable_row_groups(spark, sf_dir, tmp_path):
+    """Data-layout lever for 100 TB scans: writing the fact table SORTED on
+    the hot filter column with bounded row-group size yields parquet
+    zone maps (per-group min/max) that are nearly disjoint, and the filter
+    is pushed to the scan — so a narrow date predicate physically skips
+    most row groups. Asserted from the parquet footer (layout) plus the
+    plan (pushdown), the two halves that together guarantee skipping."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "li_sorted")
+    (
+        load(spark, sf_dir, "lineitem")
+        .repartition(1)
+        .sortWithinPartitions("l_shipdate")
+        .write.option("parquet.block.size", 65536)
+        .parquet(out)
+    )
+    import os
+
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    meta = pq.ParquetFile(f"{out}/{part}").metadata
+    assert meta.num_row_groups >= 5, "fixture too small to form multiple row groups"
+    idx = [
+        c for c in range(meta.row_group(0).num_columns)
+        if meta.row_group(0).column(c).path_in_schema == "l_shipdate"
+    ][0]
+    # TIMESTAMP_MICROS (session.py) — the legacy INT96 default would leave
+    # statistics=None here and timestamp predicates could never skip groups
+    stats = [meta.row_group(g).column(idx).statistics for g in range(meta.num_row_groups)]
+    assert all(s is not None for s in stats), "no zone maps written for l_shipdate"
+
+    def naive(t):
+        return t.replace(tzinfo=None)
+
+    spans = [(naive(s.min), naive(s.max)) for s in stats]
+    # sorted write => consecutive groups' ranges are ordered (allow boundary touch)
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max <= b_min or a_min <= b_min, (a_max, b_min)
+    cutoff = dt.datetime(1996, 1, 1)
+    overlapping = sum(1 for lo, hi in spans if lo < cutoff)
+    assert overlapping < meta.num_row_groups, "no group is skippable"
+
+    df = spark.read.parquet(out).where(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    plan = _explain(df)
+    assert "LessThan(l_shipdate" in plan  # predicate reaches the scan
+    want = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .count()
+    )
+    assert df.count() == want
