@@ -58,6 +58,12 @@ def get_session(
         # and INT96 is deprecated for interop. Matches the testdata's own
         # timestamp[us] encoding.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # zstd over the snappy default for engine writes: measured on sf0.1
+        # lineitem (r3) 10.7 MB -> 8.6 MB (-20%) at equal-or-faster write
+        # and read times. At the 100 TB target that is 20% less storage,
+        # scan I/O, and sync-transfer volume for free (zstd-jni ships in
+        # Spark's classpath; pyarrow/DuckDB read zstd parquet natively).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Deterministic cross-engine timestamps (DuckDB oracle is UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         # Let Python DataSource readers receive pushed filters
