@@ -8,6 +8,8 @@ top of the core catalog:
                   dq_profile_columns, sync_conflict_lww, sync_missing_keys,
                   sync_partition_repair
   2.5 windows     win_cumulative_distinct
+  2.4 aggs        agg_decimal_exact
+  2.7 scalar fns  fn_try_arithmetic
   2.3 joins       join_skew_salted, join_range_bucketized, hier_flatten_path
   2.9 llm-data    text_pii_redact, text_importance_weights,
                   mix_sampling_weights, multimodal_phash_dedup
@@ -1185,3 +1187,73 @@ def sync_partition_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("diff").alias("status"),
     )
     return out.orderBy("part")
+
+
+_DECIMAL_EXACT_ORACLE = """
+SELECT l_returnflag,
+       sum(cast(floor(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS gross,
+       sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS net,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("agg_decimal_exact", "2.4 aggregations", _DECIMAL_EXACT_ORACLE)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money done right at 100 TB: amounts convert to DECIMAL(18,2) at the
+    scan (via the tie-safe floor formula, since the fixture stores doubles)
+    and every aggregate is EXACT integer decimal arithmetic — the result is
+    identical for any aggregation order, partitioning, or retry, unlike
+    double sums whose ulp drift depends on all three. The output stays
+    DECIMAL end-to-end (both engines render sum(DECIMAL(18,2)) with scale
+    2), so the t2 compare needs no rounding convention at all.
+
+    Scale: decimal sums are map-side combinable like any sum; the cost of
+    exactness is a 128-bit accumulator — noise next to shuffle I/O.
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def money(col):
+        return (F.floor(col * 100 + F.lit(0.5)) / 100).cast("decimal(18,2)")
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(money(F.col("l_extendedprice"))).alias("gross"),
+            F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("net"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) - count(l_extendedprice / nullif(l_discount, 0.0)) AS BIGINT) AS n_null_ratio,
+       round(avg(l_extendedprice / nullif(l_discount, 0.0)), 2) AS avg_ratio,
+       round(sum(l_quantity / nullif(l_tax, 0.0)), 2) AS sum_qty_per_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("fn_try_arithmetic", "2.7 scalar functions", _TRY_ARITH_ORACLE)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: ``try_divide`` yields NULL instead of
+    raising (or silently producing inf) on zero denominators — the ANSI-mode
+    -friendly form a pipeline uses so one bad row cannot fail a 100 TB job.
+    DuckDB's equivalent spelling is ``x / nullif(y, 0)``; the per-flag
+    rollup counts the rows the guard nulled out and aggregates the
+    survivors.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0)))
+    qpt = F.try_divide(F.col("l_quantity"), F.nullif(F.col("l_tax"), F.lit(0.0)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.count(F.lit(1)) - F.count(ratio)).alias("n_null_ratio"),
+            F.round(F.avg(ratio), 2).alias("avg_ratio"),
+            F.round(F.sum(qpt), 2).alias("sum_qty_per_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
