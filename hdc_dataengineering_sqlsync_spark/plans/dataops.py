@@ -10,6 +10,7 @@ top of the core catalog:
   2.5 windows     win_cumulative_distinct
   2.4 aggs        agg_decimal_exact
   2.7 scalar fns  fn_try_arithmetic
+  2.1 scans       pyds_custom_sink
   2.3 joins       join_skew_salted, join_range_bucketized, hier_flatten_path
   2.9 llm-data    text_pii_redact, text_importance_weights,
                   mix_sampling_weights, multimodal_phash_dedup
@@ -1257,3 +1258,46 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_PYDS_SINK_ORACLE = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("pyds_custom_sink", "2.1 scans", _PYDS_SINK_ORACLE)
+def pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE round-trip through a custom Python DataSource WRITER
+    (sources/pydatasource.py::JsonLinesSinkDataSource) — the sink half of
+    the Spark-4 Python DataSource surface, complementing the batch reader
+    (pyds_custom_source) and stream reader (pyds_stream_source): the
+    per-status orders rollup writes task-parallel through the DSv2
+    two-phase commit (staged files -> driver commit rename + _SUCCESS),
+    then the committed files read back and hash-match the oracle computed
+    straight from orders. A lost partition, torn write, or missed commit
+    breaks the match.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import (
+        JsonLinesSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    tag = hashlib.md5(f"pysink:{sf_dir}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"hdc_pysink_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    agg.repartition(3).write.format("jsonl_sink").option("path", path).mode("append").save()
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    back = spark.read.schema("o_orderstatus string, n bigint, total double").json(path)
+    return back.orderBy("o_orderstatus")

@@ -24,10 +24,12 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SOURCE_NAME = "synthetic_events"
@@ -117,3 +119,93 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay for recovery: offsets fully define the data
         return iter(self._rows(int(start["i"]), int(end["i"])))
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER — the sink half of the extensibility surface.
+
+
+SINK_NAME = "jsonl_sink"
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` — a
+    pure-Python batch SINK with the DSv2 two-phase commit protocol:
+
+      1. each task streams its partition to a STAGED file
+         (``_staged_<uuid>.jsonl``) and returns the staged name in its
+         commit message;
+      2. the driver's ``commit`` renames every staged file into place and
+         writes ``_SUCCESS`` — so readers never observe a torn write, and
+         a failed/speculated task's orphan staging is ignored (``abort``
+         removes it).
+
+    This is the transport shape for bespoke export targets (an ingest API,
+    a proprietary loader): swap the file write for the API call and the
+    task-parallel + atomic-commit mechanics carry over. Parallelism = input
+    partitions; no driver bottleneck.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return SINK_NAME
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(self.options, schema, overwrite)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        # runs on executors: stream the partition to a staged file
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = f"_staged_{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, staged), "w") as f:
+            for row in iterator:
+                rec = {k: row[k] for k in self.fields}
+                f.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return JsonLinesCommit(staged=staged, n_rows=n)
+
+    def commit(self, messages) -> None:
+        # driver: atomically promote every staged file, then mark success
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            os.replace(
+                os.path.join(self.path, m.staged),
+                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.staged))
+                except OSError:
+                    pass
+
+
+class JsonLinesCommit(WriterCommitMessage):
+    def __init__(self, staged: str, n_rows: int) -> None:
+        self.staged = staged
+        self.n_rows = n_rows
