@@ -11,6 +11,7 @@ top of the core catalog:
   2.4 aggs        agg_decimal_exact
   2.7 scalar fns  fn_try_arithmetic
   2.1 scans       pyds_custom_sink
+  plus fn_variant_semistructured (2.7) and pipeline_observe_metrics (2.8)
   2.3 joins       join_skew_salted, join_range_bucketized, hier_flatten_path
   2.9 llm-data    text_pii_redact, text_importance_weights,
                   mix_sampling_weights, multimodal_phash_dedup
@@ -1301,3 +1302,79 @@ def pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     back = spark.read.schema("o_orderstatus string, n bigint, total double").json(path)
     return back.orderBy("o_orderstatus")
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("fn_variant_semistructured", "2.7 scalar functions", _VARIANT_ORACLE)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via Spark 4's VARIANT type: the JSON props
+    column parses ONCE into a binary variant (`parse_json`) and typed
+    fields extract with `variant_get` — unlike per-path string re-parsing
+    (`get_json_object`, cf. fn_json_extract), the parse cost is paid once
+    per row regardless of how many paths are read, which is the 100 TB
+    difference for wide semi-structured payloads. Output is plain scalars
+    (the variant never crosses the t2 boundary, per SURVEY conventions).
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_OBSERVE_ORACLE = """
+SELECT * FROM (
+  SELECT 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value
+  FROM lineitem WHERE l_quantity > 10
+  UNION ALL
+  SELECT 'sum_qty', round(sum(l_quantity), 2)
+  FROM lineitem WHERE l_quantity > 10
+)
+ORDER BY metric
+"""
+
+
+@query("pipeline_observe_metrics", "2.8 sync core", _OBSERVE_ORACLE)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability without a second scan: ``df.observe()``
+    attaches named aggregates that are computed DURING the main action —
+    the mechanism a sync job uses to count/checksum the rows it writes
+    without re-reading 100 TB for validation (cf. sync_rowcount_validate,
+    which is the re-scan form). The observed metrics are returned as the
+    declared result and must equal the oracle's independently-computed
+    aggregates; the metric values ride the driver as scalars (that IS the
+    API — metrics, not data).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("sync_write_metrics")
+    filtered = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 10)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+    filtered.write.format("noop").mode("overwrite").save()  # the "sync write"
+    m = obs.get
+    return spark.createDataFrame(
+        [("n_rows", float(m["n_rows"])), ("sum_qty", float(m["sum_qty"]))],
+        "metric string, value double",
+    ).orderBy("metric")
