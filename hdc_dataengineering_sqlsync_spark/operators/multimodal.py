@@ -177,9 +177,9 @@ def dhash64(pixels, resize_fn) -> int:
 
     small = resize_fn(pixels, 9, 8)
     gray = small.astype(np.int32).mean(axis=2)
-    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint64).ravel()
-    h = np.uint64(0)
-    for b in bits:
-        h = (h << np.uint64(1)) | b
+    bits = (gray[:, 1:] > gray[:, :-1]).ravel()
+    # vectorized pack (a per-bit Python loop would dominate the hot path)
+    weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+    h = np.uint64(np.sum(weights[bits.astype(bool)], dtype=np.uint64))
     # fold the sign bit so the value round-trips through Spark LongType
     return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))

@@ -12,9 +12,11 @@ Scale design
   never another pass over 100 TB.
 * UNIQUE rules are one hash aggregate on the declared key (count vs distinct
   count) — map-side partial aggregation applies.
-* FK rules are one left-anti join per rule; the parent side is typically a
-  dimension and is explicitly broadcast when small (caller passes
-  ``broadcast_parent=True``), so the 100 TB fact side never shuffles.
+* FK rules are ONE scan of the child per rule (left join against the
+  broadcast deduplicated parent keyset + a single conditional aggregate);
+  the parent side is typically a dimension and is explicitly broadcast
+  when small (``broadcast_parent=True``), so the 100 TB fact side never
+  shuffles and is never read twice.
 * The report itself is a union of 1-row aggregates — negligible.
 """
 
@@ -66,12 +68,17 @@ def row_rules_report(df: DataFrame, rules: list[RowRule]) -> DataFrame:
 
 def unique_report(df: DataFrame, name: str, key: list[str]) -> DataFrame:
     """Key-uniqueness audit: violations = rows beyond the first per key
-    (count(*) - count(distinct key)) — one hash aggregate."""
+    (count(*) - count(distinct key)) — one hash aggregate.
+
+    The distinct count runs over a STRUCT of the key so NULL key tuples
+    are retained as distinct values (SQL `SELECT DISTINCT` semantics, and
+    what the paired DuckDB oracle computes) — a bare countDistinct would
+    silently drop NULL-keyed rows and over-count violations."""
     return df.agg(
         _report_row(
             name,
             F.count(F.lit(1)),
-            F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in key]),
+            F.count(F.lit(1)) - F.countDistinct(F.struct(*[F.col(k) for k in key])),
         ).alias("r")
     ).select("r.*")
 
@@ -85,16 +92,24 @@ def fk_orphans_report(
     broadcast_parent: bool = True,
 ) -> DataFrame:
     """Referential-integrity audit: child rows (with non-null key) whose key
-    has no parent. One left-anti join; parent broadcast when it is a
-    dimension so the fact side never shuffles."""
+    has no parent. ONE scan of the child: a left join against the
+    (broadcast, deduplicated) parent keyset, then a single conditional
+    aggregate counts checked rows and parent-misses together — the
+    anti-join + separate count formulation would scan the 100 TB fact side
+    twice."""
     non_null = child.na.drop(subset=keys)
-    p = parent.select(*[F.col(pk).alias(f"__p_{i}") for i, pk in enumerate(parent_keys)])
+    p = parent.select(
+        *[F.col(pk).alias(f"__p_{i}") for i, pk in enumerate(parent_keys)]
+    ).dropDuplicates()
     if broadcast_parent:
         p = F.broadcast(p)
     cond = [non_null[k] == p[f"__p_{i}"] for i, k in enumerate(keys)]
-    orphans = non_null.join(p, cond, "left_anti")
-    checked = non_null.agg(F.count(F.lit(1)).alias("__n"))
-    viol = orphans.agg(F.count(F.lit(1)).alias("__v"))
-    return checked.crossJoin(viol).select(
-        _report_row(name, F.col("__n"), F.col("__v")).alias("r")
+    joined = non_null.join(p, cond, "left")
+    missing = F.col("__p_0").isNull()
+    return joined.agg(
+        _report_row(
+            name,
+            F.count(F.lit(1)),
+            F.coalesce(F.sum(missing.cast("long")), F.lit(0)),
+        ).alias("r")
     ).select("r.*")

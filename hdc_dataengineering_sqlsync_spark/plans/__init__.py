@@ -69,8 +69,10 @@ def _rotate_catalog() -> None:
     try:
         with open(_LEDGER) as f:
             ledger = json.load(f)
-    except OSError:
-        return  # no ledger (fresh checkout pre-round-1): keep layout order
+    except (OSError, ValueError):
+        # no ledger (fresh checkout) or malformed JSON (truncated write,
+        # bad merge): degrade to layout order instead of failing import
+        return
     stale = [q for q in ledger.get("stale", []) if q in CATALOG]
     failed = [q for q in ledger.get("failed", []) if q in CATALOG and q not in stale]
     green = set(ledger.get("green", []))

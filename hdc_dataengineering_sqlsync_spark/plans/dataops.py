@@ -220,11 +220,18 @@ ORDER BY part
 """
 
 
-def _partition_digest(df: DataFrame) -> DataFrame:
-    dg_int = F.conv(F.substring(row_digest(df), 1, 15), 16, 10).cast("long")
+def _partition_digest(df: DataFrame, part_expr=None) -> DataFrame:
+    """(part, n, dg) per partition: count + XOR of a 60-bit prefix of the
+    cross-engine row digest over the orders columns. ONE definition for
+    both the detect (sync_partition_digest) and repair
+    (sync_partition_repair) halves — the digest scheme cannot drift
+    between them."""
+    cols = list(SCHEMAS["orders"].fieldNames())
+    dg_int = F.conv(F.substring(row_digest(df, cols), 1, 15), 16, 10).cast("long")
+    part = part_expr if part_expr is not None else F.date_trunc("month", "o_orderdate")
     return (
         df.withColumn("_dgi", dg_int)
-        .groupBy(F.date_trunc("month", "o_orderdate").alias("part"))
+        .groupBy(part.alias("part"))
         .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_dgi)").alias("dg"))
     )
 
@@ -1054,7 +1061,7 @@ def sync_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("k")
     g = t.select("k", (F.col("k") - F.lag("k").over(w) - 1).alias("gap_len"))
     return g.agg(
-        F.sum((F.col("gap_len") > 0).cast("long")).alias("n_gaps"),
+        F.coalesce(F.sum((F.col("gap_len") > 0).cast("long")), F.lit(0)).alias("n_gaps"),
         F.coalesce(F.sum(F.when(F.col("gap_len") > 0, F.col("gap_len"))), F.lit(0)).alias("total_missing"),
         F.coalesce(F.max("gap_len"), F.lit(0)).alias("max_gap"),
         F.min("k").alias("key_lo"),
@@ -1125,13 +1132,7 @@ def _with_month_part(df: DataFrame) -> DataFrame:
 
 
 def _part_digests(df: DataFrame) -> DataFrame:
-    cols = [c for c in SCHEMAS["orders"].fieldNames()]
-    dg_int = F.conv(F.substring(row_digest(df, cols), 1, 15), 16, 10).cast("long")
-    return (
-        df.withColumn("_dgi", dg_int)
-        .groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_dgi)").alias("dg"))
-    )
+    return _partition_digest(df, part_expr=F.col("part"))
 
 
 @query("sync_partition_repair", "2.8 sync core", _REPAIR_ORACLE)

@@ -179,17 +179,20 @@ class JsonLinesWriter(DataSourceWriter):
         return JsonLinesCommit(staged=staged, n_rows=n)
 
     def commit(self, messages) -> None:
-        # driver: atomically promote every staged file, then mark success
+        # driver: atomically promote every staged file, then mark success.
+        # Final names keep the staged uuid so an APPEND onto a previously
+        # committed directory can never clobber or interleave with existing
+        # part files (an index-based rename would).
         import os
 
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.startswith("part-") and f.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, f))
-        for i, m in enumerate(messages):
+        for m in messages:
             os.replace(
                 os.path.join(self.path, m.staged),
-                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                os.path.join(self.path, f"part-{m.staged[len('_staged_'):]}"),
             )
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass

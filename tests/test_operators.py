@@ -731,9 +731,10 @@ def test_quality_rules_detect_known_violations(spark):
     assert rows["k_not_null"] == (5, 1)
 
     uq = unique_report(child, "k_unique", ["k"]).collect()[0]
-    # 5 rows, 4 distinct k (1,2,3,NULL->distinct counts non-null: 3) — Spark
-    # countDistinct ignores nulls, so violations = 5 - 3 = 2 (the dup and the null)
-    assert (uq["n_checked"], uq["n_violations"]) == (5, 2)
+    # SELECT DISTINCT semantics: {1, 2, 3, NULL} = 4 distinct key tuples
+    # (the NULL tuple is retained, matching the DuckDB oracle), so the only
+    # violation is the duplicated k=1
+    assert (uq["n_checked"], uq["n_violations"]) == (5, 1)
 
     fk = fk_orphans_report(child, "k_fk", ["k"], parent, ["k"]).collect()[0]
     # null-key row excluded from the check; k=3 rows are orphans
@@ -962,3 +963,29 @@ def test_repair_partitions_leaves_untouched_files_in_place(spark, sf_dir, tmp_pa
     source = load(spark, sf_dir, "orders")
     assert repaired.exceptAll(source).count() == 0
     assert source.exceptAll(repaired).count() == 0
+
+
+def test_jsonl_sink_append_preserves_previous_commits(spark, tmp_path):
+    """Regression (r3 review finding): the Python DataSource writer's commit
+    must not clobber part files from a previous committed write — appends
+    rename staged files under their unique staged names, so two commits
+    coexist and a reader sees the union."""
+    import os
+
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import (
+        JsonLinesSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    out = str(tmp_path / "sink")
+    spark.range(0, 50).selectExpr("id", "id * 2 as v").repartition(3).write.format(
+        "jsonl_sink"
+    ).option("path", out).mode("append").save()
+    spark.range(50, 80).selectExpr("id", "id * 2 as v").repartition(2).write.format(
+        "jsonl_sink"
+    ).option("path", out).mode("append").save()
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 5  # 3 + 2, nothing clobbered
+    back = spark.read.json(out)
+    assert back.count() == 80
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(80))

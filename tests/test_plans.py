@@ -460,9 +460,12 @@ def test_sorted_layout_builds_skippable_row_groups(spark, sf_dir, tmp_path):
         return t.replace(tzinfo=None)
 
     spans = [(naive(s.min), naive(s.max)) for s in stats]
-    # sorted write => consecutive groups' ranges are ordered (allow boundary touch)
-    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
-        assert a_max <= b_min or a_min <= b_min, (a_max, b_min)
+    # sorted write => group minima are non-decreasing AND most consecutive
+    # groups are fully disjoint (a lost sort would overlap nearly all of
+    # them — a min-only check is satisfiable by overlapping ranges)
+    assert all(a[0] <= b[0] for a, b in zip(spans, spans[1:]))
+    disjoint = sum(1 for a, b in zip(spans, spans[1:]) if a[1] <= b[0])
+    assert disjoint >= (len(spans) - 1) * 0.8, f"{disjoint}/{len(spans) - 1} disjoint"
     cutoff = dt.datetime(1996, 1, 1)
     overlapping = sum(1 for lo, hi in spans if lo < cutoff)
     assert overlapping < meta.num_row_groups, "no group is skippable"
