@@ -178,6 +178,11 @@ def pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     without running the source."""
     from hdc_dataengineering_sqlsync_spark.sources.pydatasource import register
 
+    # The reader implements pushFilters(), and PySpark 4.1 refuses to plan
+    # such a reader unless this conf is on. It is runtime-settable, and the
+    # external driver's session (unlike session.py's) does not set it — so it
+    # must be set here, in-function, to be environment-independent.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register(spark)
     df = spark.read.format("synthetic_events").option("rows", 10000).option("partitions", 8).load()
     return (
@@ -198,10 +203,12 @@ def pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter pushdown INTO a Python data source: the reader's pushFilters
     accepts `bucket = 3`, so non-matching rows are never generated (for a
     network transport: never transferred) — the DSv2 pushdown contract from
-    pure Python. Requires spark.sql.python.filterPushdown.enabled
-    (session.py)."""
+    pure Python. Requires spark.sql.python.filterPushdown.enabled — set
+    here in-function (runtime-settable) so a vanilla driver session plans
+    the reader without session.py's confs."""
     from hdc_dataengineering_sqlsync_spark.sources.pydatasource import register
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register(spark)
     df = spark.read.format("synthetic_events").option("rows", 10000).option("partitions", 8).load()
     return df.where(F.col("bucket") == 3).agg(
