@@ -316,6 +316,11 @@ def minhash_signature(shingle_hashes: Column, n_hashes: int = 12) -> Column:
     for the LSH-components pipeline — single-partition shingle construction
     dominates there, a local-fixture artifact); the md5 dedup matters
     proportionally as n_hashes grows past the default 12.
+
+    An EMPTY ``shingle_hashes`` array yields ``[MINHASH_P] * n_hashes``
+    (the fold's identity element), not NULLs — every internal caller
+    filters ``size > 0`` first (empty docs have no signature), so direct
+    callers must do the same or treat the identity vector as "no shingles".
     """
     a_consts = F.array(*[F.lit(a) for a, _ in MINHASH_AB[:n_hashes]])
     b_consts = F.array(*[F.lit(b) for _, b in MINHASH_AB[:n_hashes]])

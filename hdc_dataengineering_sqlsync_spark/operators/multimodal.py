@@ -171,7 +171,10 @@ def dhash64(pixels, resize_fn) -> int:
     Pure integer/numpy; byte-identical across runs and partitionings, so
     equal images always collide and near-identical images land within a
     small hamming distance (the property near-dup image dedup keys on).
-    Returns a non-negative int that fits signed int64 (top bit folded).
+    Returns a non-negative int that fits signed int64: the top gradient bit
+    is DROPPED (masked to zero), leaving an effective 63-bit hash — two
+    images differing only in that first gradient collide, which near-dup
+    banding tolerates by design.
     """
     import numpy as np
 
@@ -181,5 +184,5 @@ def dhash64(pixels, resize_fn) -> int:
     # vectorized pack (a per-bit Python loop would dominate the hot path)
     weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
     h = np.uint64(np.sum(weights[bits.astype(bool)], dtype=np.uint64))
-    # fold the sign bit so the value round-trips through Spark LongType
+    # drop the sign bit so the value round-trips through Spark LongType
     return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))

@@ -34,7 +34,15 @@ REPORT_COLS = ("rule_name", "n_checked", "n_violations")
 
 @dataclass(frozen=True)
 class RowRule:
-    """A named per-row predicate that must hold (``ok`` True == no violation)."""
+    """A named per-row predicate that must hold (``ok`` True == no violation).
+
+    SQL three-valued logic applies: a predicate that evaluates to NULL
+    (e.g. ``qty > 0`` on a NULL qty) is counted as a PASS, because ``~NULL``
+    stays NULL and ``sum`` skips it — the same answer an ANSI engine gives
+    for ``sum(CASE WHEN NOT ok THEN 1 END)``. If NULL should mean violation,
+    write the rule's NULL handling explicitly, e.g.
+    ``ok=F.coalesce(qty > 0, F.lit(False))`` or ``ok=qty.isNotNull() & (qty > 0)``.
+    """
 
     name: str
     ok: Column

@@ -116,18 +116,48 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric RANGE frame: all peers with quantity in [current-5, current]
     count, independent of row position — value-based, not row-based.
 
-    Scale note (SCALE.md): the 3-value partition key caps window
-    parallelism at 3 tasks — this qid exercises the RANGE-frame API; at
-    production scale value-RANGE frames belong on high-cardinality keys
-    (win_range_time partitions per user), and a low-cardinality global
-    ranking should be re-posed as an aggregate or pre-bucketed."""
+    Scale-safe rewrite (round 4): a literal window over partitionBy
+    (l_returnflag) caps parallelism at 3 tasks and sorts every row twice —
+    10.2s at sf0.1 and worse at scale. Because the frame is a COUNT over a
+    value band, the same answer decomposes relationally:
+
+      1. collapse to distinct (flag, quantity) cells with their row counts
+         (map-side partial agg; output is bounded by value cardinality,
+         not row count);
+      2. bounded cell self-join: width-5 buckets, each value row exploded
+         to (cell, cell+1) so every [q-5, q] band meets its candidates in
+         exactly one equi-join cell — the `join_range_bucketized`
+         technique, never all-pairs;
+      3. broadcast the tiny per-value band counts back onto lineitem —
+         a map-side join at full scan parallelism; the fact table is
+         never window-sorted.
+
+    Hash-identical to the window form (exact integer counts)."""
+    width = 5
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-5, 0)
-    return li.select(
+    vals = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    cell = F.floor(F.col("l_quantity") / width).cast("long")
+    need = vals.select("l_returnflag", "l_quantity", cell.alias("cell"))
+    # a value v answers bands for q in [v, v+width] -> cell(q) is cell(v) or cell(v)+1
+    cand = vals.select(
         "l_returnflag",
-        "l_quantity",
-        F.count(F.lit(1)).over(w).alias("cnt_within_5"),
-    ).orderBy("l_returnflag", "l_quantity")
+        F.col("l_quantity").alias("q2"),
+        "n",
+        F.explode(F.array(cell, cell + F.lit(1))).alias("cell"),
+    )
+    band = (
+        need.join(cand, ["l_returnflag", "cell"])
+        .where(
+            (F.col("q2") >= F.col("l_quantity") - width) & (F.col("q2") <= F.col("l_quantity"))
+        )
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.sum("n").alias("cnt_within_5"))
+    )
+    return (
+        li.select("l_returnflag", "l_quantity")
+        .join(F.broadcast(band), ["l_returnflag", "l_quantity"])
+        .orderBy("l_returnflag", "l_quantity")
+    )
 
 
 @query(

@@ -194,6 +194,16 @@ class JsonLinesWriter(DataSourceWriter):
                 os.path.join(self.path, m.staged),
                 os.path.join(self.path, f"part-{m.staged[len('_staged_'):]}"),
             )
+        # staged files not in `messages` are orphans from retried/speculated
+        # tasks whose commit message was never collected — readers already
+        # ignore underscore-prefixed files, but reap them so appends don't
+        # accumulate dead bytes in the directory forever.
+        for f in os.listdir(self.path):
+            if f.startswith("_staged_") and f.endswith(".jsonl"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 

@@ -6,7 +6,16 @@ compares against ``oracle_sql()[qid]`` in DuckDB (row-count + schema +
 order-insensitive values). Prints one line per qid and a summary; exit 1 on
 any mismatch.
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python scripts/driver_sim.py [--vanilla] [sf_dir]
+       (default sf_dir /root/testdata/sf0.01)
+
+``--vanilla`` builds a bare ``SparkSession.builder.master("local[*]")``
+session with NONE of session.py's confs — the same environment the external
+driver runs in. Round 3 proved why this matters: two Python-DataSource qids
+passed every local check under ``get_session()`` (which enables
+``spark.sql.python.filterPushdown.enabled``) and then errored in the
+driver's plain session. The vanilla sweep is the pre-submission gate; any
+conf a query needs must be set inside that query's own function.
 """
 
 from __future__ import annotations
@@ -19,10 +28,11 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+VANILLA = len(argv) != len(sys.argv) - 1
+SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
 
 import __spark_entry__ as entry_mod
-from hdc_dataengineering_sqlsync_spark.session import get_session
 from hdc_dataengineering_sqlsync_spark.testing import (
     compare_results,
     duckdb_connect,
@@ -31,8 +41,20 @@ from hdc_dataengineering_sqlsync_spark.testing import (
 )
 
 
+def make_session():
+    if VANILLA:
+        from pyspark.sql import SparkSession
+
+        return SparkSession.builder.master("local[*]").appName("driver_sim_vanilla").getOrCreate()
+    from hdc_dataengineering_sqlsync_spark.session import get_session
+
+    return get_session(app_name="driver_sim")
+
+
 def main() -> int:
-    spark = get_session(app_name="driver_sim")
+    spark = make_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"session: {'VANILLA (driver-like, no session.py confs)' if VANILLA else 'get_session()'}")
     con = duckdb_connect(SF_DIR)
 
     t0 = time.time()

@@ -1009,3 +1009,43 @@ def test_jsonl_sink_append_preserves_previous_commits(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 80
     assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(80))
+
+
+def test_jsonl_sink_commit_reaps_orphaned_staged_files(spark, tmp_path):
+    """r3 advice: staged files from retried/speculated tasks whose commit
+    message was never collected must not accumulate — commit() reaps any
+    leftover _staged_*.jsonl after promoting the committed ones."""
+    import os
+
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import (
+        JsonLinesSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    # simulate a speculated task's leftover from an earlier write
+    with open(os.path.join(out, "_staged_deadbeef.jsonl"), "w") as f:
+        f.write('{"id": 999}\n')
+    spark.range(0, 10).write.format("jsonl_sink").option("path", out).mode("append").save()
+    leftover = [f for f in os.listdir(out) if f.startswith("_staged_")]
+    assert leftover == []
+    assert spark.read.json(out).count() == 10  # orphan rows never surface
+
+
+def test_win_range_frame_matches_window_form(spark, sf_dir):
+    """The r4 scale-safe rewrite (distinct-value cells + bounded cell
+    self-join + broadcast join-back) must be row-identical to the literal
+    RANGE-frame window it replaces."""
+    from pyspark.sql import Window
+
+    from hdc_dataengineering_sqlsync_spark.plans.windows import win_range_frame
+
+    got = win_range_frame(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-5, 0)
+    want = li.select(
+        "l_returnflag", "l_quantity", F.count(F.lit(1)).over(w).alias("cnt_within_5")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
