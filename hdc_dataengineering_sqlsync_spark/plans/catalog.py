@@ -84,18 +84,42 @@ def normalize_oracle_rounding(sql: str) -> str:
     return "".join(out)
 
 
+def _pin_utc(fn: SparkFn) -> SparkFn:
+    """Pin ``spark.sql.session.timeZone=UTC`` around every catalog query.
+
+    The testdata's temporal columns are parquet timestamps WITHOUT UTC
+    adjustment, which Spark reads as TIMESTAMP_LTZ — so date extraction,
+    window bucketing, and date-range filters all shift with the machine TZ,
+    while the DuckDB oracle reads the same bytes as naive wall times. The
+    round-4 TZ sweep (``TZ=America/New_York scripts/driver_sim.py
+    --vanilla``) showed 29 qids diverging this way. The catalog therefore
+    declares UTC temporal semantics: deterministic output on any machine,
+    and a no-op under the driver's UTC environment.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query_fn")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def query(qid: str, family: str, oracle: str | None, bench: bool = False) -> Callable[[SparkFn], SparkFn]:
     """Decorator registering a Spark query fn + its oracle under ``qid``.
 
     The oracle SQL is normalized so DuckDB's rounding matches Spark's (see
-    ``normalize_oracle_rounding``).
+    ``normalize_oracle_rounding``); the Spark fn is wrapped to pin the
+    session timezone to UTC (see ``_pin_utc``).
     """
 
     def deco(fn: SparkFn) -> SparkFn:
         if qid in CATALOG:
             raise ValueError(f"duplicate qid {qid!r}")
         norm = normalize_oracle_rounding(oracle) if oracle else oracle
-        CATALOG[qid] = Query(qid=qid, fn=fn, oracle=norm, family=family, bench=bench)
+        CATALOG[qid] = Query(qid=qid, fn=_pin_utc(fn), oracle=norm, family=family, bench=bench)
         return fn
 
     return deco

@@ -96,7 +96,9 @@ ORDER BY rule_name
 """
 
 
-@query("dq_constraint_report", "2.8 sync core", _DQ_ORACLE)
+# bench=True: VERDICT r3 #6 — star one data-ops qid so the newest family has
+# a round-over-round baseline gate like the others
+@query("dq_constraint_report", "2.8 sync core", _DQ_ORACLE, bench=True)
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint audit (operators/quality.py): NOT NULL, domain,
     positivity, key uniqueness, and referential integrity over orders +

@@ -380,7 +380,10 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix=f"hdc_late_{uuid.uuid4().hex[:8]}_")
     src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
-    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # tz-aware: createDataFrame interprets NAIVE datetimes in the PYTHON
+    # process TZ (not the pinned session TZ), which shifts the instants —
+    # and thus the window boundaries — on a non-UTC machine (r4 TZ sweep)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
     schema = "event_id long, ts timestamp"
 
     def run_phase(rows) -> None:

@@ -111,6 +111,7 @@ def win_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     ORDER BY l_returnflag, l_quantity
     """,
+    bench=True,  # starred in r4 to gate the scale-safe rewrite (was 10.2s at sf0.1)
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric RANGE frame: all peers with quantity in [current-5, current]

@@ -44,8 +44,32 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def spark_result(df: DataFrame) -> tuple[list[str], list[tuple]]:
+    """Collect a Spark result the way the driver's UTC environment would.
+
+    ``collect()`` renders TIMESTAMP (LTZ) instants as wall times in the
+    PYTHON PROCESS timezone — a display-layer conversion the session conf
+    cannot pin. The driver always runs under TZ=UTC, so normalize aware or
+    machine-local datetimes back to UTC wall time here; otherwise a local
+    ``TZ=America/New_York`` sweep reports 5h-shifted timestamps that the
+    real driver would never see (r4 TZ sweep). DATE and TIMESTAMP_NTZ
+    values pass through untouched.
+    """
+    import time as _time
+
     cols = list(df.columns)
-    rows = [tuple(row[c] for c in cols) for row in df.collect()]
+    ntz = {f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"}
+
+    def fix(v: Any, col: str) -> Any:
+        if isinstance(v, _dt.datetime) and col not in ntz:
+            if v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            # naive local wall time -> epoch via the process TZ -> UTC wall
+            return _dt.datetime.utcfromtimestamp(_time.mktime(v.timetuple())) + _dt.timedelta(
+                microseconds=v.microsecond
+            )
+        return v
+
+    rows = [tuple(fix(row[c], c) for c in cols) for row in df.collect()]
     return cols, rows
 
 

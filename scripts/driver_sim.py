@@ -28,8 +28,10 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-argv = [a for a in sys.argv[1:] if a != "--vanilla"]
-VANILLA = len(argv) != len(sys.argv) - 1
+flags = {a for a in sys.argv[1:] if a.startswith("--")}
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+VANILLA = "--vanilla" in flags
+EXEC_ONLY = "--exec-only" in flags  # run + collect every fn, skip the oracle
 SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
 
 import __spark_entry__ as entry_mod
@@ -69,7 +71,10 @@ def main() -> int:
         try:
             df = qs[qid](spark, SF_DIR)
             sc, sr = spark_result(df)
-            if qid in oracles:
+            if EXEC_ONLY:
+                status = f"ran ({len(sr)} rows)"
+                problems = []
+            elif qid in oracles:
                 dc, dr = duckdb_result(con, oracles[qid])
                 problems = compare_results(sc, sr, dc, dr)
                 status = "MATCH" if not problems else "MISMATCH: " + "; ".join(problems)
