@@ -52,11 +52,13 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     timeseries,
     udfs,
     workloads,
-    # dataops imports LAST deliberately: its round-3 additions must append to
-    # the END of the never-checked segment so the already-planned round-3
-    # driver window (the first 50 qids after rotation) is unchanged and the
-    # new qids enter the round-4 window (see module docstring).
+    # dataops, then roundfour, import LAST deliberately: each round's new
+    # qids must append to the END of the never-checked segment so the
+    # already-planned driver window (the first 50 qids after rotation) is
+    # unchanged and the new qids enter the NEXT round's window (see module
+    # docstring). New qids always go in the newest last-imported module.
     dataops,
+    roundfour,
 )
 
 _LEDGER = os.path.join(

@@ -1,0 +1,623 @@
+"""SURVEY.md §2 round-4 additions — 10 qids widening the families the r3
+verdict graded strongest: tolerance-bounded as-of join, bitemporal AS OF
+reconstruction, IQR outlier audit, passage-level exact dedup, URL
+canonicalization, temperature-scaled mixture weights, product-quantization
+ANN (ADC), retention cohorts, activity-streak islands, and a mergeable-HLL
+partial/union proof (rows-only).
+
+Registered AFTER dataops (plans/__init__.py) so the qids append to the END
+of the never-checked rotation segment and enter the round-5 driver window
+without evicting the planned round-4 one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+# --------------------------------------------------------------- 2.3 joins
+
+_ASOF_TOL_ORACLE = """
+SELECT event_id,
+       CASE WHEN prior_view_ts >= ts - INTERVAL 2 HOUR THEN prior_view_ts END
+         AS prior_view_ts
+FROM (
+  SELECT event_id, event_type, ts,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+  FROM events
+) WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@query("join_asof_tolerance", "2.3 joins", _ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof / kdb wj
+    semantics): the latest strictly-prior 'view' per user counts for a
+    purchase only when it happened within the last 2 hours — staler matches
+    become NULL instead of silently attributing ancient context. Same
+    single window pass as join_asof_prior_event (one shuffle on user_id,
+    no range join); the tolerance is a post-window map-side predicate, so
+    the 100 TB cost is identical to the unbounded as-of."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    return (
+        e.select("event_id", "event_type", "ts", prior_view.alias("pv"))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.when(
+                F.col("pv") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"), F.col("pv")
+            ).alias("prior_view_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ----------------------------------------------------------- 2.8 sync core
+
+_BITEMPORAL_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+           AS version
+  FROM events
+)
+SELECT event_type, count(*) AS n_users,
+       round(avg(version), 2) AS avg_version,
+       max(version) AS max_version
+FROM v
+WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("sync_bitemporal_asof", "2.8 sync core", _BITEMPORAL_ORACLE)
+def sync_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) snapshot reconstruction over the SCD2 interval
+    table sync_scd2_intervals builds: each user's version chain (valid_from
+    = event ts, valid_to = next event's ts) filtered to the single version
+    live at T = 2024-01-15 12:00 — `valid_from <= T < valid_to` with the
+    open version unbounded. This is the time-travel read a sync target
+    without a transactional table format still needs; at 100 TB the
+    interval build is the same one-window pass as SCD2 and the AS OF is a
+    map-side filter (never a join), so snapshot cost tracks the table, not
+    the history depth. Output: per event-type census of the live versions
+    (exactly one per user active before T)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    v = e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    )
+    live = v.where(
+        (F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+    return (
+        live.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("version"), 2).alias("avg_version"),
+            F.max("version").alias("max_version"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_IQR_ORACLE = """
+WITH fences AS (
+  SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.25), 3) AS q1,
+         round(quantile_cont(o_totalprice, 0.75), 3) AS q3
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority AS priority, count(*) AS n,
+       CAST(sum(CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                       OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                             OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_frac
+FROM orders o JOIN fences f USING (o_orderpriority)
+GROUP BY priority ORDER BY priority
+"""
+
+
+@query("dq_outlier_iqr", "2.8 sync core", _IQR_ORACLE)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per group: exact interpolated quartiles of
+    o_totalprice per priority, 1.5×IQR fences, per-group outlier counts —
+    the distributional sibling of dq_constraint_report's rule audit.
+
+    Determinism: quartiles snap-round at scale 3 first (the agg_percentile
+    technique — interpolated 2-decimal money terminates at 3 decimals, and
+    the engines' interpolation formulas differ at ulp level), after which
+    `1.5*(q3-q1)` and the fence comparisons are identical IEEE arithmetic
+    on identical doubles in both engines. Shape: one grouped percentile
+    agg to #groups rows, broadcast back onto the scan (map-side fence
+    test), one partial+final count agg — two scans, no window sort."""
+    o = load(spark, sf_dir, "orders")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 3).alias("q1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 3).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        o.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.round(
+                F.sum(is_out.cast("long")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("outlier_frac"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ------------------------------------------------------------ 2.9 llm-data
+
+_PASSAGE_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ')) AS phash
+  FROM tok, unnest(range(0, CAST(floor(len(toks) / 20) AS BIGINT))) AS t(i)
+),
+per_hash AS (
+  SELECT lang, phash, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY lang, phash
+)
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS n_passages,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN n_docs > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / sum(cnt), 4) AS shared_frac
+FROM per_hash GROUP BY lang ORDER BY lang
+"""
+
+
+@query("dedup_passage_exact", "2.9 llm-data", _PASSAGE_ORACLE)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the RefinedWeb/CCNet line-dedup shape):
+    each doc splits into consecutive non-overlapping 20-token passages
+    (tail fragments dropped), passages key by md5 of their joined text, and
+    a passage is 'shared' when it appears in more than one document of the
+    same lang — boilerplate detection finer than whole-doc dedup_exact and
+    cheaper than shingle Jaccard. All map-side builtin array ops (split →
+    slice per chunk index → md5) until one keyed count; at 100 TB only
+    16-byte hashes shuffle, never passage text, and the per-lang rollup is
+    a second tiny agg."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    n_chunks = F.floor(F.size(toks) / 20).cast("int")
+    # guard: sequence(0, -1) would count DOWN ([0, -1]) for sub-20-token
+    # docs — emit an empty chunk list instead (explode then drops the row,
+    # matching the oracle's empty range())
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i * 20 + 1, 20), " ")))
+        ).alias("phash"),
+    )
+    per_hash = chunks.groupBy("lang", "phash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = F.col("n_docs") > 1
+    return (
+        per_hash.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_passages"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(shared.cast("long")).alias("n_shared"),
+            F.round(
+                F.sum(F.when(shared, F.col("cnt")).otherwise(F.lit(0))).cast("double")
+                / F.sum("cnt"),
+                4,
+            ).alias("shared_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Deterministic URL fixture (the text_pii_redact technique: synthesize from
+# customer inside the query so DuckDB reproduces it without extra files).
+# Noise: uppercase scheme/host, explicit :443, utm_* tracking params,
+# trailing slash, #fragment — all things canonicalization must strip.
+_URL_EXPR_SQL = """
+  'HTTPS://WWW.Shop' || CAST(c_custkey % 50 AS VARCHAR) || '.COM'
+  || CASE WHEN c_custkey % 3 = 0 THEN ':443' ELSE '' END
+  || '/item/' || CAST(c_custkey % 200 AS VARCHAR)
+  || CASE WHEN c_custkey % 2 = 0 THEN '/' ELSE '' END
+  || CASE WHEN c_custkey % 4 = 0
+          THEN '?utm_source=news' || CAST(c_custkey % 7 AS VARCHAR) ELSE '' END
+  || CASE WHEN c_custkey % 5 = 0 THEN '#sec' || CAST(c_custkey % 3 AS VARCHAR)
+          ELSE '' END
+"""
+
+_URL_ORACLE = f"""
+WITH raw AS (SELECT c_custkey, {_URL_EXPR_SQL} AS url FROM customer),
+canon AS (
+  SELECT c_custkey, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+                              ':443/', '/'),
+               '[?&]utm_[a-z]+=[a-z0-9]*', ''),
+             '/$', ''),
+           '/([?])', '?') AS curl
+  FROM raw
+)
+SELECT count(*) AS n_urls,
+       count(DISTINCT url) AS n_raw_distinct,
+       count(DISTINCT curl) AS n_canon_distinct,
+       count(DISTINCT regexp_extract(curl, '^https://([^/:?#]+)', 1)) AS n_hosts
+FROM canon
+"""
+
+
+@query("text_url_canonicalize", "2.9 llm-data", _URL_ORACLE)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first step of any web-scale crawl
+    pipeline: scheme/host lowercasing, default-port (:443) stripping,
+    utm_* tracking-param removal, trailing-slash and #fragment stripping
+    collapse cosmetically distinct URLs onto one canonical form (raw
+    distinct count >> canonical distinct count). Fixture URLs synthesize
+    deterministically from customer keys; every transform is a sequential
+    RE2∩Java-safe regexp_replace (JVM codegen, the text_pii_redact
+    pattern), so the whole op is map-side until four final counters in ONE
+    aggregate. ':443' strips via ':443/' -> '/' (the path slash anchors
+    the port end — RE2 has no lookahead)."""
+    c = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Shop"),
+        (key % 50).cast("string"),
+        F.lit(".COM"),
+        F.when(key % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/item/"),
+        (key % 200).cast("string"),
+        F.when(key % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(key % 4 == 0, F.concat(F.lit("?utm_source=news"), (key % 7).cast("string"))).otherwise(
+            F.lit("")
+        ),
+        F.when(key % 5 == 0, F.concat(F.lit("#sec"), (key % 3).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    curl = F.lower(url)
+    curl = F.regexp_replace(curl, r"#.*$", "")
+    curl = F.regexp_replace(curl, r":443/", "/")
+    curl = F.regexp_replace(curl, r"[?&]utm_[a-z]+=[a-z0-9]*", "")
+    curl = F.regexp_replace(curl, r"/$", "")
+    curl = F.regexp_replace(curl, r"/([?])", "?")
+    host = F.regexp_extract(curl, r"^https://([^/:?#]+)", 1)
+    return c.select(url.alias("url"), curl.alias("curl"), host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_raw_distinct"),
+        F.countDistinct("curl").alias("n_canon_distinct"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+_TEMPERATURE_ORACLE = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_lang)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / total, 4) AS p_raw,
+       round(sqrt(n_tokens / total)
+             / sum(sqrt(n_tokens / total)) OVER (), 4) AS w_temp
+FROM per_lang CROSS JOIN tot
+ORDER BY lang
+"""
+
+
+@query("mix_temperature_weights", "2.9 llm-data", _TEMPERATURE_ORACLE)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the mT5/UniMax multilingual
+    rebalance): raw token shares p_i flatten to w_i ∝ p_i^(1/T) with
+    1/T = 0.5, boosting low-resource langs without equalizing. α = 0.5
+    deliberately: p^0.5 is IEEE sqrt — correctly rounded and identical in
+    both engines, unlike a general pow. One agg to #langs rows; the
+    normalizer is a window/broadcast over that tiny table, so at 100 TB
+    this costs one map-side-combinable token count. Companion to
+    mix_sampling_weights (budget-capped allocation) and sample_hash_*
+    (the draw itself)."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w_all).cast("double")
+    w = F.sqrt(p) / F.sum(F.sqrt(p)).over(w_all)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 4).alias("p_raw"),
+        F.round(w, 4).alias("w_temp"),
+    ).orderBy("lang")
+
+
+# Product quantization: 8 subspaces x 8 dims, 4 codes each. Codebook entries
+# are CLOSED-FORM integers — cent(s, c)[j] = ((s*8+j)*(c+1)*7) % 41 - 20 —
+# so both engines derive identical literals and, with embeddings quantized
+# to integer 1e-3 units (the simsearch_centroid_assign technique), every
+# dot product is exact int64: associative, order-free, bit-identical.
+_PQ_SUBS, _PQ_DIMS, _PQ_CODES = 8, 8, 4
+
+
+def _pq_cent(s: int, c: int) -> list[int]:
+    return [((s * _PQ_DIMS + j) * (c + 1) * 7) % 41 - 20 for j in range(_PQ_DIMS)]
+
+
+def _pq_oracle() -> str:
+    # exact-int subspace dots: d_{s}_{c} = sum_j q[s*8+j+1] * cent[j]
+    def dot(s: int, c: int) -> str:
+        cent = _pq_cent(s, c)
+        terms = " + ".join(
+            f"CAST(round(embedding[{s * _PQ_DIMS + j + 1}] * 1000, 0) AS BIGINT) * ({cent[j]})"
+            for j in range(_PQ_DIMS)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    dots = ",\n         ".join(
+        f"{dot(s, c)} AS d{s}_{c}" for s in range(_PQ_SUBS) for c in range(_PQ_CODES)
+    )
+    # per-subspace code: argmax dot, ties toward the greatest code id —
+    # test codes in DESCENDING order, first one >= all others wins
+    codes = ",\n         ".join(
+        "CASE "
+        + " ".join(
+            f"WHEN "
+            + " AND ".join(f"d{s}_{c} >= d{s}_{o}" for o in range(_PQ_CODES) if o != c)
+            + f" THEN {c}"
+            for c in range(_PQ_CODES - 1, -1, -1)
+        )
+        + f" END AS code{s}"
+        for s in range(_PQ_SUBS)
+    )
+    adc = " + ".join(
+        "CASE v.code{s} ".format(s=s)
+        + " ".join(f"WHEN {c} THEN q.d{s}_{c}" for c in range(_PQ_CODES))
+        + " END"
+        for s in range(_PQ_SUBS)
+    )
+    return f"""
+WITH dots AS (
+  SELECT vec_id,
+         {dots}
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id,
+         {codes}
+  FROM dots
+),
+q AS (SELECT * FROM dots WHERE vec_id = 0)
+SELECT v.vec_id, round(CAST(({adc}) AS DOUBLE) / 1e6, 4) AS adc_sim
+FROM coded v CROSS JOIN q
+WHERE v.vec_id <> 0
+ORDER BY adc_sim DESC, v.vec_id
+LIMIT 5
+"""
+
+
+@query("simsearch_pq_adc", "2.9 llm-data", _pq_oracle())
+def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC)
+    — the memory-side of IVF-PQ indexes: each 64-dim embedding encodes to
+    8 codes of 2 bits (argmax inner product against 4 closed-form integer
+    centroids per 8-dim subspace, ties toward the greatest code), and the
+    UNQUANTIZED query scores candidates via an 8×4 lookup table of exact
+    query-centroid dots — candidates are never decoded. Index memory per
+    vector drops 64×4 bytes → 2 bytes; at 100 TB the codebook and the
+    query's lookup table broadcast (here: a 1-row broadcast cross join)
+    while candidates stay map-side until the global top-5, which plans as
+    TakeOrderedAndProject (per-partition k, no global sort). Exact int64
+    everywhere (1e-3-quantized embeddings × integer centroids), so scores
+    are bit-identical across engines and partitionings."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def dot(s: int, c: int):
+        cent = _pq_cent(s, c)
+        sub = F.slice("embedding", s * _PQ_DIMS + 1, _PQ_DIMS)
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(v) for v in cent]),
+                lambda x, y: F.round(x.cast("double") * 1000, 0).cast("long") * y.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dcols = e.select(
+        "vec_id", *[dot(s, c).alias(f"d{s}_{c}") for s in range(_PQ_SUBS) for c in range(_PQ_CODES)]
+    )
+    code = [
+        F.greatest(
+            *[
+                F.struct(F.col(f"d{s}_{c}").alias("d"), F.lit(c).alias("c"))
+                for c in range(_PQ_CODES)
+            ]
+        )["c"].alias(f"code{s}")
+        for s in range(_PQ_SUBS)
+    ]
+    coded = dcols.select("vec_id", *code).where(F.col("vec_id") != 0)
+    qlut = dcols.where(F.col("vec_id") == 0).select(
+        *[F.col(f"d{s}_{c}").alias(f"q{s}_{c}") for s in range(_PQ_SUBS) for c in range(_PQ_CODES)]
+    )
+    adc = sum(
+        F.element_at(
+            F.array(*[F.col(f"q{s}_{c}") for c in range(_PQ_CODES)]), F.col(f"code{s}") + 1
+        )
+        for s in range(_PQ_SUBS)
+    )
+    return (
+        coded.crossJoin(F.broadcast(qlut))
+        .select("vec_id", F.round(adc.cast("double") / 1e6, 4).alias("adc_sim"))
+        .orderBy(F.desc("adc_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+# ------------------------------------------------------------- 2.5 windows
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS streak FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(streak) AS BIGINT) AS n_active_days,
+       max(streak) AS max_streak
+FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("win_streak_islands", "2.5 windows", _STREAK_ORACLE)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active days
+    (distinct event dates; island key = date − row_number days, constant
+    exactly while dates are contiguous) — the classic sessionization-
+    by-calendar window problem. One distinct on (user, day) — map-side
+    partial — then one window pass partitioned by user_id (150× the
+    parallelism of a global window) and two keyed counts. Integer date
+    arithmetic only, so no engine drift."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", F.date_sub("d", F.row_number().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("streak"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.sum("streak").alias("n_active_days"), F.max("streak").alias("max_streak"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------- 2.12 workloads
+
+_RETENTION_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) / 7) AS INT)
+           AS wk
+  FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ud GROUP BY user_id)
+SELECT c.cohort_wk, u.wk - c.cohort_wk AS week_offset,
+       count(DISTINCT u.user_id) AS n_users
+FROM ud u JOIN cohort c USING (user_id)
+GROUP BY c.cohort_wk, week_offset
+ORDER BY c.cohort_wk, week_offset
+"""
+
+
+@query("wl_retention_cohorts", "2.12 composite workloads", _RETENTION_ORACLE)
+def wl_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics composite:
+    users cohort by their first active week (weeks since 2024-01-01,
+    integer arithmetic), and each later active week counts them at that
+    offset; row (w, k) = users from cohort w still active k weeks in.
+    Shape: distinct (user, week) map-side, per-user min-week agg (150
+    rows) BROADCAST back — the fact stream never shuffles twice — then one
+    grouped distinct count. At 100 TB the cohort table is users-sized, not
+    events-sized, so the broadcast stays small relative to the scan."""
+    e = load(spark, sf_dir, "events")
+    wk = F.floor(F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01")) / 7).cast(
+        "int"
+    )
+    ud = e.select("user_id", wk.alias("wk")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ud.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+# -------------------------------------------------------- 2.4 aggregations
+
+
+@query("agg_hll_partial_merge", "2.4 aggregations", None)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch proof for distributed distinct counting: per-lang
+    Datasketches HLL sketches of the token vocabulary (hll_sketch_agg)
+    union into ONE corpus sketch (hll_union_agg) whose estimate must
+    equal the single-pass whole-corpus sketch's — the algebraic property
+    that lets a 1000-executor cluster count distincts with a constant-size
+    shuffle (sketch bytes, not values) and lets per-partition sketches be
+    maintained incrementally and merged on demand. Output pins the
+    merge-consistency bit plus both estimates alongside the exact count.
+    Rows-only: sketch estimates are engine-specific (DuckDB's HLL differs),
+    like agg_approx_distinct; the ±5%-of-exact bound and merge determinism
+    are unit-tested (tests/test_roundfour.py)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    per_lang = tok.groupBy("lang").agg(F.hll_sketch_agg("token").alias("sk"))
+    merged = per_lang.agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    whole = tok.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("token")).alias("global_est"),
+        F.countDistinct("token").alias("exact_distinct"),
+    )
+    return (
+        merged.crossJoin(F.broadcast(whole))
+        .select(
+            "n_langs",
+            "exact_distinct",
+            "global_est",
+            "merged_est",
+            (F.col("merged_est") == F.col("global_est")).alias("merge_consistent"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Unit tests for the round-4 qids (plans/roundfour.py) — the properties the
+DuckDB oracle can't check (sketch behavior, PQ recall, fixture edges)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+    _PQ_CODES,
+    _PQ_DIMS,
+    _PQ_SUBS,
+    _pq_cent,
+    agg_hll_partial_merge,
+    dedup_passage_exact,
+    simsearch_pq_adc,
+    win_streak_islands,
+)
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+
+def test_hll_merge_is_exact_union_and_bounded(spark, sf_dir):
+    """The mergeable-sketch contract: union of per-lang sketches must give
+    EXACTLY the same estimate as one whole-corpus sketch (that's what makes
+    per-partition maintenance sound), and the estimate must sit within 5%
+    of the exact distinct count at this cardinality."""
+    row = agg_hll_partial_merge(spark, sf_dir).collect()[0]
+    assert row.merge_consistent, "union-of-parts estimate != whole-corpus estimate"
+    assert row.merged_est == row.global_est
+    assert abs(row.global_est - row.exact_distinct) <= 0.05 * row.exact_distinct
+
+
+def test_pq_adc_codebook_shape_and_recall(spark, sf_dir):
+    """PQ at 2 bits/subspace with a closed-form (non-data-fit) codebook is
+    a COARSE quantizer: the right property is not top-5 == exact top-5 but
+    that ADC retrieves genuinely near neighbors — overlap with the exact
+    top-50 and a picks-vs-corpus mean-similarity margin (probed at sf0.01:
+    ADC picks rank 22-183 of 499 with ~13x the corpus mean dot).
+    Codebook: closed form, right shape."""
+    assert len(_pq_cent(0, 0)) == _PQ_DIMS
+    assert {v for s in range(_PQ_SUBS) for c in range(_PQ_CODES) for v in _pq_cent(s, c)} <= set(
+        range(-20, 21)
+    )
+    top = simsearch_pq_adc(spark, sf_dir)
+    got = [r.vec_id for r in top.collect()]
+    assert len(got) == 5 and 0 not in got
+
+    e = load(spark, sf_dir, "embeddings")
+    q = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.col("qemb"),
+            lambda x, y: F.round(x.cast("double") * 1000, 0).cast("long")
+            * F.round(y.cast("double") * 1000, 0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qrow = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", q.alias("dot"))
+        .collect()
+    )
+    dots = {r.vec_id: r.dot for r in exact}
+    top50 = {v for v in sorted(dots, key=lambda v: (-dots[v], v))[:50]}
+    assert len(set(got) & top50) >= 1, f"ADC top-5 {got} disjoint from exact top-50"
+    corpus_mean = sum(dots.values()) / len(dots)
+    picks_mean = sum(dots[v] for v in got) / len(got)
+    assert picks_mean > 5 * corpus_mean, f"ADC picks not above-average: {picks_mean} vs {corpus_mean}"
+
+
+def test_passage_dedup_short_doc_guard(spark):
+    """Docs under 20 tokens must contribute ZERO passages (the sequence(0,-1)
+    counts-down hazard), and identical 20-token blocks across docs must
+    collapse to one shared passage."""
+    block = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "en", "too short"),
+            (2, "en", block + " tail tail"),
+            (3, "en", block + " other words"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+    import hdc_dataengineering_sqlsync_spark.plans.roundfour as r4
+
+    orig = r4.load
+    r4.load = lambda spark, sf_dir, name: df  # noqa: ARG005
+    try:
+        out = dedup_passage_exact(spark, "unused").collect()
+    finally:
+        r4.load = orig
+    assert len(out) == 1
+    row = out[0]
+    # docs 2 and 3 share the identical first block; doc 1 yields nothing
+    assert row.n_passages == 2 and row.n_distinct == 1 and row.n_shared == 1
+
+
+def test_streak_islands_hand_fixture(spark):
+    """Gaps-and-islands on a known pattern: 3 consecutive days, gap, 2 more
+    -> max_streak 3, n_active_days 5 (duplicate events same day collapse)."""
+    t0 = dt.datetime(2024, 3, 1, 12, 0, tzinfo=dt.timezone.utc)
+    rows = [
+        (7, t0),
+        (7, t0 + dt.timedelta(hours=1)),  # same day twice
+        (7, t0 + dt.timedelta(days=1)),
+        (7, t0 + dt.timedelta(days=2)),
+        (7, t0 + dt.timedelta(days=5)),
+        (7, t0 + dt.timedelta(days=6)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    import hdc_dataengineering_sqlsync_spark.plans.roundfour as r4
+
+    orig = r4.load
+    r4.load = lambda spark, sf_dir, name: df  # noqa: ARG005
+    try:
+        out = win_streak_islands(spark, "unused").collect()
+    finally:
+        r4.load = orig
+    assert len(out) == 1
+    assert out[0].n_active_days == 5 and out[0].max_streak == 3
