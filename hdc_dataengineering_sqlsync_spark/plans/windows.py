@@ -129,21 +129,24 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
          to (cell, cell+1) so every [q-5, q] band meets its candidates in
          exactly one equi-join cell — the `join_range_bucketized`
          technique, never all-pairs;
-      3. broadcast the tiny per-value band counts back onto lineitem —
-         a map-side join at full scan parallelism; the fact table is
-         never window-sorted.
+      3. re-expand row multiplicity from the cell counts themselves
+         (`explode(sequence(1, n))`) — the output columns are exactly
+         (flag, quantity, cnt), so the fact table is scanned ONCE, never
+         window-sorted, never re-joined; the sort orders the ~|values|
+         cells, and the full row stream only exists again map-side after
+         it.
 
     Hash-identical to the window form (exact integer counts)."""
     width = 5
     li = load(spark, sf_dir, "lineitem")
     vals = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
     cell = F.floor(F.col("l_quantity") / width).cast("long")
-    need = vals.select("l_returnflag", "l_quantity", cell.alias("cell"))
+    need = vals.select("l_returnflag", "l_quantity", "n", cell.alias("cell"))
     # a value v answers bands for q in [v, v+width] -> cell(q) is cell(v) or cell(v)+1
     cand = vals.select(
         "l_returnflag",
         F.col("l_quantity").alias("q2"),
-        "n",
+        F.col("n").alias("n2"),
         F.explode(F.array(cell, cell + F.lit(1))).alias("cell"),
     )
     band = (
@@ -152,12 +155,23 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q2") >= F.col("l_quantity") - width) & (F.col("q2") <= F.col("l_quantity"))
         )
         .groupBy("l_returnflag", "l_quantity")
-        .agg(F.sum("n").alias("cnt_within_5"))
+        .agg(F.first("n").alias("n"), F.sum("n2").alias("cnt_within_5"))
     )
+    # range-partition the cells BEFORE expanding: each of the 8 ordered
+    # partitions expands and serializes its slice of the row stream in
+    # parallel (a post-explode global sort would funnel the full output
+    # through one task's sort; this is the same partition-then-sort shape
+    # Spark's own global orderBy uses, applied while the data is small)
     return (
-        li.select("l_returnflag", "l_quantity")
-        .join(F.broadcast(band), ["l_returnflag", "l_quantity"])
-        .orderBy("l_returnflag", "l_quantity")
+        band.repartitionByRange(8, "l_returnflag", "l_quantity")
+        .sortWithinPartitions("l_returnflag", "l_quantity")
+        .select(
+            "l_returnflag",
+            "l_quantity",
+            "cnt_within_5",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("__dup"),
+        )
+        .drop("__dup")
     )
 
 
