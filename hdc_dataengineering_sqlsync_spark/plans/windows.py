@@ -139,7 +139,15 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-identical to the window form (exact integer counts)."""
     width = 5
     li = load(spark, sf_dir, "lineitem")
-    vals = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint: vals feeds BOTH sides of the band join, and without
+    # it Catalyst recomputes the aggregate -> TWO full scans of lineitem
+    # (plan-verified). Materializing the ~|values| rows once costs nothing
+    # and halves the scan volume — at 100 TB, the dominant cost.
+    vals = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     cell = F.floor(F.col("l_quantity") / width).cast("long")
     need = vals.select("l_returnflag", "l_quantity", "n", cell.alias("cell"))
     # a value v answers bands for q in [v, v+width] -> cell(q) is cell(v) or cell(v)+1
