@@ -16,6 +16,7 @@ Conventions enforced by review, SURVEY.md §2:
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -36,6 +37,9 @@ class Query:
 
 
 CATALOG: dict[str, Query] = {}
+
+# sessions already pinned to UTC by _pin_utc (weak: dead sessions drop out)
+_UTC_PINNED: weakref.WeakSet = weakref.WeakSet()
 
 
 def normalize_oracle_rounding(sql: str) -> str:
@@ -95,10 +99,16 @@ def _pin_utc(fn: SparkFn) -> SparkFn:
     --vanilla``) showed 29 qids diverging this way. The catalog therefore
     declares UTC temporal semantics: deterministic output on any machine,
     and a no-op under the driver's UTC environment.
+
+    Pinned ONCE per session (weak-ref cache): ``conf.set`` is a Py4J
+    round-trip measured at ~30-60 ms per call — per-query it would tax
+    every bench number for a conf that never changes back.
     """
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if spark not in _UTC_PINNED:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _UTC_PINNED.add(spark)
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query_fn")
