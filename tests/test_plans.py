@@ -522,3 +522,67 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------------- round-4 plan shapes
+
+
+def test_range_frame_rewrite_never_windows_the_fact_table(spark, sf_dir):
+    """win_range_frame (r4 rewrite): the fact table must NOT be window-
+    sorted — the plan has no Window operator at all, and the output rows
+    are re-expanded from the tiny cell table via Generate."""
+    plan = _plan(spark, sf_dir, "win_range_frame")
+    assert "Window" not in plan
+    assert "Generate" in plan  # explode(sequence(1, n)) expand
+
+
+def test_scd2_asof_dim_is_one_window_no_join(spark, sf_dir):
+    """Temporal dim resolve compiles to a single user-keyed window pass —
+    no join operator, one hash exchange on user_id."""
+    plan = _plan(spark, sf_dir, "join_scd2_asof_dim")
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Window") >= 1
+
+
+def test_bloom_pruned_join_filters_map_side_before_exact_join(spark, sf_dir):
+    """The bloom probe must run as a Filter on the fact scan side (bit
+    arithmetic over the broadcast words row) BEFORE the exact join, and
+    the exact join must be broadcast, never sort-merge."""
+    plan = _plan(spark, sf_dir, "join_bloom_pruned")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the exact join
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row words table onto the fact scan
+    assert "shiftright" in plan  # the map-side probe survived into the plan
+    # the fact table is NEVER exchange-shuffled: the only exchanges are the
+    # tiny bloom-build aggs (<= 37 rows), the final s_name agg, and the
+    # output sort — the probe filter runs on the scan side of every join
+    assert "SortAggregate" not in plan
+
+
+def test_basket_pairs_top20_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_basket_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pq_adc_top5_is_take_ordered_with_broadcast_lut(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "simsearch_pq_adc")
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan  # the 1-row query lookup table
+
+
+def test_tombstone_retention_is_aggregate_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sync_tombstone_retention")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_streaks_window_partitions_by_user(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "win_streak_islands")
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_retention_cohorts_broadcasts_cohort_table(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_retention_cohorts")
+    assert "BroadcastHashJoin" in plan
