@@ -992,3 +992,211 @@ def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return media.mapInPandas(detect, schema=out_schema).orderBy("media_id")
+
+
+# ------------------------------------------------ round-4 batch 3 (4 qids)
+
+_TREND_ORACLE = """
+WITH pt AS (
+  SELECT l_returnflag,
+         (CAST(year(l_shipdate) AS BIGINT) - 1995) * 12 + month(l_shipdate) AS x,
+         CAST(round(round(avg(l_extendedprice), 2) * 100, 0) AS BIGINT) AS yc
+  FROM lineitem GROUP BY l_returnflag, x
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(x * yc) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pt GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_months,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (100.0 * CAST(n * sxx - sx * sx AS DOUBLE)), 4) AS slope_per_month
+FROM s ORDER BY l_returnflag
+"""
+
+
+@query("wl_price_trend_slope", "2.12 composite workloads", _TREND_ORACLE)
+def wl_price_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend slope of the monthly average price per returnflag — linear
+    regression AS AN AGGREGATE (the closed-form normal equation), the way
+    a 100 TB engine fits millions of tiny per-group models: no solver, no
+    iteration, just sums. Determinism: the monthly averages snap to
+    2 decimals and then to int64 cents, the month index is an integer, so
+    every Σx, Σy, Σxy, Σx² is EXACT int64 (order-free) and the single
+    final division is identical IEEE in both engines. Two keyed aggregates
+    — months per flag, then one row per flag; both map-side combinable."""
+    li = load(spark, sf_dir, "lineitem")
+    x = ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate")).cast("long")
+    pt = (
+        li.groupBy("l_returnflag", x.alias("x"))
+        .agg(F.round(F.round(F.avg("l_extendedprice"), 2) * 100, 0).cast("long").alias("yc"))
+    )
+    s = pt.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = 100.0 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_months"),
+        F.round(num / den, 4).alias("slope_per_month"),
+    ).orderBy("l_returnflag")
+
+
+_EVOLVE_ORACLE = """
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN o_orderkey % 97 = 0 OR o_orderkey % 101 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_channel,
+       CAST(sum(CASE WHEN o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_channel,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+"""
+
+
+@query("sync_schema_evolution_apply", "2.8 sync core", _EVOLVE_ORACLE)
+def sync_schema_evolution_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE apply under ADDITIVE SCHEMA EVOLUTION: the source grew a new
+    column (o_channel) the target never had. The changeset-driven apply
+    (the sync_merge_apply shape) upserts touched rows WITH the new column
+    while untouched target rows carry NULL — additive drift needs no
+    rewrite of historical rows, exactly the 100 TB posture of
+    scan_schema_merge's footer-level evolution, now proven through the
+    MERGE write path. Fixture: standard derived drift (target missing
+    %97 keys = inserts, %101 status-drifted = updates); converged row set
+    equals source, and the oracle pins WHICH rows carry the new column
+    (only the touched ones), so an over-eager backfill or a dropped
+    column both hash-fail."""
+    o = load(spark, sf_dir, "orders")
+    channel = (F.col("o_orderkey") % 3).cast("int").alias("o_channel")
+    source = o.select("*", channel)
+    target = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+    )
+    # changeset: inserts (missing in target) + updates (digest differs) —
+    # keyed on PK; the evolved column rides only the source-sourced rows
+    upserts = source.join(
+        target.select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")),
+        (F.col("o_orderkey") == F.col("k")),
+        "left",
+    ).where(F.col("k").isNull() | (F.col("st") != F.col("o_orderstatus"))).select(source.columns)
+    kept = target.join(upserts.select("o_orderkey"), "o_orderkey", "left_anti").withColumn(
+        "o_channel", F.lit(None).cast("int")
+    )
+    merged = kept.unionByName(upserts)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("o_channel").isNotNull().cast("long")).alias("n_with_channel"),
+        F.sum(F.col("o_channel").isNull().cast("long")).alias("n_null_channel"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT c_mktsegment,
+         (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12 + month(o_orderdate) AS x,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, x
+)
+SELECT c_mktsegment, x AS ym,
+       round((rev - lag(rev) OVER w) / lag(rev) OVER w, 4) AS mom_change
+FROM m
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY x)
+ORDER BY c_mktsegment, ym
+"""
+
+
+@query("win_pct_change_mom", "2.5 windows", _MOM_ORACLE)
+def win_pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per market segment — the standard
+    KPI window, built scale-correctly: the fact stream first collapses to
+    a (segment, month) series (map-side-combinable agg; the customer dim
+    broadcasts), and ONLY that tiny series is window-sorted — lag runs
+    over ~80 rows per segment, not 15k orders. Revenue snaps to 2 decimals
+    BEFORE the ratio, so both engines divide identical doubles; first
+    month per segment is NULL by lag semantics."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    x = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).cast("long")
+    m = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", x.alias("x"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "c_mktsegment",
+        F.col("x").alias("ym"),
+        F.round((F.col("rev") - prev) / prev, 4).alias("mom_change"),
+    ).orderBy("c_mktsegment", "ym")
+
+
+_CSV_EDGE_ORACLE = """
+WITH f AS (
+  SELECT n_nationkey,
+         n_name || ', "region ' || CAST(n_regionkey AS VARCHAR) || '"' || chr(10)
+           || 'line2 of ' || n_name AS note
+  FROM nation
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(length(note)) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN contains(note, chr(10)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multiline,
+       count(DISTINCT n_nationkey) AS n_keys
+FROM f
+"""
+
+
+@query("scan_csv_multiline_quoted", "2.1 scans", _CSV_EDGE_ORACLE)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting edge cases, round-tripped LIVE: a synthesized field with
+    embedded commas, double quotes, AND newlines writes through Spark's
+    CSV sink (quoted + escaped) and reads back with multiLine=true — the
+    ingestion reality of feeds with free-text columns, where naive
+    line-splitting corrupts rows. The oracle recomputes the aggregate from
+    the closed-form field, so ANY quoting/escaping/multiline bug (row
+    count drift from split records, char loss from mangled escapes)
+    hash-fails. Note multiLine CSV is NOT line-splittable at 100 TB — a
+    feed like this should land once and convert to parquet immediately,
+    which is exactly what this round-trip stages."""
+    import hashlib
+    import os
+    import tempfile
+
+    n = load(spark, sf_dir, "nation")
+    note = F.concat(
+        F.col("n_name"),
+        F.lit(', "region '),
+        F.col("n_regionkey").cast("string"),
+        F.lit('"\nline2 of '),
+        F.col("n_name"),
+    )
+    tag = hashlib.md5(f"csvedge:{sf_dir}".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hdc_csvedge_{tag}")
+    n.select("n_nationkey", note.alias("note")).write.mode("overwrite").option(
+        "header", True
+    ).option("quoteAll", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("n_nationkey int, note string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("note")).alias("total_chars"),
+        F.sum(F.col("note").contains("\n").cast("long")).alias("n_multiline"),
+        F.countDistinct("n_nationkey").alias("n_keys"),
+    )
