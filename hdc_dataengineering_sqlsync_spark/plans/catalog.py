@@ -16,7 +16,6 @@ Conventions enforced by review, SURVEY.md §2:
 
 from __future__ import annotations
 
-import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -37,9 +36,6 @@ class Query:
 
 
 CATALOG: dict[str, Query] = {}
-
-# sessions already pinned to UTC by _pin_utc (weak: dead sessions drop out)
-_UTC_PINNED: weakref.WeakSet = weakref.WeakSet()
 
 
 def normalize_oracle_rounding(sql: str) -> str:
@@ -100,15 +96,17 @@ def _pin_utc(fn: SparkFn) -> SparkFn:
     declares UTC temporal semantics: deterministic output on any machine,
     and a no-op under the driver's UTC environment.
 
-    Pinned ONCE per session (weak-ref cache): ``conf.set`` is a Py4J
-    round-trip measured at ~30-60 ms per call — per-query it would tax
-    every bench number for a conf that never changes back.
+    Checked per call, SET only when it differs: ``conf.set`` is a Py4J
+    round-trip measured at ~30-60 ms per call that also invalidates
+    session plan caches (it inflated the whole r4 bench ~40% when issued
+    unconditionally), while ``conf.get`` is ~0.2 ms and side-effect-free.
+    The get-guard (rather than a pinned-once session cache) also survives
+    outside code re-setting the TZ mid-session.
     """
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        if spark not in _UTC_PINNED:
+        if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            _UTC_PINNED.add(spark)
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query_fn")

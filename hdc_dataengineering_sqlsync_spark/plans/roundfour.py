@@ -123,8 +123,8 @@ def sync_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IQR_ORACLE = """
 WITH fences AS (
   SELECT o_orderpriority,
-         round(quantile_cont(o_totalprice, 0.25), 3) AS q1,
-         round(quantile_cont(o_totalprice, 0.75), 3) AS q3
+         round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+         round(quantile_cont(o_totalprice, 0.75), 4) AS q3
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o.o_orderpriority AS priority, count(*) AS n,
@@ -145,17 +145,21 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_totalprice per priority, 1.5×IQR fences, per-group outlier counts —
     the distributional sibling of dq_constraint_report's rule audit.
 
-    Determinism: quartiles snap-round at scale 3 first (the agg_percentile
-    technique — interpolated 2-decimal money terminates at 3 decimals, and
-    the engines' interpolation formulas differ at ulp level), after which
-    `1.5*(q3-q1)` and the fence comparisons are identical IEEE arithmetic
-    on identical doubles in both engines. Shape: one grouped percentile
-    agg to #groups rows, broadcast back onto the scan (map-side fence
-    test), one partial+final count agg — two scans, no window sort."""
+    Determinism: quartiles snap-round at scale 4 first (the agg_percentile
+    ulp-snap technique, but at QUARTER-quantile precision: 0.25/0.75
+    interpolation fractions over 2-decimal money terminate at FOUR
+    decimals — e.g. (100.01, 100.02, frac .25) → 100.0125 — so a scale-3
+    snap would itself sit on .xxx5 repr ties where the engines' rounding
+    genuinely differs; at scale 4 the true value is never a tie), after
+    which `1.5*(q3-q1)` and the fence comparisons are identical IEEE
+    arithmetic on identical doubles in both engines. Shape: one grouped
+    percentile agg to #groups rows, broadcast back onto the scan
+    (map-side fence test), one partial+final count agg — two scans, no
+    window sort."""
     o = load(spark, sf_dir, "orders")
     fences = o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 3).alias("q1"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 3).alias("q3"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
@@ -1183,7 +1187,10 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"\nline2 of '),
         F.col("n_name"),
     )
-    tag = hashlib.md5(f"csvedge:{sf_dir}".encode()).hexdigest()[:8]
+    # pid-keyed staging (the _derby_url precedent): a concurrent process —
+    # e.g. the vanilla-session subprocess gate — must never race this
+    # process's overwrite-then-read on the same directory
+    tag = hashlib.md5(f"csvedge:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"hdc_csvedge_{tag}")
     n.select("n_nationkey", note.alias("note")).write.mode("overwrite").option(
         "header", True

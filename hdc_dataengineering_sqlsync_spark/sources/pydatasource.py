@@ -156,11 +156,18 @@ class JsonLinesSinkDataSource(DataSource):
 
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires .option('path', ...)")
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # per-JOB tag, minted on the driver and shipped to every task via
+        # writer pickling: commit() may reap only ITS OWN job's orphaned
+        # staged files — a second job appending to the same path
+        # concurrently stages under a different tag and must not be touched
+        self.job_tag = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> "WriterCommitMessage":
         # runs on executors: stream the partition to a staged file
@@ -169,7 +176,7 @@ class JsonLinesWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        staged = f"_staged_{uuid.uuid4().hex}.jsonl"
+        staged = f"_staged_{self.job_tag}_{uuid.uuid4().hex}.jsonl"
         n = 0
         with open(os.path.join(self.path, staged), "w") as f:
             for row in iterator:
@@ -194,12 +201,16 @@ class JsonLinesWriter(DataSourceWriter):
                 os.path.join(self.path, m.staged),
                 os.path.join(self.path, f"part-{m.staged[len('_staged_'):]}"),
             )
-        # staged files not in `messages` are orphans from retried/speculated
-        # tasks whose commit message was never collected — readers already
-        # ignore underscore-prefixed files, but reap them so appends don't
-        # accumulate dead bytes in the directory forever.
+        # THIS job's staged files not in `messages` are orphans from
+        # retried/speculated tasks whose commit message was never collected
+        # — readers already ignore underscore-prefixed files, but reap them
+        # so appends don't accumulate dead bytes forever. Scoped to this
+        # job's tag: another job's in-flight staged files on the same path
+        # must survive (r4 review finding — an unscoped reap broke the
+        # uuid-keyed concurrent-append safety this class advertises).
+        own = f"_staged_{self.job_tag}_"
         for f in os.listdir(self.path):
-            if f.startswith("_staged_") and f.endswith(".jsonl"):
+            if f.startswith(own) and f.endswith(".jsonl"):
                 try:
                     os.remove(os.path.join(self.path, f))
                 except OSError:

@@ -52,21 +52,20 @@ def spark_result(df: DataFrame) -> tuple[list[str], list[tuple]]:
     machine-local datetimes back to UTC wall time here; otherwise a local
     ``TZ=America/New_York`` sweep reports 5h-shifted timestamps that the
     real driver would never see (r4 TZ sweep). DATE and TIMESTAMP_NTZ
-    values pass through untouched.
+    values pass through untouched. A naive wall time inside a DST
+    fall-back hour is inherently ambiguous (two instants share it);
+    ``astimezone`` resolves it by the ``fold`` attribute (0 = first
+    occurrence) — a known, documented limitation of any wall-time sweep,
+    impossible under the driver's own UTC clock.
     """
-    import time as _time
-
     cols = list(df.columns)
     ntz = {f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"}
 
     def fix(v: Any, col: str) -> Any:
         if isinstance(v, _dt.datetime) and col not in ntz:
-            if v.tzinfo is not None:
-                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            # naive local wall time -> epoch via the process TZ -> UTC wall
-            return _dt.datetime.utcfromtimestamp(_time.mktime(v.timetuple())) + _dt.timedelta(
-                microseconds=v.microsecond
-            )
+            # naive values are local wall times: astimezone() attaches the
+            # process zone (DST-aware, fold-resolved) then converts
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v
 
     rows = [tuple(fix(row[c], c) for c in cols) for row in df.collect()]

@@ -30,6 +30,11 @@ sys.path.insert(0, REPO)
 
 flags = {a for a in sys.argv[1:] if a.startswith("--")}
 argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+_KNOWN = {"--vanilla", "--exec-only"}
+if flags - _KNOWN:
+    # a silently-swallowed typo ('--vanila') would run the WRONG gate and
+    # defeat the whole pre-submission environment check — fail loudly
+    sys.exit(f"driver_sim: unknown flag(s) {sorted(flags - _KNOWN)}; known: {sorted(_KNOWN)}")
 VANILLA = "--vanilla" in flags
 EXEC_ONLY = "--exec-only" in flags  # run + collect every fn, skip the oracle
 SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"

@@ -1011,26 +1011,40 @@ def test_jsonl_sink_append_preserves_previous_commits(spark, tmp_path):
     assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(80))
 
 
-def test_jsonl_sink_commit_reaps_orphaned_staged_files(spark, tmp_path):
-    """r3 advice: staged files from retried/speculated tasks whose commit
-    message was never collected must not accumulate — commit() reaps any
-    leftover _staged_*.jsonl after promoting the committed ones."""
+def test_jsonl_sink_commit_reaps_own_orphans_only(spark, tmp_path):
+    """r3 advice + r4 review refinement: commit() reaps staged files from
+    ITS OWN job's retried/speculated tasks (message never collected), but
+    must NOT touch another job's in-flight staged files on the same path —
+    that would break uuid-keyed concurrent-append safety. Driven at the
+    writer level so a same-tag orphan can be planted deterministically."""
     import os
+
+    from pyspark.sql import types as T
 
     from hdc_dataengineering_sqlsync_spark.sources.pydatasource import (
         JsonLinesSinkDataSource,
+        JsonLinesWriter,
     )
 
-    spark.dataSource.register(JsonLinesSinkDataSource)
     out = str(tmp_path / "sink")
-    os.makedirs(out)
-    # simulate a speculated task's leftover from an earlier write
-    with open(os.path.join(out, "_staged_deadbeef.jsonl"), "w") as f:
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    w = JsonLinesWriter({"path": out}, schema, overwrite=False)
+    m1 = w.write(iter(spark.range(0, 5).collect()))
+    w.write(iter(spark.range(5, 8).collect()))  # retried task: message lost
+    # another job's in-flight staged file (different tag) — must survive
+    foreign = os.path.join(out, "_staged_otherjob_deadbeef.jsonl")
+    with open(foreign, "w") as f:
         f.write('{"id": 999}\n')
+    w.commit([m1])
+    names = os.listdir(out)
+    assert not any(n.startswith(f"_staged_{w.job_tag}_") for n in names)  # own orphan reaped
+    assert os.path.basename(foreign) in names  # foreign job untouched
+    assert "_SUCCESS" in names
+
+    # end-to-end: a real write still leaves no own-staged files behind
+    spark.dataSource.register(JsonLinesSinkDataSource)
     spark.range(0, 10).write.format("jsonl_sink").option("path", out).mode("append").save()
-    leftover = [f for f in os.listdir(out) if f.startswith("_staged_")]
-    assert leftover == []
-    assert spark.read.json(out).count() == 10  # orphan rows never surface
+    assert spark.read.json(out).count() == 5 + 10  # committed rows only
 
 
 def test_win_range_frame_matches_window_form(spark, sf_dir):
