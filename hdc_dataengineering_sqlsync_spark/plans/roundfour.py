@@ -1207,3 +1207,515 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("note").contains("\n").cast("long")).alias("n_multiline"),
         F.countDistinct("n_nationkey").alias("n_keys"),
     )
+
+
+# ------------------------------------------------ round-4 batch 4 (9 qids)
+
+_LAMBDA_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, range(1, 2 + o_orderkey % 5) AS arr FROM orders
+),
+d AS (
+  SELECT o_orderkey,
+         CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sq_sum,
+         CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+         len(list_filter(arr, x -> x > 3)) > 0 AS has_gt3,
+         len(list_filter(arr, x -> x > 0)) = len(arr) AS all_pos,
+         CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                                      i -> arr[i] * i)) AS BIGINT) AS idx_dot
+  FROM a
+)
+SELECT CAST(sum(sq_sum) AS BIGINT) AS total_sq,
+       CAST(sum(n_even) AS BIGINT) AS total_even,
+       CAST(sum(CASE WHEN has_gt3 THEN 1 ELSE 0 END) AS BIGINT) AS n_has_gt3,
+       CAST(sum(CASE WHEN all_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_all_pos,
+       CAST(sum(idx_dot) AS BIGINT) AS total_idx_dot
+FROM d
+"""
+
+
+@query("fn_array_lambda_suite", "2.7 scalar functions", _LAMBDA_ORACLE)
+def fn_array_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda half of the higher-order array API — transform, filter,
+    exists, forall, and an index-aware zip_with — over derived integer
+    arrays (`sequence(1, 1 + key % 5)`), complementing fn_array_suite's
+    transform/aggregate pair. Pure integer math, so every rollup is exact
+    int64 in both engines. All map-side expressions until one global
+    aggregate; HOFs run interpreted (no codegen) but shuffle nothing."""
+    o = load(spark, sf_dir, "orders")
+    arr = F.sequence(F.lit(1), (F.lit(1) + F.col("o_orderkey") % 5).cast("int"))
+    d = o.select(
+        F.aggregate(
+            F.transform(arr, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sq_sum"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
+        F.exists(arr, lambda x: x > 3).alias("has_gt3"),
+        F.forall(arr, lambda x: x > 0).alias("all_pos"),
+        F.aggregate(
+            F.zip_with(
+                arr,
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda x, i: (x * i).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("idx_dot"),
+    )
+    return d.agg(
+        F.sum("sq_sum").alias("total_sq"),
+        F.sum(F.col("n_even").cast("long")).alias("total_even"),
+        F.sum(F.col("has_gt3").cast("long")).alias("n_has_gt3"),
+        F.sum(F.col("all_pos").cast("long")).alias("n_all_pos"),
+        F.sum("idx_dot").alias("total_idx_dot"),
+    )
+
+
+_GCOUNTER_ORACLE = """
+WITH obs AS (
+  SELECT o_orderkey AS key, r.r AS replica, o.o AS obs_idx,
+         (o_orderkey * 7 + r.r * 13 + o.o * 3) % 100 AS observed
+  FROM orders,
+       (SELECT unnest(range(0, 3)) AS r) r,
+       (SELECT unnest(range(0, 2)) AS o) o
+),
+merged AS (
+  SELECT key, replica, max(observed) AS state FROM obs GROUP BY key, replica
+),
+totals AS (
+  SELECT key, CAST(sum(state) AS BIGINT) AS counter_value FROM merged GROUP BY key
+)
+SELECT CAST(key % 4 AS INT) AS key_class, count(*) AS n_keys,
+       CAST(sum(counter_value) AS BIGINT) AS total,
+       CAST(max(counter_value) AS BIGINT) AS max_counter
+FROM totals GROUP BY key_class ORDER BY key_class
+"""
+
+
+@query("sync_crdt_gcounter", "2.8 sync core", _GCOUNTER_ORACLE)
+def sync_crdt_gcounter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRDT G-counter merge — the convergence algebra under multi-master
+    sync when replicas cannot coordinate: each replica's per-key slot only
+    grows, merge = elementwise MAX of replica slots (associative,
+    commutative, idempotent — re-delivered states merge harmlessly), value
+    = sum of merged slots. The fixture derives two observed states per
+    (key, replica); a LWW resolver (sync_conflict_lww) would pick one
+    writer, the G-counter keeps every replica's contribution. Two keyed
+    map-side-combinable aggregates (MAX then SUM) — merge cost is one
+    shuffle regardless of how many stale states are re-delivered."""
+    o = load(spark, sf_dir, "orders")
+    obs = (
+        o.select(F.col("o_orderkey").alias("key"))
+        .select("key", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("replica"))
+        .select("key", "replica", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("obs_idx"))
+        .select(
+            "key",
+            "replica",
+            ((F.col("key") * 7 + F.col("replica") * 13 + F.col("obs_idx") * 3) % 100).alias(
+                "observed"
+            ),
+        )
+    )
+    merged = obs.groupBy("key", "replica").agg(F.max("observed").alias("state"))
+    totals = merged.groupBy("key").agg(F.sum("state").alias("counter_value"))
+    return (
+        totals.groupBy((F.col("key") % 4).cast("int").alias("key_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("counter_value").alias("total"),
+            F.max("counter_value").alias("max_counter"),
+        )
+        .orderBy("key_class")
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    from hdc_dataengineering_sqlsync_spark.plans.llmdata_ext import _CENTROIDS
+
+    def dot(c: list[int]) -> str:
+        arr = "[" + ", ".join(str(v) for v in c) + "]"
+        return (
+            "cast(list_sum(list_transform(range(1, 65), i -> "
+            f"cast(round(embedding[i] * 1000, 0) AS BIGINT) * ({arr})[i])) AS BIGINT)"
+        )
+
+    dots = ",\n         ".join(f"{dot(c)} AS d{k}" for k, c in enumerate(_CENTROIDS))
+    best = (
+        "CASE "
+        + " ".join(
+            "WHEN " + " AND ".join(f"d{c} >= d{o}" for o in range(4) if o != c) + f" THEN {c}"
+            for c in range(3, -1, -1)
+        )
+        + " END"
+    )
+    return f"""
+WITH dots AS (
+  SELECT vec_id, embedding,
+         {dots}
+  FROM embeddings
+),
+cells AS (SELECT vec_id, embedding, {best} AS cell FROM dots),
+pairs AS (
+  SELECT a.cell,
+         cast(list_sum(list_transform(range(1, 65), i ->
+             cast(round(a.embedding[i] * 1000, 0) AS BIGINT)
+             * cast(round(b.embedding[i] * 1000, 0) AS BIGINT))) AS BIGINT) AS pdot
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT c.cell, count(DISTINCT c.vec_id) AS n_members,
+       coalesce(CAST(p.n_near AS BIGINT), 0) AS n_near_pairs
+FROM cells c
+LEFT JOIN (SELECT cell, count(*) AS n_near FROM pairs WHERE pdot >= 150000
+           GROUP BY cell) p
+  ON c.cell = p.cell
+GROUP BY c.cell, p.n_near ORDER BY c.cell
+"""
+
+
+@query("dedup_semantic_centroid", "2.9 llm-data", _semantic_dedup_oracle())
+def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked embedding near-dup — the IVF-style SCALE PATH for
+    semantic dedup: embeddings first assign to K coarse centroids (exact
+    int64 argmax, the simsearch_centroid_assign technique), and the
+    quadratic pair scan runs ONLY inside each cell — candidate pairs drop
+    from O(n²) to Σ|cell|², and cells shard across the cluster. Near pair
+    = exact int64 dot ≥ 150000 (≈ cos 0.15 at 1e-3 quantization). Compare
+    dedup_embedding_cosine (label-blocked exact baseline): same pair math,
+    blocking key learned from the data instead of a given label. Output:
+    per cell (n_members, n_near_pairs)."""
+    from hdc_dataengineering_sqlsync_spark.plans.llmdata_ext import _CENTROIDS
+
+    e = load(spark, sf_dir, "embeddings")
+    q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
+    dots = [
+        F.aggregate(
+            F.zip_with("q", F.array(*[F.lit(v) for v in c]), lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias(f"d{k}")
+        for k, c in enumerate(_CENTROIDS)
+    ]
+    cell = F.greatest(
+        *[F.struct(F.col(f"d{k}").alias("d"), F.lit(k).alias("c")) for k in range(4)]
+    )["c"]
+    cells = (
+        e.select("vec_id", q.alias("q"))
+        .select("vec_id", "q", *dots)
+        .select("vec_id", "q", cell.alias("cell"))
+    )
+    b = cells.select(
+        F.col("cell").alias("cell2"), F.col("vec_id").alias("v2"), F.col("q").alias("q2")
+    )
+    pdot = F.aggregate(
+        F.zip_with("q", "q2", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    near = (
+        cells.join(b, (F.col("cell") == F.col("cell2")) & (F.col("vec_id") < F.col("v2")))
+        .select("cell", pdot.alias("pdot"))
+        .where(F.col("pdot") >= 150000)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    )
+    members = cells.groupBy("cell").agg(F.countDistinct("vec_id").alias("n_members"))
+    return (
+        members.join(near, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce(F.col("n_near_pairs"), F.lit(0).cast("long")).alias("n_near_pairs"),
+        )
+        .orderBy("cell")
+    )
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY d
+),
+scored AS (
+  SELECT a.d, a.n AS actual, f.n AS forecast
+  FROM daily a JOIN daily f ON f.d = a.d - INTERVAL 7 DAY
+  WHERE a.d >= DATE '2024-01-22'
+)
+SELECT count(*) AS n_days,
+       CAST(sum(abs(actual - forecast)) AS BIGINT) AS total_abs_err,
+       round(CAST(sum(abs(actual - forecast)) AS DOUBLE) / count(*), 4) AS mae,
+       CAST(max(abs(actual - forecast)) AS BIGINT) AS max_abs_err
+FROM scored
+"""
+
+
+@query("ts_seasonal_naive_forecast", "2.10 streaming", _SEASONAL_ORACLE)
+def ts_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    pipeline must beat: predict each day's event count with the count from
+    7 days earlier, score MAE/max-error over the holdout tail (days from
+    Jan 22). Integer counts make every error metric exact. Shape: one
+    keyed daily rollup (map-side combinable), then a self-equi-join on the
+    shifted date — a calendar join, not a window, so the series can shard
+    by date range at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    f = daily.select(F.date_add("d", 7).alias("fd"), F.col("n").alias("forecast"))
+    scored = (
+        daily.join(f, daily.d == f.fd)
+        .where(F.col("d") >= F.lit("2024-01-22").cast("date"))
+        .select(F.col("n").alias("actual"), "forecast")
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(err).alias("total_abs_err"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 4).alias("mae"),
+        F.max(err).alias("max_abs_err"),
+    )
+
+
+_ABC_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(rev) OVER () AS BIGINT) AS tot
+  FROM pr
+)
+SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc_class,
+       count(*) AS n_parts,
+       round(CAST(sum(rev) AS DOUBLE) / 1e4, 2) AS class_revenue
+FROM ranked GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@query("wl_abc_pareto", "2.12 composite workloads", _ABC_ORACLE)
+def wl_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — parts bucketed by cumulative revenue
+    share (A ≤ 80%, B ≤ 95%, C rest), the inventory-analytics composite.
+    Scale-correct: the fact stream reduces to per-part EXACT int64
+    1e-4-unit revenues first (the wl_product_profit money path — 2-decimal
+    price × 2-decimal discount factor terminates at 4 decimals), and only
+    the #parts-row series is window-scanned; class boundaries compare
+    `cum*100 <= tot*{80,95}` in pure integers, so no float share can flap
+    a part across classes. The global-ORDER window is the honest cost: a
+    Pareto ranking is inherently a total order over parts (#parts ≪
+    #rows); at 100 TB the per-part agg shards, the ranking runs over the
+    reduced series."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    pr = li.groupBy("l_partkey").agg(F.sum(cents * disc).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    ranked = pr.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(wt).alias("tot"),
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double") / 1e4, 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS BIGINT)
+           AS recency,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT ntile(4) OVER (ORDER BY recency, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score, count(*) AS n_customers
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@query("wl_rfm_segmentation", "2.12 composite workloads", _RFM_ORACLE)
+def wl_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary quartile
+    scores (ntile(4), best = 1) and the segment census, the canonical CRM
+    composite. Determinism: every metric is exact (day diff, count, int64
+    cents) and every ntile carries a custkey tiebreak so quartile
+    boundaries cannot flap; ntile's larger-earlier-bucket fill rule is the
+    same in both engines. Shape: one keyed agg to #customers rows, three
+    windows over that reduced table, one final census agg."""
+    o = load(spark, sf_dir, "orders")
+    ref = F.lit("2001-09-01").cast("date")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(ref, F.to_date(F.max("o_orderdate"))).cast("long").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(4).over(Window.orderBy("recency", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_BINFILES_ORACLE = """
+WITH f AS (
+  SELECT n_nationkey,
+         repeat(n_name || '|', 1 + n_nationkey % 4) AS content
+  FROM nation
+)
+SELECT count(*) AS n_files,
+       CAST(sum(length(content)) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(content)) AS n_distinct_payloads
+FROM f
+"""
+
+
+@query("scan_binary_files", "2.1 scans", _BINFILES_ORACLE)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — Spark's whole-file ingestion path for blob
+    corpora (images, audio, models): each staged file becomes one row of
+    (path, modificationTime, length, content). Closed-form per-nation
+    payloads are staged as real files, read back via binaryFile, and
+    reduced to count / byte-total / distinct-payload-md5 — path and mtime
+    (non-deterministic) never reach the output. At 100 TB the caveat is
+    the point: one row per FILE, no splitting — binaryFile is the landing
+    read that feeds a parquet conversion (cf. multimodal_* which process
+    blob COLUMNS after exactly that conversion)."""
+    import hashlib
+    import os
+    import tempfile
+
+    n = load(spark, sf_dir, "nation")
+    rows = n.select(
+        "n_nationkey",
+        F.repeat(F.concat(F.col("n_name"), F.lit("|")), (1 + F.col("n_nationkey") % 4).cast("int")).alias(
+            "content"
+        ),
+    ).collect()  # 25 rows: driver-side staging of the FILE fixture only
+    tag = hashlib.md5(f"binfiles:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hdc_binfiles_{tag}")
+    os.makedirs(out, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(out, f"blob_{r.n_nationkey}.bin"), "wb") as f:
+            f.write(r.content.encode())
+    df = spark.read.format("binaryFile").load(out)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.countDistinct(F.md5("content")).alias("n_distinct_payloads"),
+    )
+
+
+_ARROW_UDF_ORACLE = """
+SELECT CAST(n_nationkey % 5 AS INT) AS bucket,
+       CAST(sum(CAST(string_split(n_name, '_')[2] AS BIGINT) * 2 + 1) AS BIGINT)
+         AS total_score
+FROM nation GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("udf_arrow_python", "2.11 UDF surface", _ARROW_UDF_ORACLE)
+def udf_arrow_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python scalar UDF (`useArrow=True`, Spark 3.5+/4):
+    same row-wise author experience as udf_python_scalar, but arguments
+    and results cross the JVM/Python boundary as Arrow batches instead of
+    pickled rows — the drop-in serialization upgrade when a true pandas
+    vectorization (udf_pandas_scalar) is not feasible. The suffix-parse
+    scoring here is deliberately row-wise Python; the oracle recomputes
+    it relationally."""
+    n = load(spark, sf_dir, "nation")
+
+    @F.udf("long", useArrow=True)
+    def score(name: str) -> int:
+        return int(name.split("_")[1]) * 2 + 1
+
+    return (
+        n.groupBy((F.col("n_nationkey") % 5).cast("int").alias("bucket"))
+        .agg(F.sum(score("n_name")).alias("total_score"))
+        .orderBy("bucket")
+    )
+
+
+_FFILL_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN round(value, 2) END AS pval
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id,
+         last_value(pval IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+  FROM s
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN last_purchase_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_before_first,
+       round(max(last_purchase_value), 2) AS max_carried
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("win_ignore_nulls_ffill", "2.5 windows", _FFILL_ORACLE)
+def win_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill via IGNORE NULLS — the standard last-observation-
+    carried-forward window (`last_value(x IGNORE NULLS)` /
+    `F.last(x, ignorenulls=True)`): every event carries the most recent
+    purchase value of its user, NULL before the first purchase. The
+    per-user rollup keeps output compact while pinning the fill semantics
+    (NULL-gap counting + carried maxima). One window pass partitioned by
+    user_id; forward-fill at 100 TB is exactly this shape, never a
+    self-join."""
+    e = load(spark, sf_dir, "events")
+    pval = F.when(F.col("event_type") == "purchase", F.round("value", 2))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = e.select(
+        "user_id",
+        F.last(pval, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return (
+        f.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("last_purchase_value").isNull().cast("long")).alias("n_before_first"),
+            F.round(F.max("last_purchase_value"), 2).alias("max_carried"),
+        )
+        .orderBy("user_id")
+    )
