@@ -1330,9 +1330,21 @@ def sync_crdt_gcounter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle() -> str:
-    from hdc_dataengineering_sqlsync_spark.plans.llmdata_ext import _CENTROIDS
+# Coarse codebook for cell-blocked semantic dedup: K closed-form integer
+# centroids — cent(c)[j] = ((j + 1) * (2*c + 3) * 11) % 41 - 20 — so both
+# engines derive identical literals at ANY K. K is THE scale dial: cells
+# shard the quadratic pair scan, so K grows with corpus size
+# (K ~ n / target_cell_size). K=16 here; the r4 10x stress probe measured
+# the cliff at K=4 (6.9s -> 95s for 10x vectors) and the fix is more
+# cells, not a different algorithm.
+_SEM_K = 16
 
+
+def _sem_cent(c: int) -> list[int]:
+    return [((j + 1) * (2 * c + 3) * 11) % 41 - 20 for j in range(64)]
+
+
+def _semantic_dedup_oracle() -> str:
     def dot(c: list[int]) -> str:
         arr = "[" + ", ".join(str(v) for v in c) + "]"
         return (
@@ -1340,12 +1352,14 @@ def _semantic_dedup_oracle() -> str:
             f"cast(round(embedding[i] * 1000, 0) AS BIGINT) * ({arr})[i])) AS BIGINT)"
         )
 
-    dots = ",\n         ".join(f"{dot(c)} AS d{k}" for k, c in enumerate(_CENTROIDS))
+    dots = ",\n         ".join(f"{dot(_sem_cent(k))} AS d{k}" for k in range(_SEM_K))
     best = (
         "CASE "
         + " ".join(
-            "WHEN " + " AND ".join(f"d{c} >= d{o}" for o in range(4) if o != c) + f" THEN {c}"
-            for c in range(3, -1, -1)
+            "WHEN "
+            + " AND ".join(f"d{c} >= d{o}" for o in range(_SEM_K) if o != c)
+            + f" THEN {c}"
+            for c in range(_SEM_K - 1, -1, -1)
         )
         + " END"
     )
@@ -1377,27 +1391,30 @@ GROUP BY c.cell, p.n_near ORDER BY c.cell
 def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-blocked embedding near-dup — the IVF-style SCALE PATH for
     semantic dedup: embeddings first assign to K coarse centroids (exact
-    int64 argmax, the simsearch_centroid_assign technique), and the
-    quadratic pair scan runs ONLY inside each cell — candidate pairs drop
-    from O(n²) to Σ|cell|², and cells shard across the cluster. Near pair
-    = exact int64 dot ≥ 150000 (≈ cos 0.15 at 1e-3 quantization). Compare
-    dedup_embedding_cosine (label-blocked exact baseline): same pair math,
-    blocking key learned from the data instead of a given label. Output:
-    per cell (n_members, n_near_pairs)."""
-    from hdc_dataengineering_sqlsync_spark.plans.llmdata_ext import _CENTROIDS
-
+    int64 argmax over the closed-form codebook, ties toward the greatest
+    cell), and the quadratic pair scan runs ONLY inside each cell —
+    candidate pairs drop from O(n^2) to sum(|cell|^2), and cells shard
+    across the cluster. K is the scale dial (K ~ n / target_cell_size):
+    the r4 10x stress probe measured 95s at K=4 vs the K=16 form here —
+    the remedy for growth is MORE cells, same algorithm. Near pair =
+    exact int64 dot >= 150000 (~cos 0.15 at 1e-3 quantization). Compare
+    dedup_embedding_cosine (label-blocked exact baseline): same pair
+    math, blocking key learned from the data instead of a given label.
+    Output: per non-empty cell (n_members, n_near_pairs)."""
     e = load(spark, sf_dir, "embeddings")
     q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
     dots = [
         F.aggregate(
-            F.zip_with("q", F.array(*[F.lit(v) for v in c]), lambda x, y: x * y.cast("long")),
+            F.zip_with(
+                "q", F.array(*[F.lit(v) for v in _sem_cent(k)]), lambda x, y: x * y.cast("long")
+            ),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ).alias(f"d{k}")
-        for k, c in enumerate(_CENTROIDS)
+        for k in range(_SEM_K)
     ]
     cell = F.greatest(
-        *[F.struct(F.col(f"d{k}").alias("d"), F.lit(k).alias("c")) for k in range(4)]
+        *[F.struct(F.col(f"d{k}").alias("d"), F.lit(k).alias("c")) for k in range(_SEM_K)]
     )["c"]
     cells = (
         e.select("vec_id", q.alias("q"))

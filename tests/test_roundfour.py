@@ -170,3 +170,88 @@ def test_video_container_roundtrip_catches_stride_bugs(spark, sf_dir):
         r.first_cut == 1 + int(r.media_id) % 6 for r in rows
     )
     assert all(r.cut_diff is not None and r.cut_diff > 20 for r in rows)
+
+
+def test_gcounter_merge_is_idempotent_and_commutative(spark):
+    """CRDT laws (hypothesis): for ANY multiset of (key, replica, value)
+    observations, merging the states twice — or in any delivery order, or
+    with duplicated deliveries — yields the same counter values. This is
+    the property that makes the G-counter safe under at-least-once
+    re-delivery; the qid's oracle can only check one fixed fixture."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    obs = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=2),   # replica
+            st.integers(min_value=0, max_value=50),  # observed slot value
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    def counters(rows):
+        df = spark.createDataFrame(rows, "key long, replica long, observed long")
+        merged = df.groupBy("key", "replica").agg(F.max("observed").alias("state"))
+        out = merged.groupBy("key").agg(F.sum("state").alias("v")).collect()
+        return {r.key: r.v for r in out}
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rows=obs)
+    def prop(rows):
+        once = counters(rows)
+        redelivered = counters(rows + rows)            # idempotence
+        reordered = counters(list(reversed(rows)))     # commutativity
+        assert once == redelivered == reordered
+
+    prop()
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Bloom law (hypothesis): EVERY key inserted into the filter must
+    probe positive — for any keyset. (False positives are allowed and
+    removed by the exact join; a false negative would silently drop
+    matching fact rows.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+        _BLOOM_WORDS,
+        _bloom_positions,
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40))
+    def prop(keys):
+        df = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+        pos = F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos")
+        words = (
+            df.select(pos)
+            .select(
+                (F.col("pos") / 64).cast("int").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").alias("bit"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("bit").alias("bits"))
+            .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m"))
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+                    lambda w: F.coalesce(F.element_at("m", w), F.lit(0).cast("long")),
+                ).alias("words")
+            )
+        )
+        probed = df.crossJoin(F.broadcast(words)).select(
+            "k", *[p.alias(f"_p{i}") for i, p in enumerate(_bloom_positions(F.col("k")))]
+        )
+        hit = None
+        for i in range(4):
+            one = F.expr(
+                f"(shiftright(element_at(words, CAST(_p{i} / 64 AS INT) + 1), _p{i} % 64) & 1) = 1"
+            )
+            hit = one if hit is None else (hit & one)
+        # every inserted key must survive its own filter
+        assert probed.where(~hit).count() == 0
+
+    prop()
