@@ -59,6 +59,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     # docstring). New qids always go in the newest last-imported module.
     dataops,
     roundfour,
+    roundfour_b,
 )
 
 _LEDGER = os.path.join(

@@ -1,0 +1,750 @@
+"""SURVEY.md §2 round-4 continuation batch — graph analytics over relational
+edge derivations (integer PageRank, frontier BFS, triangle census), the
+EXISTS/NOT-IN subquery predicate surface with its three-valued-logic trap,
+an exact-integer correlation/covariance aggregate, and a Benford first-digit
+audit.
+
+Registered AFTER roundfour (plans/__init__.py) so the qids append to the END
+of the never-checked rotation segment and enter the round-5 driver window
+without evicting the planned round-4 one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+# --------------------------------------------------------- graph derivation
+#
+# The testdata has no explicit edge table, so the graph qids derive one
+# relationally — the same move a production pipeline makes (orders ARE the
+# edges of the customer/supplier interaction graph). Shared between
+# graph_pagerank and graph_bfs_levels; the SQL constant is the oracle's
+# identical derivation.
+
+_CS_EDGES_SQL = """
+pairs AS (
+  SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)
+"""
+
+
+def _cs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list of the bipartite customer↔supplier graph: one edge
+    per distinct (customer, supplier) trade relationship, in both directions
+    (so the graph is symmetric and every node has out-degree ≥ 1 — no
+    PageRank dangling-node correction needed)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration integer PageRank (see graph_pagerank docstring
+    for the exact recurrence); each iteration is the same join-aggregate."""
+    step = """
+{nxt} AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * sum(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+  FROM edges e JOIN {cur} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+    iters = ",".join(step.format(cur=f"r{i}", nxt=f"r{i + 1}") for i in range(3))
+    return f"""
+WITH {_CS_EDGES_SQL.strip().rstrip()},
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+{iters}
+SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
+
+
+@query("graph_pagerank", "2.12 composite workloads", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph, 3 power iterations,
+    damping 0.85, as PURE INTEGER arithmetic so both engines agree bitwise:
+    ranks start at 1,000,000; each step is
+    ``rank'(v) = 150000 + (85 * Σ_{u→v} (rank(u) div outdeg(u))) div 100``
+    — floor division on positive int64 is engine-identical, and the sum is
+    an order-free integer aggregate (no float accumulation to drift).
+
+    Scale: each iteration is ONE keyed join (edges ⋈ ranks on src, both
+    partitioned by the join key after the first shuffle) plus ONE keyed sum
+    to #nodes rows — the classic Pregel superstep expressed relationally.
+    The edge list is localCheckpoint'ed once so the 3 iterations re-read a
+    materialized edge partition, not the 2-table derivation; at 100 TB the
+    same plan holds with edges bucketed by src (iterations then shuffle
+    only the #nodes-sized rank table, never the edge list)."""
+    edges = _cs_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").select("src", "dst", "outdeg").localCheckpoint()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank"))
+    for _ in range(3):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg((F.lit(150000) + F.expr("(85 * sum(contrib)) div 100")).cast("long").alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_CS_EDGES_SQL.strip()},
+walk(node, lvl) AS (
+  SELECT 'S' || (SELECT min(l_suppkey) FROM lineitem), 0
+  UNION
+  SELECT e.dst, w.lvl + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lvl < 4
+)
+SELECT node, CAST(min(lvl) AS INT) AS lvl
+FROM walk GROUP BY node ORDER BY lvl, node
+"""
+
+
+@query("graph_bfs_levels", "2.12 composite workloads", _BFS_ORACLE)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (≤ 4) from the lowest-keyed supplier over the trade
+    graph — frontier expansion, the scale-shape of every iterative graph
+    traversal: each round joins ONLY the frontier (previous level's new
+    nodes) against the edge list, dedups, and anti-joins the visited set, so
+    per-round work tracks the frontier size, never the full graph. Rounds
+    localCheckpoint so lineage doesn't compound across iterations. The
+    oracle's recursive CTE uses UNION (not UNION ALL) — the same
+    visited-set pruning — with min(lvl) collapsing re-reachings."""
+    edges = _cs_edges(spark, sf_dir).localCheckpoint()
+    src_key = load(spark, sf_dir, "lineitem").agg(F.min("l_suppkey")).collect()[0][0]
+    frontier = spark.createDataFrame([(f"S{src_key}", 0)], "node string, lvl int")
+    visited = frontier
+    for i in range(1, 5):
+        frontier = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("lvl", F.lit(i))
+            .localCheckpoint()
+        )
+        if not frontier.take(1):
+            break
+        visited = visited.unionAll(frontier)
+    return visited.orderBy("lvl", "node")
+
+
+_TRIANGLE_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT p, count(*) AS d
+  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e)
+  GROUP BY p
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.p1 = e1.p2
+  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles
+"""
+
+
+@query("graph_triangle_stats", "2.12 composite workloads", _TRIANGLE_ORACLE)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edge = pair of parts
+    co-ordered in ≥ 2 distinct orders; p1 < p2 orients each edge once):
+    node/edge/wedge/triangle counts — the graph-quality profile (global
+    clustering = 3·triangles/wedges) behind recommendation graphs.
+
+    Scale: the basket self-join is bounded by basket size (never
+    corpus-quadratic, the wl_basket_pairs argument) and the ≥2-support
+    threshold prunes the edge list BEFORE the cubic step; the triangle
+    join itself is two keyed equi-joins over the pruned p1<p2 edges — each
+    wedge (e1.p2 = e2.p1) closes against the oriented edge set, counting
+    every triangle exactly once. Production graphs additionally orient
+    edges low-degree → high-degree so hub wedges never enumerate; the
+    wedge count this query emits is exactly the statistic that decides
+    when that reorientation pays."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(e3, (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("cast(sum((d * (d - 1)) div 2) as bigint)").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
+
+
+# ------------------------------------------------------------- 2.3 joins
+
+_EXISTS_NOTIN_ORACLE = """
+SELECT 'exists_notin' AS tag, count(*) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= DATE '1996-01-01'
+                AND o.o_orderdate < DATE '1997-01-01')
+  AND c.c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+UNION ALL
+SELECT 'not_exists' AS tag, count(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1996-01-01'
+                    AND o.o_orderdate < DATE '1997-01-01')
+UNION ALL
+SELECT 'notin_null_poisoned' AS tag, count(*) AS n
+FROM customer c
+WHERE c.c_nationkey NOT IN
+      (SELECT CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey END
+       FROM nation WHERE n_regionkey = 2)
+ORDER BY tag
+"""
+
+
+@query("subq_exists_notin", "2.3 joins", _EXISTS_NOTIN_ORACLE)
+def subq_exists_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS / NOT IN predicate subqueries through the SQL
+    front end, including the NOT-IN NULL trap: branch 3's subquery list
+    contains a NULL, so ``x NOT IN (…)`` is never TRUE under three-valued
+    logic and the count is 0 — the classic silent-wrong-answer hazard a
+    sync engine's key-comparison layer must honor, pinned here in both
+    engines. Catalyst rewrites EXISTS → left-semi, NOT EXISTS → left-anti,
+    and NOT IN → null-aware anti join (the expensive one — the plan shows
+    why production schemas declare keys NOT NULL and use NOT EXISTS)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_EXISTS_NOTIN_ORACLE)
+
+
+# ---------------------------------------------------------- 2.4 aggregations
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+         AS corr_qty_cents,
+       round((CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE), 2) AS covar_pop_qty_cents,
+       round((CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE), 2) AS covar_samp_qty_cents
+FROM s ORDER BY l_returnflag
+"""
+
+
+@query("agg_corr_covar_exact", "2.4 aggregations", _CORR_ORACLE)
+def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + covariance as ONE exact-integer
+    aggregate pass: quantities are integral and prices 2-decimal, so Σx,
+    Σy, Σxy, Σx² sum as int64 and Σy² (cents², ~1e14/row) as DECIMAL(38,0)
+    — every sum order-free and engine-identical — then the closed-form
+    moments formulas run ONCE per group in double. This sidesteps the
+    cross-engine drift of builtin corr()/covar() (different accumulation
+    schemes) the same way wl_price_trend_slope does for regression, and is
+    the 100 TB shape: a single map-side-combinable aggregate, no second
+    pass over centered values."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 4
+        ).alias("corr_qty_cents"),
+        F.round((sxy - sx * sy / n) / n, 2).alias("covar_pop_qty_cents"),
+        F.round((sxy - sx * sy / n) / (F.col("n") - 1).cast("double"), 2).alias(
+            "covar_samp_qty_cents"
+        ),
+    ).orderBy("l_returnflag")
+
+
+# ------------------------------------------------------------ 2.8 sync core
+
+# log10(1 + 1/d) to 4 decimals — fixed literals on BOTH sides so no libm
+# log10 ulp difference can leak into the comparison.
+_BENFORD = {1: 0.3010, 2: 0.1761, 3: 0.1249, 4: 0.0969, 5: 0.0792, 6: 0.0669, 7: 0.0580, 8: 0.0512, 9: 0.0458}
+
+_BENFORD_CASE = "CASE digit " + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit
+  FROM orders
+),
+census AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT sum(n) AS total FROM census)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 4) AS obs_pct,
+       {_BENFORD_CASE} AS exp_pct,
+       round(abs(round(CAST(n AS DOUBLE) / total, 4) - ({_BENFORD_CASE})), 4) AS abs_dev
+FROM census, tot ORDER BY digit
+"""
+
+
+@query("dq_benford_firstdigit", "2.8 sync core", _BENFORD_ORACLE)
+def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit on order totals — the fraud /
+    synthetic-data screen: observed digit shares vs the Benford expectation
+    log10(1+1/d) (fixed 4-decimal literals on both sides, so no libm
+    divergence). The leading digit comes from exact cents (×100 shifts the
+    decimal point, leaving the first significant digit unchanged), so the
+    census is pure integer counting — one map-side-combinable aggregate to
+    9 rows, then literal arithmetic over already-rounded shares."""
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1).cast("int")
+    census = o.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = census.agg(F.sum("n").alias("total"))
+    exp_pct = F.expr(_BENFORD_CASE)
+    obs_pct = F.round(F.col("n").cast("double") / F.col("total"), 4)
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs_pct.alias("obs_pct"),
+            exp_pct.alias("exp_pct"),
+            F.round(F.abs(obs_pct - exp_pct), 4).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------- 2.8 Merkle anti-entropy
+
+def _merkle_oracle() -> str:
+    from hdc_dataengineering_sqlsync_spark.plans.dataops import _ORDERS_DG
+    from hdc_dataengineering_sqlsync_spark.plans.sync import _TARGET_SQL
+
+    dg = f"bit_xor(cast(concat('0x', substr({_ORDERS_DG}, 1, 15)) AS BIGINT))"
+    return f"""
+WITH target AS ({_TARGET_SQL}),
+sm AS (SELECT date_trunc('month', o_orderdate) AS part, count(*) AS n, {dg} AS dg
+       FROM orders GROUP BY part),
+tm AS (SELECT date_trunc('month', o_orderdate) AS part, count(*) AS n, {dg} AS dg
+       FROM target GROUP BY part),
+sq AS (SELECT CAST(year(part) AS VARCHAR) || '-Q' || CAST(quarter(part) AS VARCHAR) AS q,
+              sum(n) AS n, bit_xor(dg) AS dg FROM sm GROUP BY q),
+tq AS (SELECT CAST(year(part) AS VARCHAR) || '-Q' || CAST(quarter(part) AS VARCHAR) AS q,
+              sum(n) AS n, bit_xor(dg) AS dg FROM tm GROUP BY q),
+sr AS (SELECT sum(n) AS n, bit_xor(dg) AS dg FROM sq),
+tr AS (SELECT sum(n) AS n, bit_xor(dg) AS dg FROM tq),
+l1 AS (
+  SELECT coalesce(sq.q, tq.q) AS node,
+         CAST(coalesce(sq.n, 0) AS BIGINT) AS src_n,
+         CAST(coalesce(tq.n, 0) AS BIGINT) AS tgt_n,
+         CASE WHEN sq.n = tq.n AND sq.dg = tq.dg THEN 'same' ELSE 'diff' END AS status
+  FROM sq FULL OUTER JOIN tq ON sq.q = tq.q
+),
+l2 AS (
+  SELECT CAST(year(coalesce(sm.part, tm.part)) AS VARCHAR) || '-Q'
+           || CAST(quarter(coalesce(sm.part, tm.part)) AS VARCHAR) AS q,
+         strftime(coalesce(sm.part, tm.part), '%Y-%m') AS node,
+         CAST(coalesce(sm.n, 0) AS BIGINT) AS src_n,
+         CAST(coalesce(tm.n, 0) AS BIGINT) AS tgt_n,
+         CASE WHEN sm.n = tm.n AND sm.dg = tm.dg THEN 'same' ELSE 'diff' END AS status
+  FROM sm FULL OUTER JOIN tm ON sm.part = tm.part
+)
+SELECT 0 AS lvl, 'ALL' AS node, CAST(sr.n AS BIGINT) AS src_n, CAST(tr.n AS BIGINT) AS tgt_n,
+       CASE WHEN sr.n = tr.n AND sr.dg = tr.dg THEN 'same' ELSE 'diff' END AS status
+FROM sr, tr
+UNION ALL
+SELECT 1 AS lvl, node, src_n, tgt_n, status FROM l1
+UNION ALL
+SELECT 2 AS lvl, l2.node, l2.src_n, l2.tgt_n, l2.status
+FROM l2 JOIN l1 ON l1.node = l2.q WHERE l1.status = 'diff'
+ORDER BY lvl, node
+"""
+
+
+@query("sync_anti_entropy_merkle", "2.8 sync core", _merkle_oracle())
+def sync_anti_entropy_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree anti-entropy between source and drifted target — the
+    hierarchical generalization of sync_partition_digest: month leaves roll
+    up (sum count, XOR digest — XOR's associativity means a quarter's digest
+    IS the XOR of all its rows' digests) into quarter nodes and a root, and
+    the drill-down DESCENDS ONLY INTO UNEQUAL SUBTREES: the output carries
+    the root, every quarter, but leaf rows only under quarters that differ.
+    At 100 TB this is how two stores agree with O(changed-subtrees) digest
+    traffic instead of O(partitions): each level is a map-side-combinable
+    aggregate over the (already tiny) level below, and matching subtrees
+    prune their entire leaf fan-out from the comparison.
+
+    Digest spec shared with the row-level diff (functions/digests.py) — one
+    canonicalization, reused at every tree level."""
+    from hdc_dataengineering_sqlsync_spark.plans.dataops import _partition_digest
+    from hdc_dataengineering_sqlsync_spark.plans.sync import _source, _target
+
+    def levels(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+        leaf = _partition_digest(df).localCheckpoint()  # (part, n, dg), ~24 rows
+        quarter = F.concat(
+            F.year("part").cast("string"), F.lit("-Q"), F.quarter("part").cast("string")
+        )
+        l1 = leaf.groupBy(quarter.alias("q")).agg(
+            F.sum("n").alias("n"), F.expr("bit_xor(dg)").alias("dg")
+        )
+        root = l1.agg(F.sum("n").alias("n"), F.expr("bit_xor(dg)").alias("dg"))
+        return leaf, l1, root
+
+    s_leaf, s_l1, s_root = levels(_source(spark, sf_dir))
+    t_leaf, t_l1, t_root = levels(_target(spark, sf_dir))
+
+    def status(a: str, b: str):
+        return (
+            F.when(
+                (F.col(f"{a}.n") == F.col(f"{b}.n")) & (F.col(f"{a}.dg") == F.col(f"{b}.dg")),
+                "same",
+            )
+            .otherwise("diff")
+            .alias("status")
+        )
+
+    def sides(n_a: str, n_b: str):
+        return (
+            F.coalesce(F.col(f"{n_a}.n"), F.lit(0)).alias("src_n"),
+            F.coalesce(F.col(f"{n_b}.n"), F.lit(0)).alias("tgt_n"),
+        )
+
+    root = (
+        s_root.alias("a")
+        .crossJoin(t_root.alias("b"))
+        .select(F.lit(0).alias("lvl"), F.lit("ALL").alias("node"), *sides("a", "b"), status("a", "b"))
+    )
+    l1 = (
+        s_l1.alias("a")
+        .join(t_l1.alias("b"), F.col("a.q") == F.col("b.q"), "full_outer")
+        .select(
+            F.lit(1).alias("lvl"),
+            F.coalesce("a.q", "b.q").alias("node"),
+            *sides("a", "b"),
+            status("a", "b"),
+        )
+    )
+    month_q = F.concat(
+        F.year(F.coalesce("a.part", "b.part")).cast("string"),
+        F.lit("-Q"),
+        F.quarter(F.coalesce("a.part", "b.part")).cast("string"),
+    )
+    leaf = (
+        s_leaf.alias("a")
+        .join(t_leaf.alias("b"), F.col("a.part") == F.col("b.part"), "full_outer")
+        .select(
+            month_q.alias("q"),
+            F.date_format(F.coalesce("a.part", "b.part"), "yyyy-MM").alias("node"),
+            *sides("a", "b"),
+            status("a", "b"),
+        )
+    )
+    diff_q = l1.where(F.col("status") == "diff").select(F.col("node").alias("q"))
+    leaf_rows = (
+        leaf.join(F.broadcast(diff_q), "q")
+        .select(F.lit(2).alias("lvl"), "node", "src_n", "tgt_n", "status")
+    )
+    return root.unionAll(l1).unionAll(leaf_rows).orderBy("lvl", "node")
+
+
+# ------------------------------------------------- 2.10 timeseries ACF
+
+_ACF_ORACLE = r"""
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+           FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, g.h
+         FROM types t, b, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)),
+counts AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+           FROM events GROUP BY 1, 2),
+x AS (SELECT g.event_type, g.h, coalesce(c.x, 0) AS x
+      FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.h = g.h),
+c AS (SELECT event_type, h,
+             count(*) OVER (PARTITION BY event_type) * x
+               - sum(x) OVER (PARTITION BY event_type) AS cdev
+      FROM x),
+l AS (SELECT event_type, cdev,
+             lead(cdev, 1) OVER (PARTITION BY event_type ORDER BY h) AS c1,
+             lead(cdev, 2) OVER (PARTITION BY event_type ORDER BY h) AS c2,
+             lead(cdev, 3) OVER (PARTITION BY event_type ORDER BY h) AS c3
+      FROM c),
+a AS (SELECT event_type,
+             sum(cdev * cdev) AS den,
+             sum(cdev * c1) AS n1, sum(cdev * c2) AS n2, sum(cdev * c3) AS n3
+      FROM l GROUP BY event_type)
+SELECT event_type, lag,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS acf
+FROM (
+  SELECT event_type, 1 AS lag, n1 AS num, den FROM a
+  UNION ALL SELECT event_type, 2, n2, den FROM a
+  UNION ALL SELECT event_type, 3, n3, den FROM a
+)
+ORDER BY event_type, lag
+"""
+
+
+@query("ts_acf_lags", "2.10 streaming", _ACF_ORACLE)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1-3 over the gap-filled hourly
+    event grid — the seasonality detector that decides ts_seasonal_naive's
+    period. Exact by construction: with integer counts, the centered
+    deviation scales to ``n·x_t − S`` (pure int64), so numerator and
+    denominator are order-free integer sums and ONE final IEEE division per
+    lag is the only float op. Scale: grid construction is
+    sequence-explode (no shuffle), counts one keyed agg, and the lag
+    windows partition per series — series count × grid length rows, window
+    parallelism = #series (high-cardinality in production; the events
+    fixture has 5)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    bounds = ev.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"))
+    )
+    x = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("h")
+    c = x.select(
+        "event_type",
+        "h",
+        (F.count(F.lit(1)).over(wp) * F.col("x") - F.sum("x").over(wp)).alias("cdev"),
+    )
+    lagged = c.select(
+        "event_type",
+        "cdev",
+        F.lead("cdev", 1).over(wo).alias("c1"),
+        F.lead("cdev", 2).over(wo).alias("c2"),
+        F.lead("cdev", 3).over(wo).alias("c3"),
+    )
+    a = lagged.groupBy("event_type").agg(
+        F.sum(F.col("cdev") * F.col("cdev")).alias("den"),
+        F.sum(F.col("cdev") * F.col("c1")).alias("n1"),
+        F.sum(F.col("cdev") * F.col("c2")).alias("n2"),
+        F.sum(F.col("cdev") * F.col("c3")).alias("n3"),
+    )
+    return (
+        a.selectExpr(
+            "event_type",
+            "stack(3, 1, round(cast(n1 as double) / cast(den as double), 4), "
+            "2, round(cast(n2 as double) / cast(den as double), 4), "
+            "3, round(cast(n3 as double) / cast(den as double), 4)) as (lag, acf)",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# --------------------------------------------------------- 2.9 llm-data
+
+_CHUNK_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS n_chunks
+  FROM tok
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')) AS chunk_hash
+FROM n, unnest(range(0, CAST(n_chunks AS BIGINT))) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("text_chunk_overlap", "2.9 llm-data", _CHUNK_ORACLE)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24 — 8-token
+    overlap): the RAG/embedding prep step that turns documents into
+    retrieval passages. Chunk count is pure integer arithmetic
+    (``1 + (max(n−32,0)+23) div 24``), each chunk is a map-side array
+    slice, and only (doc_id, chunk_id, 16-byte hash) leave the scan — the
+    chunk text itself re-derives from the doc row wherever it's needed
+    next (the embedding UDF), so nothing wide ever shuffles. Tail chunks
+    keep their partial window (every token belongs to ≥1 chunk)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    n_chunks = F.expr("1 + (greatest(size(split(lower(text), '\\\\s+')) - 32, 0) + 23) div 24")
+    chunked = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    piece = F.slice("toks", F.col("chunk_id") * 24 + 1, 32)
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_PRUNE_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ') AS ctext
+  FROM tok, unnest(range(0, (len(toks) + 19) // 20)) AS t(i)
+),
+h AS (SELECT doc_id, i, ctext, md5(ctext) AS phash FROM chunks),
+shared AS (SELECT phash FROM h GROUP BY phash HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT h.doc_id, h.i, h.ctext FROM h LEFT JOIN shared s USING (phash)
+         WHERE s.phash IS NULL),
+re AS (SELECT doc_id, count(*) AS n_kept,
+              md5(string_agg(ctext, ' ' ORDER BY i)) AS clean_hash,
+              sum(len(string_split_regex(ctext, '\s+'))) AS n_tokens_kept
+       FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST((len(toks) + 19) // 20 AS INT) AS n_chunks FROM tok)
+SELECT t.doc_id, t.n_chunks,
+       CAST(t.n_chunks - coalesce(re.n_kept, 0) AS INT) AS n_pruned,
+       CAST(coalesce(re.n_tokens_kept, 0) AS INT) AS n_tokens_kept,
+       coalesce(re.clean_hash, md5('')) AS clean_hash
+FROM tot t LEFT JOIN re ON re.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("text_boilerplate_prune", "2.9 llm-data", _PRUNE_ORACLE)
+def text_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL with reassembly (the C4/RefinedWeb repeated-
+    passage prune, completing dedup_passage_exact's detect step): 20-token
+    passages appearing in >1 document are cut, survivors rejoin in order
+    (tail fragments keep their place), and each doc emits its cleaned-text
+    fingerprint + kept-token census. The scale discipline: passage TEXT
+    never shuffles — the keyed agg sees only (doc_id, idx, 16-byte hash),
+    the per-doc prune list (a few ints) joins back to the doc row, and the
+    cleaned text re-derives MAP-SIDE from the original column via
+    filter/transform/flatten higher-order functions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    n_chunks = F.expr("cast((size(split(lower(text), '\\\\s+')) + 19) div 20 as int)")
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i * 20 + 1, 20), " ")),
+    )
+    c = d.select("doc_id", F.posexplode(hashes).alias("i", "phash"))
+    shared = (
+        c.groupBy("phash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("phash")
+    )
+    pruned = (
+        c.join(shared, "phash")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("i")).alias("pruned_idx"))
+    )
+    out = d.join(pruned, "doc_id", "left").select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        toks.alias("toks"),
+        F.coalesce("pruned_idx", F.array().cast("array<int>")).alias("pruned_idx"),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: ~F.array_contains("pruned_idx", i),
+    )
+    kept_toks = F.flatten(
+        F.transform(kept_idx, lambda i: F.slice("toks", i * 20 + 1, 20))
+    )
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        F.size("pruned_idx").alias("n_pruned"),
+        F.size(kept_toks).alias("n_tokens_kept"),
+        F.md5(F.array_join(kept_toks, " ")).alias("clean_hash"),
+    ).orderBy("doc_id")
