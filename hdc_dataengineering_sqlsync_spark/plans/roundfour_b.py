@@ -748,3 +748,105 @@ def text_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept_toks).alias("n_tokens_kept"),
         F.md5(F.array_join(kept_toks, " ")).alias("clean_hash"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ 2.10 streaming
+
+_BACKFILL_ORACLE = """
+SELECT CAST(row_number() OVER (ORDER BY n DESC) AS INT) AS batch_rank,
+       n AS n_rows
+FROM (SELECT count(*) AS n FROM events GROUP BY user_id % 4)
+ORDER BY batch_rank
+"""
+
+
+@query("stream_backfill_throttled", "2.10 streaming", _BACKFILL_ORACLE)
+def stream_backfill_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttled backfill: a historical reload drains through the SAME
+    streaming pipeline as live data, rate-limited by
+    ``maxFilesPerTrigger=1`` so each micro-batch ingests exactly one file —
+    the knob that keeps a 100 TB backfill from flooding state stores and
+    sinks sized for the live rate. Four files (events sharded by
+    user_id % 4) produce four micro-batches; the per-batch row counts,
+    rank-ordered, must equal the batch GROUP BY census — proving no file
+    was merged, split, or double-read across triggers. foreachBatch
+    observes each micro-batch on the driver (bounded: one count per
+    batch), exactly how a production backfill meters progress."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"hdc_backfill_{uuid.uuid4().hex[:8]}_")
+    src = f"{base}/src"
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    for g in range(4):
+        ev.where(F.col("user_id") % 4 == g).coalesce(1).write.mode("append").parquet(src)
+
+    batch_counts: list[int] = []
+
+    def observe(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        if n > 0:
+            batch_counts.append(n)
+
+    stream = spark.readStream.schema("event_id long, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(observe)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ranked = [(i + 1, n) for i, n in enumerate(sorted(batch_counts, reverse=True))]
+    return spark.createDataFrame(ranked, "batch_rank int, n_rows bigint").orderBy("batch_rank")
+
+
+# ----------------------------------------------------------- 2.11 UDF surface
+
+_UDTF_ANALYZE_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id, toks[1] AS tok_1, toks[2] AS tok_2, toks[3] AS tok_3,
+       CAST(greatest(len(toks) - 3, 0) AS INT) AS n_extra
+FROM tok ORDER BY doc_id
+"""
+
+
+@query("udtf_python_analyze", "2.11 UDF surface", _UDTF_ANALYZE_ORACLE)
+def udtf_python_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with an ``analyze()``-time DYNAMIC schema (the Spark-4
+    polymorphic-UDTF surface, completing the static-schema udtf_python):
+    the output width comes from the constant argument at PLAN time —
+    ``split_fixed(text, 3)`` resolves to columns tok_1..tok_3 + n_extra
+    before any data moves, so Catalyst prunes/projects through it like any
+    other relation. Row-at-a-time Python is the declared API surface here
+    (as with udf_python_scalar); the vectorized equivalent of this shape
+    is udtf_map_in_pandas."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            ncols = n.value
+            fields = [StructField(f"tok_{i + 1}", StringType(), True) for i in range(ncols)]
+            fields.append(StructField("n_extra", IntegerType(), True))
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").lower().split()
+            row = tuple(toks[i] if i < len(toks) else None for i in range(n))
+            yield row + (max(0, len(toks) - n),)
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.*
+        FROM documents d, LATERAL split_fixed(d.text, 3) t
+        ORDER BY d.doc_id
+        """
+    )
