@@ -1,0 +1,158 @@
+"""Unit tests for the round-4 continuation qids (plans/roundfour_b.py) —
+structural properties beyond the per-row oracle: Merkle drill-down pruning,
+BFS frontier soundness, chunk coverage, prune/reassembly consistency, and
+backfill batch integrity."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import (
+    graph_bfs_levels,
+    graph_pagerank,
+    graph_triangle_stats,
+    stream_backfill_throttled,
+    sync_anti_entropy_merkle,
+    text_boilerplate_prune,
+    text_chunk_overlap,
+)
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+
+def test_merkle_descends_only_into_diff_subtrees(spark, sf_dir):
+    """The anti-entropy contract: leaf (month) rows appear IFF their quarter
+    differs — 'same' quarters prune their whole leaf fan-out — and every
+    emitted diff quarter contains at least one emitted leaf explaining it;
+    the root must be 'diff' iff any quarter is."""
+    rows = sync_anti_entropy_merkle(spark, sf_dir).collect()
+    by_lvl = {lvl: [r for r in rows if r.lvl == lvl] for lvl in (0, 1, 2)}
+    assert len(by_lvl[0]) == 1 and by_lvl[0][0].node == "ALL"
+    quarters = {r.node: r.status for r in by_lvl[1]}
+    assert by_lvl[0][0].status == (
+        "diff" if any(s == "diff" for s in quarters.values()) else "same"
+    )
+    # month -> quarter: node format 'YYYY-MM'
+    def quarter_of(month_node: str) -> str:
+        y, m = month_node.split("-")
+        return f"{y}-Q{(int(m) - 1) // 3 + 1}"
+
+    emitted_quarters = {quarter_of(r.node) for r in by_lvl[2]}
+    diff_quarters = {q for q, s in quarters.items() if s == "diff"}
+    # leaves appear only under diff quarters ...
+    assert emitted_quarters <= diff_quarters
+    # ... and every diff quarter is explained by >=1 differing leaf
+    for q in diff_quarters:
+        leaves = [r for r in by_lvl[2] if quarter_of(r.node) == q]
+        assert leaves, f"diff quarter {q} emitted no leaves"
+        assert any(r.status == "diff" for r in leaves), f"diff quarter {q} has no diff leaf"
+    # count conservation up the tree (per side)
+    assert sum(r.src_n for r in by_lvl[1]) == by_lvl[0][0].src_n
+    assert sum(r.tgt_n for r in by_lvl[1]) == by_lvl[0][0].tgt_n
+
+
+def test_bfs_levels_are_sound(spark, sf_dir):
+    """Level 0 is exactly the source; every level-k node (k>=1) has an edge
+    from some level-(k-1) node and none from any earlier level (else its
+    level would be smaller) — the frontier invariant."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import _cs_edges
+
+    levels = {r.node: r.lvl for r in graph_bfs_levels(spark, sf_dir).collect()}
+    edges = _cs_edges(spark, sf_dir).collect()
+    nbrs: dict[str, set[str]] = {}
+    for e in edges:
+        nbrs.setdefault(e.dst, set()).add(e.src)
+    sources = [n for n, l in levels.items() if l == 0]
+    assert len(sources) == 1 and sources[0].startswith("S")
+    for node, lvl in levels.items():
+        if lvl == 0:
+            continue
+        in_lvls = {levels[s] for s in nbrs.get(node, set()) if s in levels}
+        assert min(in_lvls) == lvl - 1, f"{node} at lvl {lvl} has in-levels {in_lvls}"
+
+
+def test_pagerank_conserves_node_set_and_is_positive(spark, sf_dir):
+    """Top-20 ranks are positive, strictly ordered by (rank desc, node), and
+    bounded above by the theoretical max (a node receiving every unit of
+    rank in the graph)."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import _cs_edges
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 20
+    n_nodes = _cs_edges(spark, sf_dir).select("src").distinct().count()
+    total_rank_bound = 150000 + (85 * n_nodes * 1000000) // 100
+    for a, b in zip(rows, rows[1:]):
+        assert (a.rank, a.node) > (b.rank, b.node) or (
+            a.rank == b.rank and a.node < b.node
+        )
+    assert all(0 < r.rank < total_rank_bound for r in rows)
+
+
+def test_triangle_stats_internal_consistency(spark, sf_dir):
+    """3·triangles <= wedges (each triangle closes exactly 3 wedges) and the
+    edge/degree handshake sum holds."""
+    row = graph_triangle_stats(spark, sf_dir).collect()[0]
+    if row.n_edges == 0:
+        return
+    assert 3 * row.n_triangles <= row.n_wedges
+    assert row.n_nodes >= 2
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Every token index of every doc falls inside >=1 chunk window, chunk
+    token counts are consistent with window/stride (32/24), and consecutive
+    chunks overlap by exactly 8 tokens except after the tail."""
+    chunks = text_chunk_overlap(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: len(r.text.lower().split())
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    per_doc: dict[int, list] = {}
+    for c in chunks:
+        per_doc.setdefault(c.doc_id, []).append(c)
+    assert set(per_doc) == set(docs)
+    for doc_id, nt in docs.items():
+        cs = sorted(per_doc[doc_id], key=lambda c: c.chunk_id)
+        covered = set()
+        for c in cs:
+            start = c.chunk_id * 24
+            assert c.n_chunk_tokens == min(32, nt - start)
+            covered.update(range(start, start + c.n_chunk_tokens))
+        assert covered == set(range(nt)), f"doc {doc_id} coverage gap"
+
+
+def test_boilerplate_prune_reassembly(spark, sf_dir):
+    """Docs with zero pruned chunks must fingerprint to md5 of their full
+    lowered token join; all-pruned docs fingerprint to md5(''); kept token
+    counts never exceed the doc's token count."""
+    out = {r.doc_id: r for r in text_boilerplate_prune(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: " ".join(r.text.lower().split())
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(docs)
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    n_unpruned = 0
+    for doc_id, text in docs.items():
+        r = out[doc_id]
+        nt = len(text.split())
+        assert 0 <= r.n_pruned <= r.n_chunks
+        assert r.n_tokens_kept <= nt
+        if r.n_pruned == 0:
+            n_unpruned += 1
+            assert r.n_tokens_kept == nt
+            assert r.clean_hash == hashlib.md5(text.encode()).hexdigest()
+        if r.n_pruned == r.n_chunks:
+            assert r.n_tokens_kept == 0 and r.clean_hash == empty_md5
+    assert n_unpruned > 0  # fixture sanity: pruning isn't total
+
+
+def test_backfill_batches_partition_the_input(spark, sf_dir):
+    """The throttled replay's batch counts must partition the event count
+    exactly (no file merged, dropped, or double-read)."""
+    rows = stream_backfill_throttled(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert [r.batch_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 4
