@@ -850,3 +850,343 @@ def udtf_python_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
         """
     )
+
+
+# ----------------------------------------------- 2.4 concentration / entropy
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+         sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT segment, cents,
+         row_number() OVER (PARTITION BY segment ORDER BY cents, c_custkey) AS i,
+         count(*) OVER (PARTITION BY segment) AS n,
+         sum(cents) OVER (PARTITION BY segment) AS sx
+  FROM spend
+)
+SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
+       round((2.0 * CAST(sum(i * cents) AS DOUBLE)
+              - CAST(max(n) + 1 AS DOUBLE) * CAST(max(sx) AS DOUBLE))
+             / (CAST(max(n) AS DOUBLE) * CAST(max(sx) AS DOUBLE)), 4) AS gini
+FROM ranked GROUP BY segment ORDER BY segment
+"""
+
+
+@query("agg_gini_segment", "2.4 aggregations", _GINI_ORACLE)
+def agg_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer spend per market segment — the
+    inequality census behind revenue-concentration dashboards, via the
+    sorted-rank identity ``G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)``. Exact
+    int64 cents + integer ranks make every sum order-free; ONE double
+    division per segment. Scale (the wl_abc_pareto argument): the fact
+    stream reduces to #customers rows FIRST (keyed agg), the rank window
+    runs over that reduced series partitioned per segment — the total order
+    IS the semantics, and parallelism = #segments (in production, the
+    grouping key is high-cardinality: per-tenant, per-market)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wp = Window.partitionBy("segment")
+    wo = wp.orderBy("cents", "c_custkey")
+    ranked = spend.select(
+        "segment",
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("sx"),
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.round(
+                (
+                    F.lit(2.0) * F.sum(F.col("i") * F.col("cents")).cast("double")
+                    - (F.max("n") + 1).cast("double") * F.max("sx").cast("double")
+                )
+                / (F.max("n").cast("double") * F.max("sx").cast("double")),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("segment")
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag AS f, l_linestatus AS s, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (
+  SELECT f, s, n,
+         sum(n) OVER (PARTITION BY f) AS nf,
+         sum(n) OVER (PARTITION BY s) AS ns,
+         sum(n) OVER () AS nt
+  FROM c
+),
+h AS (
+  SELECT -sum((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt)) AS hj,
+         -sum((CAST(n AS DOUBLE) / nt) * ln(CAST(nf AS DOUBLE) / nt)) AS hf,
+         -sum((CAST(n AS DOUBLE) / nt) * ln(CAST(ns AS DOUBLE) / nt)) AS hs
+  FROM m
+)
+SELECT round(hf, 4) AS h_flag, round(hs, 4) AS h_status, round(hj, 4) AS h_joint,
+       round(hf + hs - hj, 4) AS mutual_info
+FROM h
+"""
+
+
+@query("agg_entropy_mi", "2.4 aggregations", _ENTROPY_ORACLE)
+def agg_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + mutual information of (returnflag, linestatus) —
+    the dependence screen feature stores run over categorical pairs. ONE
+    keyed count collapses the fact table to the tiny joint-distribution
+    table; marginals come from window sums over those few rows (no second
+    scan), and each marginal entropy is computed as a sum over JOINT rows
+    (Σ_s n_fs = n_f), so one aggregate yields all three entropies; MI =
+    H(f)+H(s)−H(joint) from the unrounded values."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = c.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("f")).alias("nf"),
+        F.sum("n").over(Window.partitionBy("s")).alias("ns"),
+        F.sum("n").over(Window.partitionBy()).alias("nt"),
+    )
+    p = F.col("n").cast("double") / F.col("nt")
+    h = m.agg(
+        (-F.sum(p * F.log(p))).alias("hj"),
+        (-F.sum(p * F.log(F.col("nf").cast("double") / F.col("nt")))).alias("hf"),
+        (-F.sum(p * F.log(F.col("ns").cast("double") / F.col("nt")))).alias("hs"),
+    )
+    return h.select(
+        F.round("hf", 4).alias("h_flag"),
+        F.round("hs", 4).alias("h_status"),
+        F.round("hj", 4).alias("h_joint"),
+        F.round(F.col("hf") + F.col("hs") - F.col("hj"), 4).alias("mutual_info"),
+    )
+
+
+# --------------------------------------------------- 2.3 spatial grid join
+
+_SPATIAL_ORACLE = """
+WITH p AS (
+  SELECT c_custkey,
+         CAST(concat('0x', substr(md5('x' || c_custkey), 1, 4)) AS INT) % 500 AS x,
+         CAST(concat('0x', substr(md5('y' || c_custkey), 1, 4)) AS INT) % 500 AS y
+  FROM customer
+)
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM p a JOIN p b
+  ON a.c_custkey < b.c_custkey
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+ORDER BY dist2, a_key, b_key LIMIT 50
+"""
+
+
+@query("join_spatial_grid", "2.3 joins", _SPATIAL_ORACLE)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-5 spatial self-join via GRID BLOCKING — the 2-D generalization
+    of join_range_bucketized: each point keys by its 5×5 cell, one side
+    additionally explodes to its 3×3 cell neighborhood, the pair search
+    becomes an EQUI-join on cell (hash-partitionable — never the quadratic
+    cross join the oracle is allowed to run), and the exact distance
+    predicate + key ordering filter candidates down to true neighbor pairs,
+    each found exactly once. Coordinates are md5-derived ints (synthetic
+    but deterministic in both engines). At 100 TB cell size tunes to the
+    radius (cell = r keeps the neighborhood constant at 9) and hot cells
+    split by salting the cell key — the standard geo-join scaling story."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    coord = lambda salt: (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))), 1, 4), 16, 10).cast("int")
+        % 500
+    )
+    p = c.select("c_custkey", coord("x").alias("x"), coord("y").alias("y"))
+    cell = lambda df: df.withColumn("cx", F.expr("x div 5")).withColumn("cy", F.expr("y div 5"))
+    left = cell(p).select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("ncx"),
+        F.col("cy").alias("acy"),
+    ).select(
+        "a_key", "ax", "ay", "ncx", F.explode(F.expr("sequence(acy - 1, acy + 1)")).alias("ncy")
+    )
+    right = cell(p).select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        left.join(right, ["ncx", "ncy"])
+        .where((F.col("a_key") < F.col("b_key")) & (dist2 <= 25))
+        .select("a_key", "b_key", dist2.cast("long").alias("dist2"))
+        .orderBy("dist2", "a_key", "b_key")
+        .limit(50)
+    )
+
+
+# ------------------------------------------------------- 2.8 OR-Set CRDT
+
+_ORSET_ORACLE = """
+WITH adds AS (
+  SELECT o_custkey % 100 AS elem, o_orderkey AS tag
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+removes AS (
+  SELECT o_orderkey - 3 AS tag FROM orders WHERE o_orderkey % 5 = 0
+),
+covered AS (SELECT a.elem, a.tag FROM adds a JOIN removes r USING (tag))
+SELECT a.elem,
+       CAST(count(*) - count(c.tag) AS BIGINT) AS n_live_tags,
+       CAST(count(c.tag) AS BIGINT) AS n_tombstoned
+FROM adds a LEFT JOIN covered c ON c.tag = a.tag
+GROUP BY a.elem
+HAVING count(*) - count(c.tag) > 0
+ORDER BY a.elem
+"""
+
+
+@query("sync_crdt_orset", "2.8 sync core", _ORSET_ORACLE)
+def sync_crdt_orset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-Set (observed-remove set) CRDT merge — the add/remove companion
+    to sync_crdt_gcounter: every add carries a unique tag, a remove
+    tombstones only tags it OBSERVED, and after merging all replicas an
+    element is present iff it retains ≥1 un-tombstoned tag — concurrent
+    add wins over remove (the un-observed tag survives), re-delivered
+    removes are idempotent (same tag, same tombstone). Relationally: merge
+    = union of add-sets, tombstone application = one keyed join on tag,
+    presence census = one keyed count — all shuffle-partitionable by tag/
+    element, no coordination, any delivery order."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    adds = o.where(F.col("o_orderkey") % 5 != 0).select(
+        (F.col("o_custkey") % 100).alias("elem"), F.col("o_orderkey").alias("tag")
+    )
+    removes = o.where(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") - 3).alias("tag")
+    )
+    covered = adds.join(removes, "tag").select("elem", "tag", F.lit(1).alias("tomb"))
+    merged = adds.join(covered.select("tag", "tomb"), "tag", "left")
+    return (
+        merged.groupBy("elem")
+        .agg(
+            (F.count(F.lit(1)) - F.count("tomb")).alias("n_live_tags"),
+            F.count("tomb").alias("n_tombstoned"),
+        )
+        .where(F.col("n_live_tags") > 0)
+        .orderBy("elem")
+    )
+
+
+# ------------------------------------------- 2.9 two-stage ANN rerank
+
+_RERANK_ORACLE = """
+WITH quant AS (
+  SELECT vec_id, embedding,
+         CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS s
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings)
+),
+qset AS (SELECT vec_id AS q_id, embedding AS qe, s AS qs FROM quant WHERE vec_id IN (0, 1, 2)),
+s1 AS (
+  SELECT q.q_id, e.vec_id, e.embedding, q.qe,
+         sum(CAST(floor(CAST(e.embedding[i.range] AS DOUBLE) * e.s + 0.5) AS BIGINT)
+             * CAST(floor(CAST(q.qe[i.range] AS DOUBLE) * q.qs + 0.5) AS BIGINT)) AS score1
+  FROM quant e CROSS JOIN qset q CROSS JOIN range(1, 65) i
+  WHERE e.vec_id <> q.q_id
+  GROUP BY q.q_id, e.vec_id, e.embedding, q.qe
+),
+c50 AS (
+  SELECT q_id, vec_id, embedding, qe
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score1 DESC, vec_id) AS rn
+        FROM s1)
+  WHERE rn <= 50
+),
+exact AS (
+  SELECT q_id, vec_id,
+         round(sum(CAST(embedding[i.range] AS DOUBLE) * CAST(qe[i.range] AS DOUBLE))
+               / (sqrt(sum(CAST(embedding[i.range] AS DOUBLE) * CAST(embedding[i.range] AS DOUBLE)))
+                  * sqrt(sum(CAST(qe[i.range] AS DOUBLE) * CAST(qe[i.range] AS DOUBLE)))), 4) AS cos
+  FROM c50 CROSS JOIN range(1, 65) i
+  GROUP BY q_id, vec_id
+)
+SELECT q_id, vec_id, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      FROM exact)
+WHERE rn <= 10
+ORDER BY q_id, cos DESC, vec_id
+"""
+
+
+@query("simsearch_rerank_two_stage", "2.9 llm-data", _RERANK_ORACLE)
+def simsearch_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval funnel — THE production ANN serving shape:
+    stage 1 ranks every candidate by a CHEAP int8×int8 integer dot product
+    (per-vector symmetric quantization, 4× smaller and exact int64 — no
+    float drift) keeping top-50 per query; stage 2 re-scores only those 50
+    with the exact DOUBLE cosine and emits top-10. At 100 TB stage 1 is
+    the only full scan (reading 64 bytes/vector instead of 512), stage 2
+    touches 50 rows per query; both top-ks are ranked windows per query,
+    so WindowGroupLimit keeps k rows per partition pre-shuffle."""
+    from pyspark.sql import Window
+
+    from hdc_dataengineering_sqlsync_spark.functions.vectors import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    xd = as_double_array("embedding")
+    m = F.array_max(F.transform(xd, lambda v: F.abs(v)))
+    s = F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
+    qv = F.transform(xd, lambda v: F.floor(v * F.col("s") + F.lit(0.5)).cast("long"))
+    quant = e.select("vec_id", "embedding", s.alias("s")).select(
+        "vec_id", "embedding", qv.alias("qv")
+    )
+    qset = quant.where(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("qv").alias("qq")
+    )
+    score1 = F.aggregate(
+        F.zip_with("qv", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.col("score1").desc(), "vec_id")
+    c50 = (
+        quant.crossJoin(F.broadcast(qset))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "embedding", "qe", score1.alias("score1"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= 50)
+    )
+    cos = F.round(cosine_similarity("embedding", "qe"), 4)
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        c50.select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cos")
+        .orderBy("q_id", F.col("cos").desc(), "vec_id")
+    )
