@@ -78,7 +78,7 @@ SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
 """
 
 
-@query("graph_pagerank", "2.12 composite workloads", _pagerank_oracle())
+@query("graph_pagerank", "2.12 composite workloads", _pagerank_oracle(), bench=True)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph, 3 power iterations,
     damping 0.85, as PURE INTEGER arithmetic so both engines agree bitwise:
@@ -1189,4 +1189,233 @@ def simsearch_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("q_id", "vec_id", "cos")
         .orderBy("q_id", F.col("cos").desc(), "vec_id")
+    )
+
+
+# ------------------------------------------------- 2.1 Python stream sink
+
+_PYDS_STREAM_SINK_ORACLE = """
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+       round(sum(value), 2) AS total
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("pyds_stream_sink", "2.1 scans", _PYDS_STREAM_SINK_ORACLE)
+def pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming write through a custom Python DataSource STREAM
+    writer (sources/pydatasource.py::JsonLinesStreamWriter) — the final
+    cell of the Python DataSource matrix (batch read / pushdown read /
+    stream read / batch write / stream write): the events stream drains
+    epoch-by-epoch through per-batch two-phase commit (executor-staged
+    files → driver rename to DETERMINISTIC epoch-keyed names, so a
+    replayed epoch overwrites instead of duplicating — effectively-once).
+    The committed files read back and must hash-match the batch rollup
+    straight from the source table: a lost epoch, torn partition file, or
+    double-committed replay breaks the match."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import (
+        JsonLinesSinkDataSource,
+    )
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        events_path,
+        read_events_stream,
+    )
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    tag = hashlib.md5(f"pystreamsink:{sf_dir}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"hdc_pystreamsink_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix=f"hdc_pystreamsink_ckpt_{uuid.uuid4().hex[:8]}_")
+    stream = read_events_stream(spark, events_path(sf_dir)).select(
+        "event_id", "user_id", "value"
+    )
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema("event_id long, user_id long, value double").json(
+        path, pathGlobFilter="epoch-*.jsonl"
+    )
+    return (
+        back.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------- 2.7 deterministic UUID mint
+
+_UUID_ORACLE = """
+WITH u AS (
+  SELECT o_orderpriority,
+         substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || substr(h, 14, 3)
+           || '-' || substr('89ab', (CAST(concat('0x', substr(h, 17, 1)) AS INT) % 4) + 1, 1)
+           || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
+  FROM (SELECT o_orderpriority, md5('order:' || o_orderkey) AS h FROM orders)
+)
+SELECT o_orderpriority, count(*) AS n,
+       count(DISTINCT uuid) AS n_distinct,
+       min(uuid) AS min_uuid, max(uuid) AS max_uuid
+FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("fn_uuid_deterministic", "2.7 scalar functions", _UUID_ORACLE)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based UUIDs (RFC 4122 v3 layout: md5 of a
+    namespaced key with version nibble '3' and RFC variant in the 17th hex
+    digit) — surrogate-key minting a sync engine can repeat on ANY engine,
+    ANY retry, and get the same key (unlike uuid()/rand(), which poison
+    retried tasks and cross-engine reconciliation). Pure map-side string
+    surgery over md5; the census (count vs distinct, min/max exemplars)
+    pins both uniqueness and the exact byte layout in both engines."""
+    o = load(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")))
+    var = F.substring(
+        F.lit("89ab"), (F.conv(F.substring(F.col("h"), 17, 1), 16, 10).cast("int") % 4) + 1, 1
+    )
+    # substring(start) is 1-based; layout 8-4-4-4-12 with version '3'
+    u = F.concat(
+        F.substring("h", 1, 8), F.lit("-"),
+        F.substring("h", 9, 4), F.lit("-3"),
+        F.substring("h", 14, 3), F.lit("-"),
+        var,
+        F.substring("h", 18, 3), F.lit("-"),
+        F.substring("h", 21, 12),
+    )
+    return (
+        o.select("o_orderpriority", h.alias("h"))
+        .select("o_orderpriority", u.alias("uuid"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("uuid").alias("n_distinct"),
+            F.min("uuid").alias("min_uuid"),
+            F.max("uuid").alias("max_uuid"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------------ 2.3 fuzzy closest match
+
+_FUZZY_ORACLE = """
+WITH probes AS (
+  SELECT s_suppkey AS probe_key,
+         replace(substr(s_name, 1, length(s_name) - 2), '#', '@')
+           || substr(s_name, length(s_name), 1)
+           || substr(s_name, length(s_name) - 1, 1) AS probe_name
+  FROM supplier WHERE s_suppkey % 7 = 0
+),
+scored AS (
+  SELECT p.probe_key, p.probe_name, s.s_suppkey, s.s_name,
+         levenshtein(p.probe_name, s.s_name) AS dist,
+         row_number() OVER (PARTITION BY p.probe_key
+                            ORDER BY levenshtein(p.probe_name, s.s_name), s.s_suppkey) AS rn
+  FROM probes p CROSS JOIN supplier s
+)
+SELECT probe_key, probe_name, s_suppkey AS match_key, s_name AS match_name,
+       CAST(dist AS INT) AS dist
+FROM scored WHERE rn = 1 ORDER BY probe_key
+"""
+
+
+@query("join_fuzzy_closest", "2.3 joins", _FUZZY_ORACLE)
+def join_fuzzy_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy closest-match join (entity resolution): each corrupted probe
+    name ('#'→'@' plus a transposed digit pair — no exact match exists)
+    resolves to its nearest supplier by Levenshtein distance, ties broken
+    by key. The probe side broadcasts and every candidate partition scores
+    its rows map-side; per-probe argmin is a ranked window (ties
+    deterministic). At 100 TB the all-pairs scoring is the correctness
+    baseline — production blocks candidates first (prefix/LSH buckets, the
+    dedup_minhash machinery) and scores only within blocks."""
+    from pyspark.sql import Window
+
+    s = load(spark, sf_dir, "supplier")
+    ln = F.length("s_name")
+    probe_name = F.concat(
+        F.replace(F.substring(F.col("s_name"), F.lit(1), ln - 2), F.lit("#"), F.lit("@")),
+        F.substring(F.col("s_name"), ln, F.lit(1)),
+        F.substring(F.col("s_name"), ln - 1, F.lit(1)),
+    )
+    probes = s.where(F.col("s_suppkey") % 7 == 0).select(
+        F.col("s_suppkey").alias("probe_key"), probe_name.alias("probe_name")
+    )
+    dist = F.levenshtein("probe_name", "s_name")
+    w = Window.partitionBy("probe_key").orderBy(dist, "s_suppkey")
+    return (
+        s.crossJoin(F.broadcast(probes))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("s_suppkey").alias("match_key"),
+            F.col("s_name").alias("match_name"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+# -------------------------------------------- 2.12 DAU/WAU stickiness
+
+_STICKINESS_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+wau AS (
+  SELECT g.d, count(DISTINCT u.user_id) AS wau
+  FROM days g JOIN ud u ON u.d BETWEEN g.d - 6 AND g.d
+  GROUP BY g.d
+)
+SELECT g.d AS day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+FROM days g JOIN dau ON dau.d = g.d JOIN wau ON wau.d = g.d
+ORDER BY day
+"""
+
+
+@query("wl_dau_wau_stickiness", "2.12 composite workloads", _STICKINESS_ORACLE)
+def wl_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement composite: daily active
+    users over trailing-7-day active users. The scale move: the trailing
+    window is NOT a range join — each (user, day) activity row EXPLODES to
+    the ≤7 future days it covers (`sequence(d, d+6)`), turning WAU into a
+    plain keyed distinct count on an EQUI key. The fact stream reduces to
+    distinct (user, day) first (bounded: users × days), the fan-out is a
+    constant 7, and everything downstream hash-partitions on day."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id", F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("d")
+    )
+    wau = (
+        cover.join(days, "d")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "d")
+        .join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -153,6 +154,9 @@ class JsonLinesSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
         return JsonLinesWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonLinesStreamWriter":
+        return JsonLinesStreamWriter(self.options, schema)
+
 
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool) -> None:
@@ -233,3 +237,64 @@ class JsonLinesCommit(WriterCommitMessage):
     def __init__(self, staged: str, n_rows: int) -> None:
         self.staged = staged
         self.n_rows = n_rows
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming writer half of the jsonl sink (DataSourceStreamWriter):
+    per micro-batch, executors stage partition files and the driver's
+    ``commit(messages, batchId)`` promotes them to DETERMINISTIC final
+    names ``epoch-<batchId>-<i>.jsonl`` — so a replayed epoch (checkpoint
+    said uncommitted, engine re-runs it) OVERWRITES its own files instead
+    of duplicating them: at-least-once delivery + idempotent rename =
+    effectively-once output, the same contract foreachBatch users build by
+    hand. Orphaned ``_stream_staged_*`` files from retried/speculated
+    tasks are reaped at each commit (epochs run serially per query, so a
+    stray staged file can only belong to a dead attempt)."""
+
+    def __init__(self, options, schema) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = f"_stream_staged_{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, staged), "w") as f:
+            for row in iterator:
+                rec = {k: row[k] for k in self.fields}
+                f.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return JsonLinesCommit(staged=staged, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, m.staged),
+                os.path.join(self.path, f"epoch-{batchId:08d}-{i:05d}.jsonl"),
+            )
+        for f in os.listdir(self.path):
+            if f.startswith("_stream_staged_") and f.endswith(".jsonl"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.staged))
+                except OSError:
+                    pass

