@@ -1419,3 +1419,215 @@ def wl_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------- 2.8 KS distribution drift
+
+_KS_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+s AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
+t AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM target),
+census AS (
+  SELECT v, sum(c1) AS n1v, sum(c2) AS n2v
+  FROM (SELECT v, 1 AS c1, 0 AS c2 FROM s UNION ALL SELECT v, 0, 1 FROM t)
+  GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(n1v) OVER (ORDER BY v) AS c1,
+         sum(n2v) OVER (ORDER BY v) AS c2
+  FROM census
+),
+tot AS (SELECT (SELECT count(*) FROM s) AS n1, (SELECT count(*) FROM t) AS n2),
+d AS (
+  SELECT v, abs(c1 * n2 - c2 * n1) AS numer
+  FROM cum, tot
+)
+SELECT tot.n1 AS n_src, tot.n2 AS n_tgt,
+       round(CAST((SELECT max(numer) FROM d) AS DOUBLE)
+             / (CAST(tot.n1 AS DOUBLE) * tot.n2), 6) AS ks_stat,
+       CAST((SELECT min(v) FROM d WHERE numer = (SELECT max(numer) FROM d)) AS BIGINT)
+         AS argmax_cents
+FROM tot
+"""
+
+
+@query("dq_ks_drift", "2.8 sync core", _KS_ORACLE)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between source and
+    target order totals — the distribution-level screen that catches value
+    drift row counts and digests can't name. Exact by construction: D's
+    numerator is max|c1·n2 − c2·n1| in pure int64 (no per-point float
+    CDF), ONE final division.
+
+    The scale pattern is the DISTRIBUTED PREFIX SUM: a global CDF needs a
+    global cumulative order, but a single-partition window is the
+    win_range_frame cliff. Instead values bucket into coarse cells, the
+    per-cell totals (bounded: #cells rows) come to the driver once for
+    cumulative offsets, and the within-cell cumsum runs as a window
+    PARTITIONED BY CELL — full parallelism, identical result. That is how
+    a 100 TB engine computes exact quantiles/CDFs without a global sort
+    bottleneck."""
+    from pyspark.sql import Window
+
+    from hdc_dataengineering_sqlsync_spark.plans.sync import _source, _target
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    s = _source(spark, sf_dir).select(cents.alias("v"), F.lit(1).alias("c1"), F.lit(0).alias("c2"))
+    t = _target(spark, sf_dir).select(cents.alias("v"), F.lit(0).alias("c1"), F.lit(1).alias("c2"))
+    census = (
+        s.unionAll(t)
+        .groupBy("v")
+        .agg(F.sum("c1").alias("n1v"), F.sum("c2").alias("n2v"))
+        .withColumn("cell", F.expr("v div 1000000"))
+    )
+    census = census.localCheckpoint()  # consumed twice: cell totals + cumsum
+    # per-cell totals -> driver-side cumulative offsets (bounded: #cells)
+    cells = census.groupBy("cell").agg(F.sum("n1v").alias("s1"), F.sum("n2v").alias("s2"))
+    off1, off2, acc1, acc2 = {}, {}, 0, 0
+    for r in sorted(cells.collect(), key=lambda r: r.cell):
+        off1[r.cell], off2[r.cell] = acc1, acc2
+        acc1 += r.s1
+        acc2 += r.s2
+    n1, n2 = acc1, acc2
+    omap1 = F.create_map(*[F.lit(x) for kv in off1.items() for x in kv])
+    omap2 = F.create_map(*[F.lit(x) for kv in off2.items() for x in kv])
+    w = Window.partitionBy("cell").orderBy("v")
+    cum = census.select(
+        "v",
+        (F.sum("n1v").over(w) + omap1[F.col("cell")]).alias("c1"),
+        (F.sum("n2v").over(w) + omap2[F.col("cell")]).alias("c2"),
+    )
+    d = cum.select("v", F.abs(F.col("c1") * n2 - F.col("c2") * n1).alias("numer"))
+    top = d.orderBy(F.col("numer").desc(), "v").limit(1)
+    return top.select(
+        F.lit(n1).cast("long").alias("n_src"),
+        F.lit(n2).cast("long").alias("n_tgt"),
+        F.round(F.col("numer").cast("double") / (float(n1) * float(n2)), 6).alias("ks_stat"),
+        F.col("v").alias("argmax_cents"),
+    )
+
+
+# ------------------------------------------ 2.10 sweep-line interval union
+
+_INTERVAL_UNION_ORACLE = """
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(ts) + 300000000 AS t, -1 AS delta FROM events
+),
+sweep AS (
+  SELECT user_id, t, delta,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, delta DESC) AS t_next
+  FROM pts
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN cum > 0 THEN t_next - t ELSE 0 END) AS BIGINT) AS union_micros,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM sweep GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("ts_interval_union_length", "2.10 streaming", _INTERVAL_UNION_ORACLE)
+def ts_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval union: each event opens a 5-minute activity
+    interval; per user, the MERGED (overlap-collapsed) covered time — the
+    primitive behind billing meters, SLA uptime, and session coverage.
+    Classic sweep: ±1 endpoint deltas, running sum, covered time =
+    Σ(t_next − t) while the counter is positive; +1 sorts before −1 at
+    equal timestamps so touching intervals merge. All integer micros —
+    exact. The window partitions PER USER (parallelism = #users); no
+    global order anywhere."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", F.unix_micros("ts").alias("t0"))
+    pts = ev.select("user_id", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        ev.select("user_id", (F.col("t0") + 300000000).alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t"), F.col("delta").desc())
+    sweep = pts.select(
+        "user_id",
+        "t",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.lead("t").over(w).alias("t_next"),
+    )
+    return (
+        sweep.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cum") > 0, F.col("t_next") - F.col("t")).otherwise(F.lit(0))
+            ).alias("union_micros"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------- 2.12 common-neighbor similarity
+
+_COMMON_NBR_ORACLE = """
+WITH sc AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT s, count(*) AS d FROM sc GROUP BY s),
+common AS (
+  SELECT a.s AS s1, b.s AS s2, count(*) AS nc
+  FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s1, s2, CAST(nc AS BIGINT) AS n_common,
+       round(CAST(nc AS DOUBLE) / (d1.d + d2.d - nc), 4) AS jaccard
+FROM common JOIN deg d1 ON d1.s = common.s1 JOIN deg d2 ON d2.s = common.s2
+ORDER BY jaccard DESC, s1, s2 LIMIT 20
+"""
+
+
+@query("graph_common_neighbors", "2.12 composite workloads", _COMMON_NBR_ORACLE)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor (Jaccard) node similarity between suppliers sharing
+    customers — the link-prediction / lookalike primitive: similarity =
+    |common customers| / |union|. The pair enumeration joins the
+    (supplier, customer) incidence list with itself ON CUSTOMER — fan-out
+    bounded per customer by their supplier count (never corpus-quadratic,
+    the wl_basket_pairs argument); degrees come from one keyed count and
+    join back on the tiny supplier key. Exact integer counts; one rounded
+    division; top-20 with full tiebreak."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sc.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = sc.alias("a"), sc.alias("b")
+    common = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("nc").alias("n_common"),
+            F.round(F.col("nc").cast("double") / (F.col("d1") + F.col("d2") - F.col("nc")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.col("jaccard").desc(), "s1", "s2")
+        .limit(20)
+    )
