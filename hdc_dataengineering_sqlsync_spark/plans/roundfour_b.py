@@ -25,9 +25,12 @@ from hdc_dataengineering_sqlsync_spark.registry import load
 # graph_pagerank and graph_bfs_levels; the SQL constant is the oracle's
 # identical derivation.
 
+# Nodes are PACKED INT64 ids (customer k -> 2k, supplier k -> 2k+1): graph
+# iterations shuffle 8-byte keys, never strings; ids render to 'C<k>'/'S<k>'
+# only in the final (tiny) projection. _NODE_RENDER_SQL is the DuckDB twin.
 _CS_EDGES_SQL = """
 pairs AS (
-  SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 edges AS (
@@ -37,19 +40,32 @@ edges AS (
 )
 """
 
+_NODE_RENDER_SQL = (
+    "CASE WHEN {n} % 2 = 0 THEN 'C' || CAST({n} // 2 AS VARCHAR) "
+    "ELSE 'S' || CAST({n} // 2 AS VARCHAR) END"
+)
+
+
+def _render_node(col) -> "F.Column":
+    half = F.expr(f"{col} div 2").cast("string")
+    return F.when(F.col(col) % 2 == 0, F.concat(F.lit("C"), half)).otherwise(
+        F.concat(F.lit("S"), half)
+    )
+
 
 def _cs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed edge list of the bipartite customer↔supplier graph: one edge
     per distinct (customer, supplier) trade relationship, in both directions
     (so the graph is symmetric and every node has out-degree ≥ 1 — no
-    PageRank dangling-node correction needed)."""
+    PageRank dangling-node correction needed). Node ids are packed int64
+    (2k / 2k+1) — see _CS_EDGES_SQL comment."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -74,7 +90,8 @@ WITH {_CS_EDGES_SQL.strip().rstrip()},
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
 {iters}
-SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+SELECT {_NODE_RENDER_SQL.format(n="node")} AS node, rank
+FROM r3 ORDER BY rank DESC, node LIMIT 20
 """
 
 
@@ -94,10 +111,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized edge partition, not the 2-table derivation; at 100 TB the
     same plan holds with edges bucketed by src (iterations then shuffle
     only the #nodes-sized rank table, never the edge list)."""
-    edges = _cs_edges(spark, sf_dir).localCheckpoint()
+    edges = _cs_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # ONE materialization: the (src, dst, outdeg) working set the 3
+    # iterations re-read (deg is node-sized -> AQE broadcasts the join)
     ed = edges.join(deg, "src").select("src", "dst", "outdeg").localCheckpoint()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank"))
+    ranks = ed.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank")).distinct()
     for _ in range(3):
         ranks = (
             ed.join(ranks, ed.src == ranks.node)
@@ -106,20 +125,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.lit(150000) + F.expr("(85 * sum(contrib)) div 100")).cast("long").alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
         )
-    return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+    return (
+        ranks.select(_render_node("node").alias("node"), "rank")
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
 
 
 _BFS_ORACLE = f"""
 WITH RECURSIVE {_CS_EDGES_SQL.strip()},
 walk(node, lvl) AS (
-  SELECT 'S' || (SELECT min(l_suppkey) FROM lineitem), 0
+  SELECT (SELECT min(l_suppkey) * 2 + 1 FROM lineitem), 0
   UNION
   SELECT e.dst, w.lvl + 1
   FROM walk w JOIN edges e ON e.src = w.node
   WHERE w.lvl < 4
 )
-SELECT node, CAST(min(lvl) AS INT) AS lvl
-FROM walk GROUP BY node ORDER BY lvl, node
+SELECT {_NODE_RENDER_SQL.format(n="node")} AS node, CAST(min(lvl) AS INT) AS lvl
+FROM walk GROUP BY walk.node ORDER BY lvl, node
 """
 
 
@@ -135,7 +158,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited-set pruning — with min(lvl) collapsing re-reachings."""
     edges = _cs_edges(spark, sf_dir).localCheckpoint()
     src_key = load(spark, sf_dir, "lineitem").agg(F.min("l_suppkey")).collect()[0][0]
-    frontier = spark.createDataFrame([(f"S{src_key}", 0)], "node string, lvl int")
+    frontier = spark.createDataFrame([(int(src_key) * 2 + 1, 0)], "node long, lvl int")
     visited = frontier
     for i in range(1, 5):
         frontier = (
@@ -149,7 +172,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not frontier.take(1):
             break
         visited = visited.unionAll(frontier)
-    return visited.orderBy("lvl", "node")
+    return visited.select(_render_node("node").alias("node"), "lvl").orderBy("lvl", "node")
 
 
 _TRIANGLE_ORACLE = """

@@ -58,11 +58,14 @@ def test_bfs_levels_are_sound(spark, sf_dir):
     level would be smaller) — the frontier invariant."""
     from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import _cs_edges
 
+    def render(n: int) -> str:
+        return f"C{n // 2}" if n % 2 == 0 else f"S{n // 2}"
+
     levels = {r.node: r.lvl for r in graph_bfs_levels(spark, sf_dir).collect()}
     edges = _cs_edges(spark, sf_dir).collect()
     nbrs: dict[str, set[str]] = {}
     for e in edges:
-        nbrs.setdefault(e.dst, set()).add(e.src)
+        nbrs.setdefault(render(e.dst), set()).add(render(e.src))
     sources = [n for n, l in levels.items() if l == 0]
     assert len(sources) == 1 and sources[0].startswith("S")
     for node, lvl in levels.items():
