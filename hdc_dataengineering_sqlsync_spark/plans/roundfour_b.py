@@ -1654,3 +1654,84 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "s1", "s2")
         .limit(20)
     )
+
+
+# ------------------------------------------- 2.9 image patchify (ViT prep)
+
+_TILES_ORACLE = """
+WITH m AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS w, 6 + (doc_id % 3) * 4 AS h
+           FROM documents WHERE doc_id % 5 = 0),
+px AS (
+  SELECT m.doc_id, m.w, m.h, xs.x // 2 AS px_, ys.y // 2 AS py,
+         ((7 * m.doc_id + 3 * xs.x + 5 * ys.y) % 256
+          + (11 * m.doc_id + xs.x + 2 * ys.y) % 256
+          + (13 * m.doc_id + 2 * xs.x + ys.y) % 256) // 3 AS gray
+  FROM m
+  JOIN (SELECT unnest(range(0, 24)) AS x) xs ON xs.x < m.w
+  JOIN (SELECT unnest(range(0, 14)) AS y) ys ON ys.y < m.h
+),
+patch AS (
+  SELECT doc_id, w, h, px_, py, max(gray) - min(gray) AS contrast
+  FROM px GROUP BY doc_id, w, h, px_, py
+)
+SELECT doc_id AS media_id,
+       CAST((w // 2) * (h // 2) AS INT) AS n_patches,
+       CAST(sum(contrast) AS BIGINT) AS sum_contrast,
+       CAST(sum(CASE WHEN contrast < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+FROM patch GROUP BY doc_id, w, h ORDER BY media_id
+"""
+
+
+@query("multimodal_image_tiles", "2.9 llm-data", _TILES_ORACLE)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchify on the REAL BMP decode path: each synthesized
+    image round-trips through actual bytes (encode_bmp → decode_image),
+    splits into 2×2 pixel patches, and reports the per-image patch census
+    (count, summed patch contrast = max−min of integer gray, flat-patch
+    count) — the patch-extraction plumbing a vision-model pipeline runs
+    before embedding, with the patch grid computed inside ONE mapInPandas
+    stage (blobs never shuffle; only 4 scalars per image leave the
+    partition). All-integer statistics, so the closed-form oracle is
+    exact — any stride/flip/channel bug in the patch math mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hdc_dataengineering_sqlsync_spark.plans.mediacodec import _synth_images
+
+    docs = load(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+    media = _synth_images(docs)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_patches", T.IntegerType()),
+            T.StructField("sum_contrast", T.LongType()),
+            T.StructField("n_flat", T.LongType()),
+        ]
+    )
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(payload).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                gray = px.sum(axis=2) // 3
+                h2, w2 = h // 2, w // 2
+                blocks = (
+                    gray[: h2 * 2, : w2 * 2]
+                    .reshape(h2, 2, w2, 2)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(h2 * w2, 4)
+                )
+                contrast = blocks.max(axis=1) - blocks.min(axis=1)
+                rows.append(
+                    (int(mid), int(h2 * w2), int(contrast.sum()), int((contrast < 8).sum()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.mapInPandas(patchify, schema=schema).orderBy("media_id")

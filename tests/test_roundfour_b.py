@@ -159,3 +159,78 @@ def test_backfill_batches_partition_the_input(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == total
     assert [r.batch_rank for r in rows] == list(range(1, len(rows) + 1))
     assert len(rows) == 4
+
+
+def test_ks_drift_bounds_and_self_zero(spark, sf_dir):
+    """KS D lies in [0,1]; and the distributed-prefix-sum machinery must
+    report EXACTLY zero when both sides are the same relation (the
+    source-vs-source degenerate case — any nonzero would mean the cell
+    offsets or within-cell cumsums are broken)."""
+    from pyspark.sql import functions as F
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import dq_ks_drift
+
+    row = dq_ks_drift(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.ks_stat <= 1.0
+    assert row.n_src >= row.n_tgt  # target drops ~1/97 of keys
+
+    # self-comparison: patch the target loader to the source
+    import hdc_dataengineering_sqlsync_spark.plans.sync as sync_mod
+
+    orig = sync_mod._target
+    try:
+        sync_mod._target = sync_mod._source
+        import importlib
+        from hdc_dataengineering_sqlsync_spark.plans import roundfour_b as rb
+
+        self_row = rb.dq_ks_drift(spark, sf_dir).collect()[0]
+        assert self_row.ks_stat == 0.0
+        assert self_row.n_src == self_row.n_tgt
+    finally:
+        sync_mod._target = orig
+
+
+def test_interval_union_bounds(spark, sf_dir):
+    """Per user: union length never exceeds n_intervals * 300s (disjoint
+    upper bound), never goes below 300s (one interval minimum), and is
+    strictly less than the disjoint bound for any user with two events
+    closer than 5 minutes."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import (
+        ts_interval_union_length,
+    )
+
+    rows = ts_interval_union_length(spark, sf_dir).collect()
+    assert rows
+    saw_merge = False
+    for r in rows:
+        assert 300_000_000 <= r.union_micros <= r.n_intervals * 300_000_000
+        if r.union_micros < r.n_intervals * 300_000_000:
+            saw_merge = True
+    assert saw_merge, "fixture sanity: no overlapping intervals anywhere"
+
+
+def test_uuid_layout_rfc4122(spark, sf_dir):
+    """Minted UUIDs must parse as RFC 4122: version nibble 3, variant in
+    {8,9,a,b}, 8-4-4-4-12 grouping — checked on the min/max exemplars the
+    query emits per priority class."""
+    import re
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import fn_uuid_deterministic
+
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+    for r in fn_uuid_deterministic(spark, sf_dir).collect():
+        assert pat.match(r.min_uuid), r.min_uuid
+        assert pat.match(r.max_uuid), r.max_uuid
+        assert r.n == r.n_distinct  # unique keys -> unique uuids
+
+
+def test_gini_and_stickiness_ranges(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import (
+        agg_gini_segment,
+        wl_dau_wau_stickiness,
+    )
+
+    for r in agg_gini_segment(spark, sf_dir).collect():
+        assert 0.0 <= r.gini < 1.0
+    for r in wl_dau_wau_stickiness(spark, sf_dir).collect():
+        assert r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
