@@ -1735,3 +1735,192 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return media.mapInPandas(patchify, schema=schema).orderBy("media_id")
+
+
+# ------------------------------------------- 2.12 two-factor OLS (Cramer)
+
+
+def _det3(a1, a2, a3, b1, b2, b3, c1, c2, c3) -> str:
+    """3x3 determinant as an expression string over EXACT integer moment
+    columns cast to double — the SAME string feeds Spark's F.expr and the
+    DuckDB oracle, so the IEEE expression tree is identical by
+    construction."""
+    d = {k: f"CAST({v} AS DOUBLE)" for k, v in locals().items() if k != "d"}
+    return (
+        f"{d['a1']} * ({d['b2']} * {d['c3']} - {d['b3']} * {d['c2']})"
+        f" - {d['a2']} * ({d['b1']} * {d['c3']} - {d['b3']} * {d['c1']})"
+        f" + {d['a3']} * ({d['b1']} * {d['c2']} - {d['b2']} * {d['c1']})"
+    )
+
+
+_OLS_D = _det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+_OLS_NC = _det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+_OLS_NA = _det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+_OLS_NB = _det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+
+_OLS_MOMENTS_SQL = """
+  SELECT l_returnflag, count(*) AS n,
+         sum(q) AS s1, sum(dp) AS s2, sum(q * q) AS s11,
+         sum(dp * dp) AS s22, sum(q * dp) AS s12,
+         sum(y) AS sy, sum(q * y) AS s1y, sum(dp * y) AS s2y
+  FROM (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100, 0) AS BIGINT) AS dp,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+    FROM lineitem
+  ) GROUP BY l_returnflag
+"""
+
+_OLS_ORACLE = f"""
+WITH m AS ({_OLS_MOMENTS_SQL})
+SELECT l_returnflag, n,
+       round(({_OLS_NA}) / ({_OLS_D}), 2) AS coef_qty,
+       round(({_OLS_NB}) / ({_OLS_D}), 2) AS coef_disc,
+       round(({_OLS_NC}) / ({_OLS_D}), 2) AS intercept
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("wl_ols_two_factor", "2.12 composite workloads", _OLS_ORACLE)
+def wl_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price-cents ~ quantity + discount-pct + intercept)
+    per returnflag, solved in closed form via Cramer's rule on the 3×3
+    normal equations — multi-feature in-database regression with NO solver
+    and NO iteration: ONE map-side-combinable aggregate collects the 9
+    exact int64 moment sums, then the determinants run once per group in
+    double — and the determinant EXPRESSION STRING is shared verbatim
+    between the Spark plan and the oracle, so both engines evaluate the
+    identical IEEE tree. The k-feature generalization is the same shape
+    with a (k+1)² moment matrix — still one aggregate pass at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    dp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = (
+        li.select("l_returnflag", q.alias("q"), dp.alias("dp"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum("dp").alias("s2"),
+            F.sum(F.col("q") * F.col("q")).alias("s11"),
+            F.sum(F.col("dp") * F.col("dp")).alias("s22"),
+            F.sum(F.col("q") * F.col("dp")).alias("s12"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("q") * F.col("y")).alias("s1y"),
+            F.sum(F.col("dp") * F.col("y")).alias("s2y"),
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.expr(f"({_OLS_NA}) / ({_OLS_D})"), 2).alias("coef_qty"),
+        F.round(F.expr(f"({_OLS_NB}) / ({_OLS_D})"), 2).alias("coef_disc"),
+        F.round(F.expr(f"({_OLS_NC}) / ({_OLS_D})"), 2).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------- 2.8 snapshot + CDC-catchup handoff
+
+_HANDOFF_ORACLE = """
+WITH final_state AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderdate < DATE '1996-07-01' AND o_orderkey % 7 = 0
+              THEN (CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11) // 10
+              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents
+  FROM orders
+  WHERE NOT (o_orderdate < DATE '1996-07-01' AND o_orderkey % 113 = 0)
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM final_state GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("sync_snapshot_cdc_handoff", "2.8 sync core", _HANDOFF_ORACLE)
+def sync_snapshot_cdc_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full initial-sync lifecycle in one query: bulk SNAPSHOT load
+    (orders before the cutover date, as of T0), then CDC CATCH-UP applied
+    on top — updates (10% price bump on key%7 pre-cutover rows), deletes
+    (key%113 pre-cutover rows), and inserts (everything at/after the
+    cutover) — the handoff every snapshot-then-stream sync must get right.
+    Spark applies the log MECHANICALLY (delete anti-join, update
+    override-join, insert union — upserts win over snapshot images); the
+    oracle states the expected final state DECLARATIVELY, so an op mis-
+    ordered, double-applied, or dropped during handoff breaks the census.
+    Each apply step is one keyed join against the (small) changeset — the
+    sync_merge_apply machinery at lifecycle scope. Money rides EXACT
+    integer cents; the 10% bump is ``(cents * 11) div 10`` — a
+    ``round(x * 1.1, 2)`` formulation measurably diverges cross-engine on
+    repr-tie doubles (FIXTURES.md hazard 3, re-confirmed building this
+    qid)."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", cents.alias("cents")
+    )
+    cut = F.lit("1996-07-01").cast("date")
+    pre = F.col("o_orderdate") < cut
+    snapshot = o.where(pre).select("o_orderkey", "o_orderstatus", "cents")
+    deletes = o.where(pre & (F.col("o_orderkey") % 113 == 0)).select("o_orderkey")
+    updates = o.where(pre & (F.col("o_orderkey") % 7 == 0)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("(cents * 11) div 10").alias("cents"),
+    )
+    inserts = o.where(~pre).select("o_orderkey", "o_orderstatus", "cents")
+    applied = (
+        snapshot.join(deletes, "o_orderkey", "left_anti")
+        .join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(updates.join(deletes, "o_orderkey", "left_anti"))
+        .unionByName(inserts)
+    )
+    return (
+        applied.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ------------------------------------------------ 2.3 subtree rollup
+
+_SUBTREE_ORACLE = """
+WITH anc AS (
+  SELECT c_custkey // CAST(power(10, j.j) AS BIGINT) AS node,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer, unnest(range(0, 7)) AS j(j)
+  WHERE c_custkey // CAST(power(10, j.j) AS BIGINT) > 0
+)
+SELECT node, count(*) AS n_nodes, CAST(sum(cents) AS BIGINT) AS subtree_cents
+FROM anc WHERE node < 1000
+GROUP BY node ORDER BY node
+"""
+
+
+@query("hier_subtree_totals", "2.3 joins", _SUBTREE_ORACLE)
+def hier_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over the parent(k) = k div 10 hierarchy (the
+    hier_recursive_cte tree): every node's total balance over itself + all
+    descendants — the BOM/org-chart aggregation. NOT a recursive walk:
+    each row EXPLODES to its ≤7 ancestors (k div 10^j — constant fan-out =
+    tree depth) and one keyed aggregate sums per ancestor; the same move
+    that made wl_dau_wau_stickiness an equi-join. Reported for nodes
+    < 1000 (depth ≤ 3 of the key space); exact integer cents."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents")
+    )
+    anc = c.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 6), "
+                "j -> c_custkey div cast(power(10, j) as bigint)), v -> v > 0)"
+            )
+        ).alias("node"),
+        "cents",
+    )
+    return (
+        anc.where(F.col("node") < 1000)
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("cents").alias("subtree_cents"))
+        .orderBy("node")
+    )
