@@ -1924,3 +1924,71 @@ def hier_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("cents").alias("subtree_cents"))
         .orderBy("node")
     )
+
+
+# --------------------------------------------- Spark-4 SQL surface
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pipe_syntax", "2.4 aggregations", _PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's `|>` operator chaining — the linear
+    query-authoring surface): the revenue rollup written as
+    FROM → |> WHERE → |> AGGREGATE → |> ORDER BY. Parsing is the only
+    novelty — the pipeline lowers to the SAME Catalyst plan as the
+    classic SELECT (pushdown, partial aggregation, codegen all apply),
+    which the hash-identical oracle proves."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_SQLVAR_ORACLE = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_totalprice >= 150000 AND o_orderdate < DATE '1996-07-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("sql_session_variables", "2.2 projection/filter", _SQLVAR_ORACLE)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + IDENTIFIER() (Spark 4): thresholds arrive
+    via DECLARE/SET VARIABLE and the table name via IDENTIFIER(var) — the
+    parameterized-query surface that replaces string-splicing in sync job
+    templates (injection-safe, plan-cache friendly: the variable is a
+    literal at plan time, so pushdown still reaches the scan). The oracle
+    inlines the same constants."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_total DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff DATE DEFAULT DATE '1999-01-01'")
+    spark.sql("DECLARE OR REPLACE VARIABLE tbl STRING DEFAULT 'orders_v'")
+    spark.sql("SET VARIABLE min_total = 150000")
+    spark.sql("SET VARIABLE cutoff = DATE '1996-07-01'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM IDENTIFIER(tbl)
+        WHERE o_totalprice >= min_total AND o_orderdate < cutoff
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
