@@ -86,7 +86,7 @@ def _pagerank_oracle() -> str:
 )"""
     iters = ",".join(step.format(cur=f"r{i}", nxt=f"r{i + 1}") for i in range(3))
     return f"""
-WITH {_CS_EDGES_SQL.strip().rstrip()},
+WITH {_CS_EDGES_SQL.strip()},
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
 {iters}
@@ -795,10 +795,14 @@ def stream_backfill_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
     was merged, split, or double-read across triggers. foreachBatch
     observes each micro-batch on the driver (bounded: one count per
     batch), exactly how a production backfill meters progress."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"hdc_backfill_{uuid.uuid4().hex[:8]}_")
+    tag = hashlib.md5(f"backfill:{sf_dir}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"hdc_backfill_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     for g in range(4):
@@ -860,7 +864,13 @@ def udtf_python_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(StructType(fields))
 
         def eval(self, text: str, n: int):
-            toks = (text or "").lower().split()
+            import re
+
+            # ASCII \s class: same token stream as the oracle's RE2
+            # string_split_regex('\s+') and Spark's Java split — including
+            # boundary empty tokens on padded text (Python .split() would
+            # silently drop them and diverge)
+            toks = re.split(r"[ \t\n\r\f\v]+", (text or "").lower())
             row = tuple(toks[i] if i < len(toks) else None for i in range(n))
             yield row + (max(0, len(toks) - n),)
 
@@ -1197,17 +1207,24 @@ def simsearch_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     w1 = Window.partitionBy("q_id").orderBy(F.col("score1").desc(), "vec_id")
+    # stage-1 shuffles ONLY (q_id, vec_id, score1) — 24 bytes/candidate;
+    # the vectors rejoin AFTER the top-50 cut (50 rows/query), so the
+    # docstring's 64-bytes-per-vector full-scan claim holds end-to-end
     c50 = (
-        quant.crossJoin(F.broadcast(qset))
+        quant.crossJoin(F.broadcast(qset.select("q_id", "qq")))
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "embedding", "qe", score1.alias("score1"))
+        .select("q_id", "vec_id", score1.alias("score1"))
         .withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") <= 50)
+        .select("q_id", "vec_id")
+    )
+    rejoined = c50.join(e.select("vec_id", "embedding"), "vec_id").join(
+        F.broadcast(qset.select("q_id", "qe")), "q_id"
     )
     cos = F.round(cosine_similarity("embedding", "qe"), 4)
     w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
-        c50.select("q_id", "vec_id", cos.alias("cos"))
+        rejoined.select("q_id", "vec_id", cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= 10)
         .select("q_id", "vec_id", "cos")

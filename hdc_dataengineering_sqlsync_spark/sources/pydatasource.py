@@ -243,19 +243,27 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     """Streaming writer half of the jsonl sink (DataSourceStreamWriter):
     per micro-batch, executors stage partition files and the driver's
     ``commit(messages, batchId)`` promotes them to DETERMINISTIC final
-    names ``epoch-<batchId>-<i>.jsonl`` — so a replayed epoch (checkpoint
-    said uncommitted, engine re-runs it) OVERWRITES its own files instead
-    of duplicating them: at-least-once delivery + idempotent rename =
-    effectively-once output, the same contract foreachBatch users build by
-    hand. Orphaned ``_stream_staged_*`` files from retried/speculated
-    tasks are reaped at each commit (epochs run serially per query, so a
-    stray staged file can only belong to a dead attempt)."""
+    names ``epoch-<batchId>-<i>.jsonl`` — and FIRST removes any leftover
+    ``epoch-<batchId>-*`` files, so a replayed epoch (checkpoint said
+    uncommitted, engine re-runs it) fully REPLACES the dead attempt's
+    output even when the replay plans fewer partitions than the original
+    (an index-only overwrite would leave the higher-index files behind
+    and double-count): at-least-once delivery + epoch-scoped replace =
+    effectively-once output, the same contract foreachBatch users build
+    by hand. Staged files carry a per-WRITER tag (minted on the driver,
+    shipped via pickling) and each commit reaps only ITS OWN tag's
+    orphans from retried/speculated tasks — a concurrent query writing
+    to the same path keeps its in-flight staging (the batch writer's
+    concurrent-append rule)."""
 
     def __init__(self, options, schema) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires .option('path', ...)")
         self.fields = [f.name for f in schema.fields]
+        self.job_tag = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> "WriterCommitMessage":
         import json
@@ -263,7 +271,7 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        staged = f"_stream_staged_{uuid.uuid4().hex}.jsonl"
+        staged = f"_stream_staged_{self.job_tag}_{uuid.uuid4().hex}.jsonl"
         n = 0
         with open(os.path.join(self.path, staged), "w") as f:
             for row in iterator:
@@ -275,15 +283,25 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import os
 
+        # replace, not overwrite: a dead attempt of THIS epoch may have
+        # committed more partition files than this replay plans
+        prefix = f"epoch-{batchId:08d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".jsonl"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
         for i, m in enumerate(messages):
             if m is None:
                 continue
             os.replace(
                 os.path.join(self.path, m.staged),
-                os.path.join(self.path, f"epoch-{batchId:08d}-{i:05d}.jsonl"),
+                os.path.join(self.path, f"{prefix}{i:05d}.jsonl"),
             )
+        own = f"_stream_staged_{self.job_tag}_"
         for f in os.listdir(self.path):
-            if f.startswith("_stream_staged_") and f.endswith(".jsonl"):
+            if f.startswith(own) and f.endswith(".jsonl"):
                 try:
                     os.remove(os.path.join(self.path, f))
                 except OSError:

@@ -86,9 +86,7 @@ def test_pagerank_conserves_node_set_and_is_positive(spark, sf_dir):
     n_nodes = _cs_edges(spark, sf_dir).select("src").distinct().count()
     total_rank_bound = 150000 + (85 * n_nodes * 1000000) // 100
     for a, b in zip(rows, rows[1:]):
-        assert (a.rank, a.node) > (b.rank, b.node) or (
-            a.rank == b.rank and a.node < b.node
-        )
+        assert a.rank > b.rank or (a.rank == b.rank and a.node < b.node)
     assert all(0 < r.rank < total_rank_bound for r in rows)
 
 
@@ -106,9 +104,13 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     """Every token index of every doc falls inside >=1 chunk window, chunk
     token counts are consistent with window/stride (32/24), and consecutive
     chunks overlap by exactly 8 tokens except after the tail."""
+    import re
+
     chunks = text_chunk_overlap(spark, sf_dir).collect()
+    # ASCII \s+ split WITHOUT dropping boundary empties — the exact token
+    # semantics of the implementation's F.split(lower(text), '\s+')
     docs = {
-        r.doc_id: len(r.text.lower().split())
+        r.doc_id: len(re.split(r"[ \t\n\r\f\v]+", r.text.lower()))
         for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
     }
     per_doc: dict[int, list] = {}
@@ -129,9 +131,11 @@ def test_boilerplate_prune_reassembly(spark, sf_dir):
     """Docs with zero pruned chunks must fingerprint to md5 of their full
     lowered token join; all-pruned docs fingerprint to md5(''); kept token
     counts never exceed the doc's token count."""
+    import re
+
     out = {r.doc_id: r for r in text_boilerplate_prune(spark, sf_dir).collect()}
     docs = {
-        r.doc_id: " ".join(r.text.lower().split())
+        r.doc_id: " ".join(re.split(r"[ \t\n\r\f\v]+", r.text.lower()))
         for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
     }
     assert set(out) == set(docs)
@@ -234,3 +238,39 @@ def test_gini_and_stickiness_ranges(spark, sf_dir):
     for r in wl_dau_wau_stickiness(spark, sf_dir).collect():
         assert r.dau <= r.wau
         assert 0.0 < r.stickiness <= 1.0
+
+
+def test_stream_sink_epoch_replace_removes_stale_files(spark, sf_dir, tmp_path):
+    """The review-found replay hole: a dead attempt of an epoch may have
+    committed MORE partition files than the replay plans; commit must
+    replace the whole epoch-<id>-* namespace, not just overwrite its own
+    indices. Seed a stale high-index epoch-0 file and verify the next
+    epoch-0 commit removes it (and that readback sees only live rows)."""
+    import os
+
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import (
+        JsonLinesSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    stale = os.path.join(out, "epoch-00000000-99999.jsonl")
+    with open(stale, "w") as f:
+        f.write('{"v": 999999}\n')
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i,) for i in range(10)], "v long").coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("v long")
+        .parquet(src)
+        .writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert not os.path.exists(stale), "stale dead-attempt epoch file survived commit"
+    back = spark.read.schema("v long").json(out, pathGlobFilter="epoch-*.jsonl")
+    assert sorted(r.v for r in back.collect()) == list(range(10))
