@@ -2009,3 +2009,241 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+# ----------------------------------------------------- 2.8 PSI drift
+
+_PSI_ORACLE = """
+WITH target AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+),
+sb AS (
+  SELECT least(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000, 9) AS bin,
+         count(*) AS n
+  FROM orders GROUP BY bin
+),
+tb AS (
+  SELECT least(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000, 9) AS bin,
+         count(*) AS n
+  FROM target GROUP BY bin
+),
+tot AS (SELECT (SELECT count(*) FROM orders) AS ns, (SELECT count(*) FROM target) AS nt),
+bins AS (SELECT unnest(range(0, 10)) AS bin)
+SELECT b.bin,
+       CAST(coalesce(sb.n, 0) AS BIGINT) AS n_src,
+       CAST(coalesce(tb.n, 0) AS BIGINT) AS n_tgt,
+       round((CAST(coalesce(sb.n, 0) + 1 AS DOUBLE) / (ns + 10)
+              - CAST(coalesce(tb.n, 0) + 1 AS DOUBLE) / (nt + 10))
+             * ln((CAST(coalesce(sb.n, 0) + 1 AS DOUBLE) / (ns + 10))
+                  / (CAST(coalesce(tb.n, 0) + 1 AS DOUBLE) / (nt + 10))), 6)
+         AS psi_contrib
+FROM bins b LEFT JOIN sb ON sb.bin = b.bin LEFT JOIN tb ON tb.bin = b.bin, tot
+ORDER BY b.bin
+"""
+
+
+@query("dq_psi_drift", "2.8 sync core", _PSI_ORACLE)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per bin — the ML-ops drift metric that
+    complements dq_ks_drift: KS finds the single worst CDF gap, PSI scores
+    WHERE the mass moved, bin by bin (Σ(p−q)·ln(p/q); > 0.2 = retrain
+    alarm). Fixed $50k-wide cent bins capped at 10; add-one smoothing
+    keeps empty bins finite AND exact (shares are identical rationals in
+    both engines, one ln each). Scale: two keyed counts to ≤10 rows each,
+    then literal arithmetic — volume-immune like every census here."""
+    from hdc_dataengineering_sqlsync_spark.plans.sync import _source, _target
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    bin_ = F.least(F.expr("cents div 5000000"), F.lit(9)).alias("bin")
+    sb = (
+        _source(spark, sf_dir)
+        .select(cents.alias("cents"))
+        .groupBy(bin_)
+        .agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    tb = (
+        _target(spark, sf_dir)
+        .select(cents.alias("cents"))
+        .groupBy(bin_)
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    ns = _source(spark, sf_dir).count()
+    nt = _target(spark, sf_dir).count()
+    bins = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    j = (
+        bins.join(sb, "bin", "left")
+        .join(tb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_src", F.lit(0)).alias("n_src"),
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+        )
+    )
+    p = (F.col("n_src") + 1).cast("double") / F.lit(ns + 10)
+    q = (F.col("n_tgt") + 1).cast("double") / F.lit(nt + 10)
+    return j.select(
+        "bin", "n_src", "n_tgt", F.round((p - q) * F.log(p / q), 6).alias("psi_contrib")
+    ).orderBy("bin")
+
+
+# ------------------------------------- 2.4 exact distributed deciles
+
+_DECILES_ORACLE = """
+WITH census AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v, count(*) AS n
+  FROM orders GROUP BY v
+),
+cum AS (
+  SELECT v, sum(n) OVER (ORDER BY v) AS c,
+         (SELECT sum(n) FROM census) AS tot
+  FROM census
+),
+d AS (SELECT unnest(range(1, 10)) AS decile)
+SELECT CAST(d.decile AS INT) AS decile,
+       CAST((SELECT min(v) FROM cum
+             WHERE c >= CAST(ceil(d.decile * tot / 10.0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM d, (SELECT DISTINCT tot FROM cum) t
+ORDER BY decile
+"""
+
+
+@query("agg_deciles_distributed", "2.4 aggregations", _DECILES_ORACLE)
+def agg_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global deciles of order totals WITHOUT a global sort — the
+    production answer to 'exact percentiles at 100 TB': the dq_ks_drift
+    distributed prefix-sum (value census → coarse cells → driver offsets,
+    bounded by #cells → per-cell cumsum windows) yields every distinct
+    value's exact global rank in parallel; decile d = smallest value whose
+    cumulative count reaches ceil(d·n/10) (type-1/disc quantile). Integer
+    cents end to end — no interpolation convention to drift."""
+    import math
+
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    census = (
+        load(spark, sf_dir, "orders")
+        .select(cents.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cell", F.expr("v div 1000000"))
+        .localCheckpoint()
+    )
+    cells = census.groupBy("cell").agg(F.sum("n").alias("s"))
+    off, acc = {}, 0
+    for r in sorted(cells.collect(), key=lambda r: r.cell):
+        off[r.cell] = acc
+        acc += r.s
+    tot = acc
+    omap = F.create_map(*[F.lit(x) for kv in off.items() for x in kv])
+    w = Window.partitionBy("cell").orderBy("v")
+    cum = census.select("v", (F.sum("n").over(w) + omap[F.col("cell")]).alias("c"))
+    targets = [(d, math.ceil(d * tot / 10)) for d in range(1, 10)]
+    tdf = spark.createDataFrame(targets, "decile int, target long")
+    return (
+        cum.join(F.broadcast(tdf), F.col("c") >= F.col("target"))
+        .groupBy("decile")
+        .agg(F.min("v").alias("value_cents"))
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------- 2.9 audio energy segmentation
+
+_AUDIO_SEG_ORACLE = """
+WITH m AS (SELECT doc_id, 64 + (doc_id % 7) * 16 AS n FROM documents WHERE doc_id % 5 = 0),
+s AS (
+  SELECT m.doc_id, i.i // 32 AS frame,
+         ((31 * m.doc_id + 17 * i.i) % 65536) - 32768 AS v
+  FROM m JOIN (SELECT unnest(range(0, 160)) AS i) i ON i.i < m.n
+),
+fr AS (
+  SELECT doc_id, frame, sum(v * v) AS energy
+  FROM s GROUP BY doc_id, frame
+),
+flag AS (
+  SELECT doc_id, frame, CASE WHEN energy > 11000000000 THEN 1 ELSE 0 END AS active
+  FROM fr
+),
+isl AS (
+  SELECT doc_id, active,
+         frame - row_number() OVER (PARTITION BY doc_id, active ORDER BY frame) AS grp
+  FROM flag
+),
+seg AS (
+  SELECT doc_id, count(*) AS seg_len
+  FROM isl WHERE active = 1 GROUP BY doc_id, grp
+)
+SELECT f.doc_id AS media_id,
+       CAST(count(*) AS INT) AS n_frames,
+       CAST(sum(f.active) AS INT) AS n_active,
+       CAST(coalesce((SELECT count(*) FROM seg WHERE seg.doc_id = f.doc_id), 0) AS INT)
+         AS n_segments,
+       CAST(coalesce((SELECT max(seg_len) FROM seg WHERE seg.doc_id = f.doc_id), 0) AS INT)
+         AS longest_segment
+FROM flag f GROUP BY f.doc_id ORDER BY media_id
+"""
+
+
+@query("multimodal_audio_segments", "2.9 llm-data", _AUDIO_SEG_ORACLE)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio activity segmentation (the VAD shape) on the
+    REAL WAV decode path: payloads round-trip through actual RIFF bytes,
+    split into 32-sample frames (tail kept), frame energy = Σs² (exact
+    int64), frames over the threshold form segments via blob-local
+    gaps-and-islands — all inside ONE mapInPandas stage per audio, so the
+    1000-executor version never shuffles a sample, only the 4-scalar
+    per-media census. The closed-form oracle recomputes frame energies
+    and islands relationally without touching the bytes — any PCM width,
+    endianness, or framing bug mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hdc_dataengineering_sqlsync_spark.plans.mediacodec import _synth_audio
+
+    docs = load(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+    media = _synth_audio(docs)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_active", T.IntegerType()),
+            T.StructField("n_segments", T.IntegerType()),
+            T.StructField("longest_segment", T.IntegerType()),
+        ]
+    )
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n_frames = (len(s) + 31) // 32
+                energies = np.array(
+                    [int((s[j * 32 : (j + 1) * 32] ** 2).sum()) for j in range(n_frames)]
+                )
+                active = energies > 11_000_000_000
+                n_active = int(active.sum())
+                # blob-local islands: runs of consecutive True
+                runs, cur = [], 0
+                for a in active:
+                    if a:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                rows.append(
+                    (int(mid), n_frames, n_active, len(runs), max(runs) if runs else 0)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.mapInPandas(segment, schema=schema).orderBy("media_id")
