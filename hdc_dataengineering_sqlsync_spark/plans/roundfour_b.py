@@ -1513,8 +1513,7 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED BY CELL — full parallelism, identical result. That is how
     a 100 TB engine computes exact quantiles/CDFs without a global sort
     bottleneck."""
-    from pyspark.sql import Window
-
+    from hdc_dataengineering_sqlsync_spark.operators.cdf import exact_global_cum
     from hdc_dataengineering_sqlsync_spark.plans.sync import _source, _target
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
@@ -1524,26 +1523,10 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.unionAll(t)
         .groupBy("v")
         .agg(F.sum("c1").alias("n1v"), F.sum("c2").alias("n2v"))
-        .withColumn("cell", F.expr("v div 1000000"))
     )
-    census = census.localCheckpoint()  # consumed twice: cell totals + cumsum
-    # per-cell totals -> driver-side cumulative offsets (bounded: #cells)
-    cells = census.groupBy("cell").agg(F.sum("n1v").alias("s1"), F.sum("n2v").alias("s2"))
-    off1, off2, acc1, acc2 = {}, {}, 0, 0
-    for r in sorted(cells.collect(), key=lambda r: r.cell):
-        off1[r.cell], off2[r.cell] = acc1, acc2
-        acc1 += r.s1
-        acc2 += r.s2
-    n1, n2 = acc1, acc2
-    omap1 = F.create_map(*[F.lit(x) for kv in off1.items() for x in kv])
-    omap2 = F.create_map(*[F.lit(x) for kv in off2.items() for x in kv])
-    w = Window.partitionBy("cell").orderBy("v")
-    cum = census.select(
-        "v",
-        (F.sum("n1v").over(w) + omap1[F.col("cell")]).alias("c1"),
-        (F.sum("n2v").over(w) + omap2[F.col("cell")]).alias("c2"),
-    )
-    d = cum.select("v", F.abs(F.col("c1") * n2 - F.col("c2") * n1).alias("numer"))
+    cum, totals = exact_global_cum(census, "v", ("n1v", "n2v"))
+    n1, n2 = totals["n1v"], totals["n2v"]
+    d = cum.select("v", F.abs(F.col("n1v") * n2 - F.col("n2v") * n1).alias("numer"))
     top = d.orderBy(F.col("numer").desc(), "v").limit(1)
     return top.select(
         F.lit(n1).cast("long").alias("n_src"),
@@ -2119,7 +2102,7 @@ def agg_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents end to end — no interpolation convention to drift."""
     import math
 
-    from pyspark.sql import Window
+    from hdc_dataengineering_sqlsync_spark.operators.cdf import exact_global_cum
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     census = (
@@ -2127,18 +2110,10 @@ def agg_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(cents.alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("cell", F.expr("v div 1000000"))
-        .localCheckpoint()
     )
-    cells = census.groupBy("cell").agg(F.sum("n").alias("s"))
-    off, acc = {}, 0
-    for r in sorted(cells.collect(), key=lambda r: r.cell):
-        off[r.cell] = acc
-        acc += r.s
-    tot = acc
-    omap = F.create_map(*[F.lit(x) for kv in off.items() for x in kv])
-    w = Window.partitionBy("cell").orderBy("v")
-    cum = census.select("v", (F.sum("n").over(w) + omap[F.col("cell")]).alias("c"))
+    cum_df, totals = exact_global_cum(census, "v", ("n",))
+    cum = cum_df.select("v", F.col("n").alias("c"))
+    tot = totals["n"]
     targets = [(d, math.ceil(d * tot / 10)) for d in range(1, 10)]
     tdf = spark.createDataFrame(targets, "decile int, target long")
     return (

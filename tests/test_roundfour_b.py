@@ -274,3 +274,46 @@ def test_stream_sink_epoch_replace_removes_stale_files(spark, sf_dir, tmp_path):
     assert not os.path.exists(stale), "stale dead-attempt epoch file survived commit"
     back = spark.read.schema("v long").json(out, pathGlobFilter="epoch-*.jsonl")
     assert sorted(r.v for r in back.collect()) == list(range(10))
+
+
+def test_exact_global_cum_matches_reference_on_random_data(spark):
+    """Hypothesis property: the distributed prefix-sum (cells → driver
+    offsets → per-cell windows) must equal the trivial single-threaded
+    cumulative sum for ANY integer multiset — including adversarial cases
+    (all values in one cell, one value per cell, duplicate-heavy, counts
+    of zero rows absent). Tiny cell_width forces MANY cells so the
+    offset-stitching is actually exercised."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hdc_dataengineering_sqlsync_spark.operators.cdf import exact_global_cum
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=-50, max_value=50), st.integers(1, 5)),
+            min_size=1,
+            max_size=30,
+        ),
+        st.sampled_from([1, 3, 1000]),  # one-value cells / small cells / one big cell
+    )
+    def prop(pairs, cell_width):
+        # collapse duplicates into a census, as the operator requires
+        census: dict[int, int] = {}
+        for v, n in pairs:
+            census[v] = census.get(v, 0) + n
+        cdf_df = spark.createDataFrame(sorted(census.items()), "v long, n long")
+        cum, totals = exact_global_cum(cdf_df, "v", ("n",), cell_width=cell_width)
+        got = {r.v: r.n for r in cum.collect()}
+        acc, want = 0, {}
+        for v in sorted(census):
+            acc += census[v]
+            want[v] = acc
+        assert got == want
+        assert totals["n"] == acc
+
+    prop()
