@@ -800,8 +800,11 @@ def stream_backfill_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    # pid-keyed (the per-process embedded-Derby rule): a concurrent
+    # process running this qid at the same sf_dir must not rmtree a live
+    # stream's source/checkpoint; per-process reuse stays bounded
     tag = hashlib.md5(f"backfill:{sf_dir}".encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"hdc_backfill_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"hdc_backfill_{tag}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
@@ -866,11 +869,12 @@ def udtf_python_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str, n: int):
             import re
 
-            # ASCII \s class: same token stream as the oracle's RE2
-            # string_split_regex('\s+') and Spark's Java split — including
-            # boundary empty tokens on padded text (Python .split() would
-            # silently drop them and diverge)
-            toks = re.split(r"[ \t\n\r\f\v]+", (text or "").lower())
+            # RE2 \s class [\t\n\f\r ] — the oracle's
+            # string_split_regex('\s+') semantics exactly, including
+            # boundary empty tokens on padded text (Python .split() drops
+            # them and splits unicode; Java \s additionally matches \v —
+            # a fixture-absent divergence shared by every F.split text qid)
+            toks = re.split(r"[ \t\n\f\r]+", (text or "").lower())
             row = tuple(toks[i] if i < len(toks) else None for i in range(n))
             yield row + (max(0, len(toks) - n),)
 
@@ -1179,10 +1183,13 @@ def simsearch_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage 1 ranks every candidate by a CHEAP int8×int8 integer dot product
     (per-vector symmetric quantization, 4× smaller and exact int64 — no
     float drift) keeping top-50 per query; stage 2 re-scores only those 50
-    with the exact DOUBLE cosine and emits top-10. At 100 TB stage 1 is
-    the only full scan (reading 64 bytes/vector instead of 512), stage 2
-    touches 50 rows per query; both top-ks are ranked windows per query,
-    so WindowGroupLimit keeps k rows per partition pre-shuffle."""
+    with the exact DOUBLE cosine and emits top-10. At 100 TB stage 1's
+    scan reads 64 bytes/vector (the int8 codes) and its shuffle carries
+    only (q_id, vec_id, score1); stage 2 broadcast-probes the 50·|Q|
+    winner ids against the vector column (no shuffle of vectors — in
+    production this rejoin is a point lookup into the vector store); both
+    top-ks are ranked windows per query, so WindowGroupLimit keeps k rows
+    per partition pre-shuffle."""
     from pyspark.sql import Window
 
     from hdc_dataengineering_sqlsync_spark.functions.vectors import (
@@ -1218,7 +1225,7 @@ def simsearch_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("q_id", "vec_id")
     )
-    rejoined = c50.join(e.select("vec_id", "embedding"), "vec_id").join(
+    rejoined = e.select("vec_id", "embedding").join(F.broadcast(c50), "vec_id").join(
         F.broadcast(qset.select("q_id", "qe")), "q_id"
     )
     cos = F.round(cosine_similarity("embedding", "qe"), 4)
@@ -2038,29 +2045,28 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     bin_ = F.least(F.expr("cents div 5000000"), F.lit(9)).alias("bin")
-    sb = (
-        _source(spark, sf_dir)
+    # ONE aggregate scan per side; totals derive from the <=10 collected
+    # bin rows (every row lands in a bin), never a second count() scan
+    sb = {
+        r.bin: r.n_src
+        for r in _source(spark, sf_dir)
         .select(cents.alias("cents"))
         .groupBy(bin_)
         .agg(F.count(F.lit(1)).alias("n_src"))
-    )
-    tb = (
-        _target(spark, sf_dir)
+        .collect()
+    }
+    tb = {
+        r.bin: r.n_tgt
+        for r in _target(spark, sf_dir)
         .select(cents.alias("cents"))
         .groupBy(bin_)
         .agg(F.count(F.lit(1)).alias("n_tgt"))
-    )
-    ns = _source(spark, sf_dir).count()
-    nt = _target(spark, sf_dir).count()
-    bins = spark.range(10).select(F.col("id").cast("long").alias("bin"))
-    j = (
-        bins.join(sb, "bin", "left")
-        .join(tb, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_src", F.lit(0)).alias("n_src"),
-            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
-        )
+        .collect()
+    }
+    ns, nt = sum(sb.values()), sum(tb.values())
+    j = spark.createDataFrame(
+        [(b, sb.get(b, 0), tb.get(b, 0)) for b in range(10)],
+        "bin long, n_src long, n_tgt long",
     )
     p = (F.col("n_src") + 1).cast("double") / F.lit(ns + 10)
     q = (F.col("n_tgt") + 1).cast("double") / F.lit(nt + 10)
@@ -2084,7 +2090,7 @@ cum AS (
 d AS (SELECT unnest(range(1, 10)) AS decile)
 SELECT CAST(d.decile AS INT) AS decile,
        CAST((SELECT min(v) FROM cum
-             WHERE c >= CAST(ceil(d.decile * tot / 10.0) AS BIGINT)) AS BIGINT)
+             WHERE c >= (d.decile * tot + 9) // 10) AS BIGINT)
          AS value_cents
 FROM d, (SELECT DISTINCT tot FROM cum) t
 ORDER BY decile
@@ -2100,8 +2106,6 @@ def agg_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     value's exact global rank in parallel; decile d = smallest value whose
     cumulative count reaches ceil(d·n/10) (type-1/disc quantile). Integer
     cents end to end — no interpolation convention to drift."""
-    import math
-
     from hdc_dataengineering_sqlsync_spark.operators.cdf import exact_global_cum
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
@@ -2114,7 +2118,8 @@ def agg_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_df, totals = exact_global_cum(census, "v", ("n",))
     cum = cum_df.select("v", F.col("n").alias("c"))
     tot = totals["n"]
-    targets = [(d, math.ceil(d * tot / 10)) for d in range(1, 10)]
+    # pure-integer ceil: d*tot/10 via float is inexact past 2^53
+    targets = [(d, (d * tot + 9) // 10) for d in range(1, 10)]
     tdf = spark.createDataFrame(targets, "decile int, target long")
     return (
         cum.join(F.broadcast(tdf), F.col("c") >= F.col("target"))

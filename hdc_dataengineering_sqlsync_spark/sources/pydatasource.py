@@ -243,27 +243,33 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     """Streaming writer half of the jsonl sink (DataSourceStreamWriter):
     per micro-batch, executors stage partition files and the driver's
     ``commit(messages, batchId)`` promotes them to DETERMINISTIC final
-    names ``epoch-<batchId>-<i>.jsonl`` — and FIRST removes any leftover
-    ``epoch-<batchId>-*`` files, so a replayed epoch (checkpoint said
-    uncommitted, engine re-runs it) fully REPLACES the dead attempt's
-    output even when the replay plans fewer partitions than the original
-    (an index-only overwrite would leave the higher-index files behind
-    and double-count): at-least-once delivery + epoch-scoped replace =
-    effectively-once output, the same contract foreachBatch users build
-    by hand. Staged files carry a per-WRITER tag (minted on the driver,
-    shipped via pickling) and each commit reaps only ITS OWN tag's
-    orphans from retried/speculated tasks — a concurrent query writing
-    to the same path keeps its in-flight staging (the batch writer's
-    concurrent-append rule)."""
+    names ``epoch-<stream>-<batchId>-<i>.jsonl`` — and FIRST removes any
+    leftover files of that same ``(stream, batchId)`` namespace, so a
+    replayed epoch (checkpoint said uncommitted, engine re-runs it) fully
+    REPLACES the dead attempt's output even when the replay plans fewer
+    partitions than the original (an index-only overwrite would leave the
+    higher-index files behind and double-count): at-least-once delivery +
+    epoch-scoped replace = effectively-once output, the same contract
+    foreachBatch users build by hand.
+
+    ``stream`` is the STABLE stream identity (``.option("stream_tag",
+    ...)``, default ``main``) — stable across restarts, which is what
+    makes replay-overwrite AND crash-orphan reaping work: each commit
+    reaps this stream's ``_stream_staged_<tag>_*`` leftovers (a restarted
+    query reuses the tag, so a crashed attempt's staging is collected),
+    while a concurrent query on the same path under a DIFFERENT tag keeps
+    both its staging and its committed epochs untouched. Two queries
+    sharing a path must use distinct tags (as they must use distinct
+    checkpoints)."""
 
     def __init__(self, options, schema) -> None:
-        import uuid
-
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires .option('path', ...)")
         self.fields = [f.name for f in schema.fields]
-        self.job_tag = uuid.uuid4().hex[:12]
+        # STABLE across restarts (unlike a per-writer uuid): epoch replace
+        # and orphan reaping key on it — see class docstring
+        self.stream_tag = options.get("stream_tag", "main")
 
     def write(self, iterator) -> "WriterCommitMessage":
         import json
@@ -271,7 +277,7 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        staged = f"_stream_staged_{self.job_tag}_{uuid.uuid4().hex}.jsonl"
+        staged = f"_stream_staged_{self.stream_tag}_{uuid.uuid4().hex}.jsonl"
         n = 0
         with open(os.path.join(self.path, staged), "w") as f:
             for row in iterator:
@@ -283,9 +289,11 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import os
 
-        # replace, not overwrite: a dead attempt of THIS epoch may have
-        # committed more partition files than this replay plans
-        prefix = f"epoch-{batchId:08d}-"
+        # replace, not overwrite: a dead attempt of THIS (stream, epoch)
+        # may have committed more partition files than this replay plans.
+        # Scoped to the stream tag so a concurrent query's committed
+        # epochs on the same path are never touched.
+        prefix = f"epoch-{self.stream_tag}-{batchId:08d}-"
         for f in os.listdir(self.path):
             if f.startswith(prefix) and f.endswith(".jsonl"):
                 try:
@@ -299,7 +307,9 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
                 os.path.join(self.path, m.staged),
                 os.path.join(self.path, f"{prefix}{i:05d}.jsonl"),
             )
-        own = f"_stream_staged_{self.job_tag}_"
+        # reap THIS stream's staged leftovers — the tag is stable across
+        # restarts, so a crashed attempt's staging is collected here too
+        own = f"_stream_staged_{self.stream_tag}_"
         for f in os.listdir(self.path):
             if f.startswith(own) and f.endswith(".jsonl"):
                 try:

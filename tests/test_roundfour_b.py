@@ -255,9 +255,16 @@ def test_stream_sink_epoch_replace_removes_stale_files(spark, sf_dir, tmp_path):
     spark.dataSource.register(JsonLinesSinkDataSource)
     out = str(tmp_path / "sink")
     os.makedirs(out)
-    stale = os.path.join(out, "epoch-00000000-99999.jsonl")
+    stale = os.path.join(out, "epoch-main-00000000-99999.jsonl")
     with open(stale, "w") as f:
         f.write('{"v": 999999}\n')
+    # a DIFFERENT stream's committed epoch + in-flight staging on the same
+    # path must both survive this stream's commit (tag-scoped namespaces)
+    foreign_epoch = os.path.join(out, "epoch-other-00000000-00000.jsonl")
+    foreign_staged = os.path.join(out, "_stream_staged_other_deadbeef.jsonl")
+    for p in (foreign_epoch, foreign_staged):
+        with open(p, "w") as f:
+            f.write('{"v": 777}\n')
 
     src = str(tmp_path / "src")
     spark.createDataFrame([(i,) for i in range(10)], "v long").coalesce(1).write.parquet(src)
@@ -272,6 +279,9 @@ def test_stream_sink_epoch_replace_removes_stale_files(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert not os.path.exists(stale), "stale dead-attempt epoch file survived commit"
+    assert os.path.exists(foreign_epoch), "concurrent stream's committed epoch deleted"
+    assert os.path.exists(foreign_staged), "concurrent stream's staging deleted"
+    os.remove(foreign_epoch)  # keep the readback assertion below exact
     back = spark.read.schema("v long").json(out, pathGlobFilter="epoch-*.jsonl")
     assert sorted(r.v for r in back.collect()) == list(range(10))
 
