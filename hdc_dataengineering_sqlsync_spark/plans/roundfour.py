@@ -1420,6 +1420,9 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", q.alias("q"))
         .select("vec_id", "q", *dots)
         .select("vec_id", "q", cell.alias("cell"))
+        # consumed 3x (both self-join sides + member census); the K x 64-dim
+        # argmax is the expensive part — materialize it once
+        .localCheckpoint()
     )
     b = cells.select(
         F.col("cell").alias("cell2"), F.col("vec_id").alias("v2"), F.col("q").alias("q2")
