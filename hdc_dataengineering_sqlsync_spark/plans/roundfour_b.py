@@ -2227,3 +2227,124 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return media.mapInPandas(segment, schema=schema).orderBy("media_id")
+
+
+# ------------------------------------ 2.12 association rules + degree law
+
+_LIFT_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+c AS (SELECT p, count(*) AS cnt FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, count(*) AS c12
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT p1, p2, c12 FROM pairs ORDER BY c12 DESC, p1, p2 LIMIT 20
+)
+SELECT t.p1, t.p2, CAST(t.c12 AS BIGINT) AS c12,
+       round(CAST(t.c12 AS DOUBLE) / c1.cnt, 4) AS conf_1_to_2,
+       round(CAST(t.c12 AS DOUBLE) / c2.cnt, 4) AS conf_2_to_1,
+       round(CAST(t.c12 AS DOUBLE) * n.n_orders / (CAST(c1.cnt AS DOUBLE) * c2.cnt), 4)
+         AS lift
+FROM top t JOIN c c1 ON c1.p = t.p1 JOIN c c2 ON c2.p = t.p2, n
+ORDER BY c12 DESC, p1, p2
+"""
+
+
+@query("wl_basket_lift", "2.12 composite workloads", _LIFT_ORACLE)
+def wl_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the top-20 co-purchased pairs: confidence in
+    both directions and lift (`c12·N / (c1·c2)` — >1 means genuinely
+    associated, not just popular) — the metric layer wl_basket_pairs
+    feeds. All counts exact integers (distinct-order support), three
+    rounded divisions at the end; the per-part support table is tiny and
+    broadcast back onto the pair list. Same basket-bounded self-join as
+    the pair mining — nothing corpus-quadratic."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    op = op.localCheckpoint()  # pairs + supports + order count share it
+    n_orders = op.select("o").distinct().count()
+    c = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    top = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .orderBy(F.col("c12").desc(), "p1", "p2")
+        .limit(20)
+    )
+    c1 = c.select(F.col("p").alias("p1"), F.col("cnt").alias("cnt1"))
+    c2 = c.select(F.col("p").alias("p2"), F.col("cnt").alias("cnt2"))
+    return (
+        top.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "c12",
+            F.round(F.col("c12").cast("double") / F.col("cnt1"), 4).alias("conf_1_to_2"),
+            F.round(F.col("c12").cast("double") / F.col("cnt2"), 4).alias("conf_2_to_1"),
+            F.round(
+                F.col("c12").cast("double") * n_orders
+                / (F.col("cnt1").cast("double") * F.col("cnt2")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("c12").desc(), "p1", "p2")
+    )
+
+
+_DEGREE_HIST_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT p, count(*) AS d
+  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e)
+  GROUP BY p
+)
+SELECT CAST(length(bin(d)) - 1 AS INT) AS log2_bucket,
+       count(*) AS n_nodes,
+       CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+FROM deg GROUP BY log2_bucket ORDER BY log2_bucket
+"""
+
+
+@query("graph_degree_histogram", "2.12 composite workloads", _DEGREE_HIST_ORACLE)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph (the
+    power-law diagnostic that decides skew strategy: a heavy tail here is
+    what makes hub-salting and degree-reorientation pay). Bucket =
+    floor(log2(degree)) computed EXACTLY as the binary-string length − 1
+    (`length(bin(d)) - 1` in both engines) — a float `ln(d)/ln(2)` flaps
+    at exact powers of two. One keyed degree count, one tiny rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("p1", "p2")
+    )
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.expr("cast(length(bin(d)) - 1 as int)").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("log2_bucket")
+    )
