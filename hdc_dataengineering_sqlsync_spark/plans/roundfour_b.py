@@ -2348,3 +2348,71 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ----------------------------------------- 2.4 Lorenz curve (decile points)
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+census AS (SELECT cents AS v, count(*) AS n, sum(cents) AS w FROM spend GROUP BY cents),
+cum AS (
+  SELECT v,
+         sum(n) OVER (ORDER BY v) AS c,
+         sum(w) OVER (ORDER BY v) AS cw,
+         (SELECT sum(n) FROM census) AS tot,
+         (SELECT sum(w) FROM census) AS totw
+  FROM census
+),
+d AS (SELECT unnest(range(1, 10)) AS decile)
+SELECT CAST(d.decile AS INT) AS decile,
+       round(CAST(k.c AS DOUBLE) / k.tot, 4) AS pop_share,
+       round(CAST(k.cw AS DOUBLE) / k.totw, 4) AS spend_share
+FROM d, LATERAL (
+  SELECT c, cw, tot, totw FROM cum
+  WHERE c >= (d.decile * tot + 9) // 10
+  ORDER BY v LIMIT 1
+) k
+ORDER BY decile
+"""
+
+
+@query("agg_lorenz_curve", "2.4 aggregations", _LORENZ_ORACLE)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend at the 9 decile cuts — the
+    concentration picture agg_gini_segment summarizes to one number:
+    at the smallest spend value covering ≥ d/10 of customers, what share
+    of total spend do they hold? Built on operators/cdf.py's distributed
+    prefix-sum cumulating TWO measures in one pass (customer count AND
+    spend cents — the multi-measure case the operator exists for), so the
+    whole curve costs one census + one bounded driver offset pass; all
+    cumulative values exact int64, two rounded divisions per point."""
+    from hdc_dataengineering_sqlsync_spark.operators.cdf import exact_global_cum
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    spend = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    census = spend.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("w")
+    )
+    cum, totals = exact_global_cum(census, "v", ("n", "w"))
+    tot, totw = totals["n"], totals["w"]
+    targets = [(d, (d * tot + 9) // 10) for d in range(1, 10)]
+    tdf = spark.createDataFrame(targets, "decile int, target long")
+    # per decile: the FIRST value reaching the population target
+    first = (
+        cum.join(F.broadcast(tdf), F.col("n") >= F.col("target"))
+        .groupBy("decile")
+        .agg(F.min(F.struct(F.col("v"), F.col("n"), F.col("w"))).alias("k"))
+    )
+    return first.select(
+        "decile",
+        F.round(F.col("k.n").cast("double") / F.lit(float(tot)), 4).alias("pop_share"),
+        F.round(F.col("k.w").cast("double") / F.lit(float(totw)), 4).alias("spend_share"),
+    ).orderBy("decile")
