@@ -2416,3 +2416,107 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("k.n").cast("double") / F.lit(float(tot)), 4).alias("pop_share"),
         F.round(F.col("k.w").cast("double") / F.lit(float(totw)), 4).alias("spend_share"),
     ).orderBy("decile")
+
+
+# -------------------------------------- 2.12 concentration + repurchase
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS s,
+         sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = su.s_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT nation, sum(cents) AS t, count(*) AS n_suppliers FROM rev GROUP BY nation)
+SELECT r.nation, CAST(max(t2.n_suppliers) AS BIGINT) AS n_suppliers,
+       round(sum((CAST(r.cents AS DOUBLE) / max_t.t) * (CAST(r.cents AS DOUBLE) / max_t.t))
+             * 10000, 2) AS hhi
+FROM rev r
+JOIN (SELECT nation, t FROM tot) max_t ON max_t.nation = r.nation
+JOIN (SELECT nation, n_suppliers FROM tot) t2 ON t2.nation = r.nation
+GROUP BY r.nation ORDER BY r.nation
+"""
+
+
+@query("wl_supplier_hhi", "2.12 composite workloads", _HHI_ORACLE)
+def wl_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per nation: Σ of
+    squared supplier revenue shares ×10000 (the antitrust 2500 threshold
+    scale) — the concentration screen a marketplace/sourcing pipeline runs
+    per region. Revenue reduces to exact int64 cents per (nation,
+    supplier) FIRST (one keyed agg), shares and their squares compute once
+    over that tiny table (≤ #suppliers rows), identical double expression
+    in both engines, one rounded output."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("nation")
+    share = F.col("cents").cast("double") / F.sum("cents").over(wp)
+    return (
+        rev.select("nation", share.alias("share"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")) * 10000, 2).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+_GAP_ORACLE = """
+WITH seq AS (
+  SELECT c.c_mktsegment AS segment,
+         date_diff('day',
+                   lag(o.o_orderdate)
+                     OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey),
+                   o.o_orderdate) AS gap
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT segment, count(gap) AS n_gaps,
+       round(CAST(sum(gap) AS DOUBLE) / count(gap), 2) AS avg_gap_days,
+       CAST(max(gap) AS INT) AS max_gap_days
+FROM seq GROUP BY segment ORDER BY segment
+"""
+
+
+@query("wl_interpurchase_gap", "2.12 composite workloads", _GAP_ORACLE)
+def wl_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap analytics per market segment — the repurchase-
+    cadence metric behind churn models: per customer, days between
+    consecutive orders (lag window keyed (date, orderkey) for total
+    order), rolled up to segment count / exact-integer average / max.
+    Windows partition per customer (parallelism = #customers); the rollup
+    is one keyed agg over integer day gaps — order-free and engine-exact,
+    one final division."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
+        )
+    )
+    return (
+        seq.groupBy("segment")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.round(F.sum("gap").cast("double") / F.count("gap"), 2).alias("avg_gap_days"),
+            F.max("gap").cast("int").alias("max_gap_days"),
+        )
+        .orderBy("segment")
+    )
