@@ -60,6 +60,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     dataops,
     roundfour,
     roundfour_b,
+    roundfive,
 )
 
 _LEDGER = os.path.join(

@@ -128,7 +128,9 @@ ORDER BY est_jaccard DESC, doc_id, doc_id2
 """
 
 
-@query("dedup_minhash_banded", "2.9 llm-data", _MINHASH_BANDED_ORACLE)
+# bench=True (×3 below, VERDICT r4 #3): the catalog's slowest known shapes —
+# the heavy LLM-data dedup family — now gate round-over-round like the rest.
+@query("dedup_minhash_banded", "2.9 llm-data", _MINHASH_BANDED_ORACLE, bench=True)
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch MinHash + banded LSH with a cross-engine hash family —
     the oracle-verified counterpart of dedup_minhash_lsh. Signatures are
@@ -162,7 +164,7 @@ FROM lab GROUP BY comp ORDER BY cluster_id
 """
 
 
-@query("dedup_cluster_components", "2.9 llm-data", _CC_ORACLE)
+@query("dedup_cluster_components", "2.9 llm-data", _CC_ORACLE, bench=True)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over LSH star edges —
     within each MinHash band bucket, every doc links to the bucket's min

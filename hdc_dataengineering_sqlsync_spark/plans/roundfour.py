@@ -1387,7 +1387,7 @@ GROUP BY c.cell, p.n_near ORDER BY c.cell
 """
 
 
-@query("dedup_semantic_centroid", "2.9 llm-data", _semantic_dedup_oracle())
+@query("dedup_semantic_centroid", "2.9 llm-data", _semantic_dedup_oracle(), bench=True)
 def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-blocked embedding near-dup — the IVF-style SCALE PATH for
     semantic dedup: embeddings first assign to K coarse centroids (exact

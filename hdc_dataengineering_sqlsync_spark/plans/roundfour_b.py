@@ -330,9 +330,12 @@ FROM s ORDER BY l_returnflag
 @query("agg_corr_covar_exact", "2.4 aggregations", _CORR_ORACLE)
 def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation + covariance as ONE exact-integer
-    aggregate pass: quantities are integral and prices 2-decimal, so Σx,
-    Σy, Σxy, Σx² sum as int64 and Σy² (cents², ~1e14/row) as DECIMAL(38,0)
-    — every sum order-free and engine-identical — then the closed-form
+    aggregate pass: quantities are integral and prices 2-decimal, so Σx
+    and Σy sum as int64 while every second-moment sum (Σxy ~5e8/row, Σx²,
+    Σy² ~1e14/row) accumulates as DECIMAL(38,0) — DuckDB promotes BIGINT
+    sums to HUGEINT but non-ANSI Spark sum(long) silently wraps, and at
+    ~1e12 rows Σxy alone (~5e20) blows int64 headroom — then the
+    closed-form
     moments formulas run ONCE per group in double. This sidesteps the
     cross-engine drift of builtin corr()/covar() (different accumulation
     schemes) the same way wl_price_trend_slope does for regression, and is
@@ -345,8 +348,8 @@ def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
         F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
     )
     n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
@@ -1275,8 +1278,12 @@ def pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(JsonLinesSinkDataSource)
-    tag = hashlib.md5(f"pystreamsink:{sf_dir}".encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"hdc_pystreamsink_{tag}")
+    # pid-keyed like the backfill dir: a concurrent process running this
+    # qid at the same sf_dir must not rmtree a live stream's committed
+    # epochs/staging or read back its files (the writer docstring requires
+    # distinct tags for path sharers)
+    tag = hashlib.md5(f"pystreamsink:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"hdc_pystreamsink_{tag}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix=f"hdc_pystreamsink_ckpt_{uuid.uuid4().hex[:8]}_")
     stream = read_events_stream(spark, events_path(sf_dir)).select(
@@ -1811,12 +1818,17 @@ def wl_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("q").alias("s1"),
             F.sum("dp").alias("s2"),
-            F.sum(F.col("q") * F.col("q")).alias("s11"),
-            F.sum(F.col("dp") * F.col("dp")).alias("s22"),
-            F.sum(F.col("q") * F.col("dp")).alias("s12"),
+            # second-moment products accumulate as DECIMAL(38,0): DuckDB
+            # sum(BIGINT) promotes to HUGEINT but non-ANSI Spark sum(long)
+            # silently wraps, and dp*y (~1e9/row) exhausts int64 headroom
+            # near ~1e10 rows; first moments (sy ~1e7/row) keep int64 safe
+            # to ~1e11 rows and stay long for the cheap path
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s11"),
+            F.sum((F.col("dp") * F.col("dp")).cast("decimal(38,0)")).alias("s22"),
+            F.sum((F.col("q") * F.col("dp")).cast("decimal(38,0)")).alias("s12"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("q") * F.col("y")).alias("s1y"),
-            F.sum(F.col("dp") * F.col("y")).alias("s2y"),
+            F.sum((F.col("q") * F.col("y")).cast("decimal(38,0)")).alias("s1y"),
+            F.sum((F.col("dp") * F.col("y")).cast("decimal(38,0)")).alias("s2y"),
         )
     )
     return m.select(
@@ -2039,37 +2051,43 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE the mass moved, bin by bin (Σ(p−q)·ln(p/q); > 0.2 = retrain
     alarm). Fixed $50k-wide cent bins capped at 10; add-one smoothing
     keeps empty bins finite AND exact (shares are identical rationals in
-    both engines, one ln each). Scale: two keyed counts to ≤10 rows each,
-    then literal arithmetic — volume-immune like every census here."""
+    both engines, one ln each). ONE lazy plan like its census siblings
+    (dq_benford_firstdigit): one aggregate scan per side to ≤10 bin rows,
+    side totals via an unpartitioned window over those ≤20 rows (every
+    source row lands in a bin, so no second count() scan and no driver
+    round-trip), literal bin lattice left-joined so empty bins appear.
+    Scale: volume-immune — only the 10-row censuses ever shuffle."""
+    from pyspark.sql import Window
+
     from hdc_dataengineering_sqlsync_spark.plans.sync import _source, _target
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     bin_ = F.least(F.expr("cents div 5000000"), F.lit(9)).alias("bin")
-    # ONE aggregate scan per side; totals derive from the <=10 collected
-    # bin rows (every row lands in a bin), never a second count() scan
-    sb = {
-        r.bin: r.n_src
-        for r in _source(spark, sf_dir)
-        .select(cents.alias("cents"))
-        .groupBy(bin_)
-        .agg(F.count(F.lit(1)).alias("n_src"))
-        .collect()
-    }
-    tb = {
-        r.bin: r.n_tgt
-        for r in _target(spark, sf_dir)
-        .select(cents.alias("cents"))
-        .groupBy(bin_)
-        .agg(F.count(F.lit(1)).alias("n_tgt"))
-        .collect()
-    }
-    ns, nt = sum(sb.values()), sum(tb.values())
-    j = spark.createDataFrame(
-        [(b, sb.get(b, 0), tb.get(b, 0)) for b in range(10)],
-        "bin long, n_src long, n_tgt long",
+
+    def census(df: DataFrame, out: str) -> DataFrame:
+        agg = df.select(cents.alias("cents")).groupBy(bin_).agg(F.count(F.lit(1)).alias(out))
+        # total = sum over the <=10 bin rows; the single-partition window
+        # is over the REDUCED census, never the raw table
+        return agg.withColumn("tot_" + out, F.sum(out).over(Window.partitionBy()))
+
+    lattice = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    j = (
+        lattice.join(census(_source(spark, sf_dir), "n_src"), "bin", "left")
+        .join(census(_target(spark, sf_dir), "n_tgt"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_src", F.lit(0)).alias("n_src"),
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+            F.coalesce(
+                F.first("tot_n_src", ignorenulls=True).over(Window.partitionBy()), F.lit(0)
+            ).alias("ns"),
+            F.coalesce(
+                F.first("tot_n_tgt", ignorenulls=True).over(Window.partitionBy()), F.lit(0)
+            ).alias("nt"),
+        )
     )
-    p = (F.col("n_src") + 1).cast("double") / F.lit(ns + 10)
-    q = (F.col("n_tgt") + 1).cast("double") / F.lit(nt + 10)
+    p = (F.col("n_src") + 1).cast("double") / (F.col("ns") + 10)
+    q = (F.col("n_tgt") + 1).cast("double") / (F.col("nt") + 10)
     return j.select(
         "bin", "n_src", "n_tgt", F.round((p - q) * F.log(p / q), 6).alias("psi_contrib")
     ).orderBy("bin")

@@ -6,8 +6,12 @@ compares against ``oracle_sql()[qid]`` in DuckDB (row-count + schema +
 order-insensitive values). Prints one line per qid and a summary; exit 1 on
 any mismatch.
 
-Usage: python scripts/driver_sim.py [--vanilla] [sf_dir]
+Usage: python scripts/driver_sim.py [--vanilla] [--only=qid1,qid2] [sf_dir]
        (default sf_dir /root/testdata/sf0.01)
+
+``--only=`` restricts the sweep to a comma-separated qid subset — the
+fast per-change gate (changed qids at sf0.001/0.01/0.1) before the full
+pre-commit sweep; unknown qids in the list fail loudly.
 
 ``--vanilla`` builds a bare ``SparkSession.builder.master("local[*]")``
 session with NONE of session.py's confs — the same environment the external
@@ -30,6 +34,11 @@ sys.path.insert(0, REPO)
 
 flags = {a for a in sys.argv[1:] if a.startswith("--")}
 argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+ONLY: set[str] | None = None
+for f in list(flags):
+    if f.startswith("--only="):
+        ONLY = {q for q in f[len("--only="):].split(",") if q}
+        flags.discard(f)
 _KNOWN = {"--vanilla", "--exec-only"}
 if flags - _KNOWN:
     # a silently-swallowed typo ('--vanila') would run the WRONG gate and
@@ -70,6 +79,11 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if ONLY is not None:
+        unknown = ONLY - set(qs)
+        if unknown:
+            sys.exit(f"driver_sim: --only names unknown qid(s) {sorted(unknown)}")
+        qs = {qid: fn for qid, fn in qs.items() if qid in ONLY}
     failures: list[str] = []
     for qid in sorted(qs):
         t0 = time.time()
