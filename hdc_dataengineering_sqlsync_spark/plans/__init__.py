@@ -52,14 +52,24 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     timeseries,
     udfs,
     workloads,
-    # dataops, then roundfour, import LAST deliberately: each round's new
-    # qids must append to the END of the never-checked segment so the
-    # already-planned driver window (the first 50 qids after rotation) is
-    # unchanged and the new qids enter the NEXT round's window (see module
-    # docstring). New qids always go in the newest last-imported module.
+    # The remaining modules import in never-checked PRIORITY order (r5): the
+    # unchecked segment of the rotation is layout-ordered, so the module
+    # sequence below decides which never-driver-checked qids enter the next
+    # ~50-qid window first. Per the r4 verdict, the families with the most
+    # novel machinery front-load: dataops leftovers, graphs, exact
+    # statistics, CRDT/sync extensions, then the LLM-data r4 additions;
+    # workloads/relational/surface extensions and round-5 additions fill
+    # the residue window. New qids always go in the newest last-imported
+    # module so the already-planned window is unchanged.
     dataops,
-    roundfour,
-    roundfour_b,
+    dataops_b,
+    graphs,
+    exact_stats,
+    sync_ext,
+    llmdata_r4,
+    workloads_ext,
+    relational_ext,
+    surface_ext,
     roundfive,
 )
 

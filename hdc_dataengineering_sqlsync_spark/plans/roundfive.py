@@ -4,7 +4,7 @@ Opens with the r4 verdict's #5: DSv2 aggregate pushdown into a live JDBC
 source (`jdbc_agg_pushdown`) — the next transport pushdown a real sync
 user hits after the filter pushdown already declared in plans/sync.py.
 
-Registered AFTER roundfour_b (plans/__init__.py) so the qids append to the
+Registered LAST (plans/__init__.py) so the qids append to the
 END of the never-checked rotation segment: the round-5 driver window (50 of
 the 81 r4-era unchecked qids, plus this round's stale re-checks) is
 unchanged, and these enter the window once that backlog drains.

@@ -1,0 +1,173 @@
+"""Scale-stress probe: run the heavy catalog shapes at 1x (sf0.1) and Nx
+(default 10x) replicated volume and emit STRESS_r{N}.json, so scale
+regressions gate round-over-round like bench regressions (VERDICT r4 #8 —
+promotes the ad-hoc 10x/30x probes recorded in SCALE.md to an artifact).
+
+Usage: python scripts/stress_probe.py [--round=5] [--factor=10] [--runs=1]
+
+Replica construction (deterministic, key-shifted — NOT naive duplication):
+  volume  orders+lineitem with o_orderkey/l_orderkey shifted per replica
+          (Nx rows, same dimension keys) — census/sync/basket shapes.
+  graph   additionally shifts l_partkey per replica: Nx nodes AND Nx edges
+          in the co-purchase graph — the pagerank/BFS/triangle family.
+  docs    documents with per-replica doc_id shift and a per-replica salt
+          token appended to text (so shingles differ across replicas, no
+          pathological 100% dup rate); embeddings with shifted ids and
+          UNCHANGED vectors (matches the r4 probe that exposed the
+          fixed-K semantic-centroid cliff).
+Untouched tables are copied from the base dir so any qid can run.
+
+The per-qid stress verdict is the RATIO t_stress / t_base vs the replica
+factor: ratio << factor means sublinear (volume collapses before the
+expensive step), ratio ~ factor is linear, ratio >> factor is a cliff —
+the semantic-centroid quadratic found in r4 showed ratio ~14 on factor 10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# qid -> replica mode; the heavy families per SCALE.md / bench history
+PROBE_SET: dict[str, str] = {
+    "graph_pagerank": "graph",
+    "graph_common_neighbors": "graph",
+    "graph_triangle_stats": "graph",
+    "dq_ks_drift": "volume",
+    "agg_deciles_distributed": "volume",
+    "dq_psi_drift": "volume",
+    "sync_anti_entropy_merkle": "volume",
+    "wl_basket_pairs": "volume",
+    "wl_abc_pareto": "volume",
+    "dedup_minhash_banded": "docs",
+    "dedup_cluster_components": "docs",
+    "dedup_semantic_centroid": "docs",
+}
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_replica(spark, mode: str, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+
+    def base(name):
+        return spark.read.parquet(os.path.join(BASE_SF, f"{name}.parquet"))
+
+    replicated: dict[str, object] = {}
+    rep = spark.range(factor).select(F.col("id").cast("long").alias("rep"))
+
+    if mode in ("volume", "graph"):
+        okey_span = base("orders").agg(F.max("o_orderkey")).collect()[0][0] + 1
+        o = base("orders").crossJoin(F.broadcast(rep)).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("rep") * okey_span
+        ).drop("rep")
+        li = base("lineitem").crossJoin(F.broadcast(rep)).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("rep") * okey_span
+        )
+        if mode == "graph":
+            pkey_span = base("part").agg(F.max("p_partkey")).collect()[0][0] + 1
+            li = li.withColumn("l_partkey", F.col("l_partkey") + F.col("rep") * pkey_span)
+        replicated["orders"] = o
+        replicated["lineitem"] = li.drop("rep")
+    elif mode == "docs":
+        did_span = base("documents").agg(F.max("doc_id")).collect()[0][0] + 1
+        replicated["documents"] = (
+            base("documents")
+            .crossJoin(F.broadcast(rep))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * did_span)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" rep"), F.col("rep")))
+            .drop("rep")
+        )
+        eid_span = base("embeddings").agg(F.max("vec_id")).collect()[0][0] + 1
+        replicated["embeddings"] = (
+            base("embeddings")
+            .crossJoin(F.broadcast(rep))
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * eid_span)
+            .drop("rep")
+        )
+
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if name in replicated:
+            replicated[name].repartition(32).write.mode("overwrite").parquet(dst)
+        elif not os.path.exists(dst):
+            shutil.copytree(os.path.join(BASE_SF, f"{name}.parquet"), dst)
+    open(os.path.join(out_dir, "_DONE"), "w").write("ok\n")
+
+
+def main() -> int:
+    rnd, factor, runs = 0, 10, 1
+    for a in sys.argv[1:]:
+        if a.startswith("--round="):
+            rnd = int(a.split("=")[1])
+        elif a.startswith("--factor="):
+            factor = int(a.split("=")[1])
+        elif a.startswith("--runs="):
+            runs = int(a.split("=")[1])
+        else:
+            sys.exit(f"unknown arg {a}")
+
+    from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+    from hdc_dataengineering_sqlsync_spark.session import get_session
+
+    spark = get_session(app_name="stress_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    modes = sorted({m for m in PROBE_SET.values()})
+    dirs = {}
+    for m in modes:
+        d = f"/tmp/hdc_stress_x{factor}_{m}"
+        print(f"building {m} replica at {d} ...", file=sys.stderr)
+        t0 = time.time()
+        build_replica(spark, m, factor, d)
+        print(f"  {time.time() - t0:.1f}s", file=sys.stderr)
+        dirs[m] = d
+
+    def timed(fn, sf_dir):
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    out = {}
+    for qid, mode in PROBE_SET.items():
+        fn = CATALOG[qid].fn
+        t_base = timed(fn, BASE_SF)
+        t_stress = timed(fn, dirs[mode])
+        out[qid] = {
+            "mode": mode,
+            "t_base": t_base,
+            "t_stress": t_stress,
+            "ratio": round(t_stress / t_base, 2) if t_base else None,
+        }
+        print(f"  {qid:28s} {t_base:7.2f}s -> {t_stress:7.2f}s  ({out[qid]['ratio']}x on {factor}x data)", file=sys.stderr)
+
+    payload = {"factor": factor, "base_sf_dir": BASE_SF, "runs": runs, "queries": out}
+    path = os.path.join(REPO, f"STRESS_r{rnd:02d}.json" if rnd else "STRESS.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+        f.write("\n")
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,5 @@
-"""Unit tests for the round-4 qids (plans/roundfour.py) — the properties the
+"""Unit tests for the round-4 qids (now split across plans/llmdata_r4.py,
+plans/relational_ext.py, plans/surface_ext.py, plans/sync_ext.py) — the properties the
 DuckDB oracle can't check (sketch behavior, PQ recall, fixture edges)."""
 
 from __future__ import annotations
@@ -7,16 +8,16 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+from hdc_dataengineering_sqlsync_spark.plans.llmdata_r4 import (
     _PQ_CODES,
     _PQ_DIMS,
     _PQ_SUBS,
     _pq_cent,
-    agg_hll_partial_merge,
     dedup_passage_exact,
     simsearch_pq_adc,
-    win_streak_islands,
 )
+from hdc_dataengineering_sqlsync_spark.plans.relational_ext import win_streak_islands
+from hdc_dataengineering_sqlsync_spark.plans.surface_ext import agg_hll_partial_merge
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 
@@ -86,7 +87,7 @@ def test_passage_dedup_short_doc_guard(spark):
         "doc_id long, lang string, text string",
     )
 
-    import hdc_dataengineering_sqlsync_spark.plans.roundfour as r4
+    import hdc_dataengineering_sqlsync_spark.plans.llmdata_r4 as r4
 
     orig = r4.load
     r4.load = lambda spark, sf_dir, name: df  # noqa: ARG005
@@ -114,7 +115,7 @@ def test_streak_islands_hand_fixture(spark):
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
 
-    import hdc_dataengineering_sqlsync_spark.plans.roundfour as r4
+    import hdc_dataengineering_sqlsync_spark.plans.relational_ext as r4
 
     orig = r4.load
     r4.load = lambda spark, sf_dir, name: df  # noqa: ARG005
@@ -134,7 +135,7 @@ def test_bloom_prune_is_effective_and_lossless(spark, sf_dir):
     the pruning itself, which the oracle cannot see)."""
     from pyspark.sql import functions as F
 
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+    from hdc_dataengineering_sqlsync_spark.plans.relational_ext import (
         _BLOOM_K,
         _bloom_positions,
     )
@@ -148,7 +149,7 @@ def test_bloom_prune_is_effective_and_lossless(spark, sf_dir):
     pos_cols = _bloom_positions(F.col("s_suppkey"))
     assert len(pos_cols) == _BLOOM_K
     # rebuild the survivor count exactly as the qid does
-    from hdc_dataengineering_sqlsync_spark.plans import roundfour as r4
+    from hdc_dataengineering_sqlsync_spark.plans import relational_ext as r4
 
     out = r4.join_bloom_pruned(spark, sf_dir)
     n_joined = out.agg(F.sum("n")).collect()[0][0]
@@ -160,7 +161,7 @@ def test_video_container_roundtrip_catches_stride_bugs(spark, sf_dir):
     """The scene-cut qid must parse the real byte container: n_cuts is
     always exactly 1 by construction and first_cut spans the full 1..6
     range across the media subset (a header/stride bug collapses these)."""
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+    from hdc_dataengineering_sqlsync_spark.plans.llmdata_r4 import (
         multimodal_video_scenecut,
     )
 
@@ -216,7 +217,7 @@ def test_bloom_filter_has_no_false_negatives(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour import (
+    from hdc_dataengineering_sqlsync_spark.plans.relational_ext import (
         _BLOOM_WORDS,
         _bloom_positions,
     )

@@ -1,4 +1,6 @@
-"""Unit tests for the round-4 continuation qids (plans/roundfour_b.py) —
+"""Unit tests for the round-4 continuation qids (now split across
+plans/graphs.py, plans/exact_stats.py, plans/sync_ext.py, plans/llmdata_r4.py,
+plans/workloads_ext.py, plans/surface_ext.py) —
 structural properties beyond the per-row oracle: Merkle drill-down pruning,
 BFS frontier soundness, chunk coverage, prune/reassembly consistency, and
 backfill batch integrity."""
@@ -9,15 +11,17 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import (
+from hdc_dataengineering_sqlsync_spark.plans.graphs import (
     graph_bfs_levels,
     graph_pagerank,
     graph_triangle_stats,
-    stream_backfill_throttled,
-    sync_anti_entropy_merkle,
+)
+from hdc_dataengineering_sqlsync_spark.plans.llmdata_r4 import (
     text_boilerplate_prune,
     text_chunk_overlap,
 )
+from hdc_dataengineering_sqlsync_spark.plans.surface_ext import stream_backfill_throttled
+from hdc_dataengineering_sqlsync_spark.plans.sync_ext import sync_anti_entropy_merkle
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 
@@ -56,7 +60,7 @@ def test_bfs_levels_are_sound(spark, sf_dir):
     """Level 0 is exactly the source; every level-k node (k>=1) has an edge
     from some level-(k-1) node and none from any earlier level (else its
     level would be smaller) — the frontier invariant."""
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import _cs_edges
+    from hdc_dataengineering_sqlsync_spark.plans.graphs import _cs_edges
 
     def render(n: int) -> str:
         return f"C{n // 2}" if n % 2 == 0 else f"S{n // 2}"
@@ -79,7 +83,7 @@ def test_pagerank_conserves_node_set_and_is_positive(spark, sf_dir):
     """Top-20 ranks are positive, strictly ordered by (rank desc, node), and
     bounded above by the theoretical max (a node receiving every unit of
     rank in the graph)."""
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import _cs_edges
+    from hdc_dataengineering_sqlsync_spark.plans.graphs import _cs_edges
 
     rows = graph_pagerank(spark, sf_dir).collect()
     assert len(rows) == 20
@@ -171,7 +175,7 @@ def test_ks_drift_bounds_and_self_zero(spark, sf_dir):
     source-vs-source degenerate case — any nonzero would mean the cell
     offsets or within-cell cumsums are broken)."""
     from pyspark.sql import functions as F
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import dq_ks_drift
+    from hdc_dataengineering_sqlsync_spark.plans.exact_stats import dq_ks_drift
 
     row = dq_ks_drift(spark, sf_dir).collect()[0]
     assert 0.0 <= row.ks_stat <= 1.0
@@ -184,7 +188,7 @@ def test_ks_drift_bounds_and_self_zero(spark, sf_dir):
     try:
         sync_mod._target = sync_mod._source
         import importlib
-        from hdc_dataengineering_sqlsync_spark.plans import roundfour_b as rb
+        from hdc_dataengineering_sqlsync_spark.plans import exact_stats as rb
 
         self_row = rb.dq_ks_drift(spark, sf_dir).collect()[0]
         assert self_row.ks_stat == 0.0
@@ -198,7 +202,7 @@ def test_interval_union_bounds(spark, sf_dir):
     upper bound), never goes below 300s (one interval minimum), and is
     strictly less than the disjoint bound for any user with two events
     closer than 5 minutes."""
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import (
+    from hdc_dataengineering_sqlsync_spark.plans.surface_ext import (
         ts_interval_union_length,
     )
 
@@ -218,7 +222,7 @@ def test_uuid_layout_rfc4122(spark, sf_dir):
     query emits per priority class."""
     import re
 
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import fn_uuid_deterministic
+    from hdc_dataengineering_sqlsync_spark.plans.relational_ext import fn_uuid_deterministic
 
     pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
     for r in fn_uuid_deterministic(spark, sf_dir).collect():
@@ -228,10 +232,8 @@ def test_uuid_layout_rfc4122(spark, sf_dir):
 
 
 def test_gini_and_stickiness_ranges(spark, sf_dir):
-    from hdc_dataengineering_sqlsync_spark.plans.roundfour_b import (
-        agg_gini_segment,
-        wl_dau_wau_stickiness,
-    )
+    from hdc_dataengineering_sqlsync_spark.plans.exact_stats import agg_gini_segment
+    from hdc_dataengineering_sqlsync_spark.plans.workloads_ext import wl_dau_wau_stickiness
 
     for r in agg_gini_segment(spark, sf_dir).collect():
         assert 0.0 <= r.gini < 1.0

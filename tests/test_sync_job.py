@@ -240,3 +240,61 @@ def test_run_sync_multi_table(spark, sf_dir, tmp_path):
     assert [r.validated for r in reports] == [True, True]
     reports2 = run_sync(spark, config)
     assert all(r.op_counts == {} for r in reports2)
+
+
+# --------------------------------------------------------------------------
+# Golden-file tests for the SQL-dialect generators (VERDICT r4 #7): no live
+# MSSQL exists in the sandbox, so the exact generated statement text is the
+# contract — any dialect regression (quoting, clause order, composite-PK ON
+# chains, op-code predicates) diffs against these files.
+
+import os as _os
+
+_GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "goldens")
+
+
+def _golden(name: str) -> str:
+    with open(_os.path.join(_GOLDEN_DIR, name)) as f:
+        return f.read().rstrip("\n")
+
+
+def test_golden_tsql_change_tracking_query():
+    from hdc_dataengineering_sqlsync_spark.sources.jdbc import JdbcTable, change_tracking_query
+
+    composite = JdbcTable(
+        "jdbc:sqlserver://db;databaseName=sales", "dbo.Orders", ("o_orderkey", "o_line")
+    )
+    assert change_tracking_query(composite, 41) == _golden(
+        "tsql_change_tracking_composite_pk.sql"
+    )
+    single = JdbcTable("jdbc:sqlserver://db;databaseName=sales", "dbo.Nation", ("n_nationkey",))
+    assert change_tracking_query(single, 0) == _golden("tsql_change_tracking_single_pk.sql")
+
+
+def test_golden_tsql_merge_statement():
+    from hdc_dataengineering_sqlsync_spark.sources.jdbc import JdbcTable, merge_statement
+
+    composite = JdbcTable(
+        "jdbc:sqlserver://db;databaseName=sales", "dbo.Orders", ("o_orderkey", "o_line")
+    )
+    got = merge_statement(
+        composite, ["o_orderkey", "o_line", "o_totalprice", "o_status"], "dbo.Orders_staging"
+    )
+    assert got == _golden("tsql_merge_composite_pk.sql")
+    # PK columns must never appear in the UPDATE SET clause
+    assert "target.o_orderkey = src.o_orderkey WHEN" not in got.split("UPDATE SET", 1)[1]
+    single = JdbcTable("jdbc:sqlserver://db;databaseName=sales", "dbo.Nation", ("n_nationkey",))
+    assert merge_statement(
+        single, ["n_nationkey", "n_name", "n_regionkey", "n_comment"], "#nation_staging"
+    ) == _golden("tsql_merge_single_pk.sql")
+
+
+def test_golden_ansi_merge_statement():
+    from hdc_dataengineering_sqlsync_spark.sources.jdbc import JdbcTable, ansi_merge_statement
+
+    composite = JdbcTable(
+        "jdbc:sqlserver://db;databaseName=sales", "dbo.Orders", ("o_orderkey", "o_line")
+    )
+    assert ansi_merge_statement(
+        composite, ["o_orderkey", "o_line", "o_totalprice"], "staging"
+    ) == _golden("ansi_merge_composite_pk.sql")
