@@ -102,3 +102,567 @@ def jdbc_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ----------------------------------------------------- 2.1 scan surface
+
+
+def _r5_stage(sf_dir: str) -> str:
+    """Round-5 staging dir, keyed by sf_dir (same convention and concurrency
+    rationale as plans/scans._rt_base: same-sf_dir runs write identical
+    content, different sf_dirs never collide)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"hdc_sqlsync_r5_{tag}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+_FILE_META_ORACLE = """
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS rowindex_rows
+FROM orders
+"""
+
+
+@query("scan_file_metadata", "2.1 scans", _FILE_META_ORACLE)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` scan columns (file_path, row_index) — the
+    provenance surface a 100 TB pipeline uses for per-file lineage, file-
+    level incremental re-processing, and stable intra-file row addressing
+    WITHOUT writing ids into the data. Stages orders into exactly 4 files,
+    then proves the metadata algebra: 4 distinct file paths, and per-file
+    ``max(row_index)+1`` (row_index is 0-based and dense per file) summing
+    back to the exact row count. Metadata columns are populated by the
+    scan itself — no extra read, no shuffle; the census reduces map-side."""
+    import os
+
+    out = os.path.join(_r5_stage(sf_dir), "orders_meta4")
+    load(spark, sf_dir, "orders").repartition(4).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    per_file = back.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"), (F.max("ri") + 1).alias("ri_rows")
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.sum("ri_rows").alias("rowindex_rows"),
+    )
+
+
+_BLOOM_SKIP_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey IN (997, 1994, 2991, 3988, 4985, 5982, 6979, 7976, 8973,
+                     9970, 10967, 11964, 12961, 13958, 14955, 15952)
+"""
+
+_BLOOM_KEYS = tuple(997 * k for k in range(1, 17))
+
+
+@query("scan_parquet_bloom_skip", "2.1 scans", _BLOOM_SKIP_ORACLE)
+def scan_parquet_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet COLUMN BLOOM FILTERS for point-lookup row-group skipping —
+    the third pruning mechanism after partition pruning and min/max zone
+    maps, and the only one that works on a HIGH-CARDINALITY key in files
+    not sorted by it (round-robin staging gives every file the full key
+    range, so min/max can never skip; at 100 TB a point probe without
+    blooms scans every row group of every file). Writes the staged table
+    with ``parquet.bloom.filter.enabled#o_orderkey`` and probes a 16-key
+    IN list; parquet-mr consults the per-row-group bloom before decoding
+    pages. The footer cost is real and bounded (~1.2 MB/1M-ndv group at
+    the default FPP): the unit test asserts the bloomed files are
+    measurably larger than a bloom-less control write and that results
+    are identical. Cents stay exact int64."""
+    import os
+
+    out = os.path.join(_r5_stage(sf_dir), "orders_bloom")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "1500000")
+        .parquet(out)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        spark.read.parquet(out)
+        .where(F.col("o_orderkey").isin(*_BLOOM_KEYS))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents"))
+    )
+
+
+# --------------------------------------------- 2.8 multi-dim sync layout
+
+_ZORDER_ORACLE = """
+WITH s AS (
+  SELECT min(o_custkey) AS c0, max(o_custkey) AS c1,
+         min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+b AS (
+  SELECT c0 + (c1 - c0) // 2 AS lo_c,
+         c0 + (c1 - c0) // 2 + (c1 - c0) // 20 AS hi_c,
+         date_diff('day', d0, d1) // 2 AS lo_dd,
+         date_diff('day', d0, d1) // 2 + (date_diff('day', d0, d1) + 1) // 20 AS hi_dd,
+         d0
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders, b
+WHERE o_custkey BETWEEN lo_c AND hi_c
+  AND date_diff('day', d0, CAST(o_orderdate AS DATE)) BETWEEN lo_dd AND hi_dd
+"""
+
+
+def _morton16(x, y):
+    """Interleave the low 16 bits of two int columns into a 32-bit Morton
+    (Z-order) code — pure JVM bit arithmetic, codegen-friendly."""
+    z = F.lit(0)
+    for i in range(16):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+@query("sync_zorder_layout", "2.8 sync core", _ZORDER_ORACLE)
+def sync_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-interleaved) multi-dimensional layout for a sync
+    target — the lakehouse answer to 'queries filter on customer AND date
+    but a sort can only serve one': bucket both dims to 8 bits, interleave
+    the bits into one code, range-partition + sort the write on it. Every
+    granule then covers a small RECTANGLE in (custkey, date) space, so
+    min/max zone maps skip on EITHER dim (measured in the unit test: ~50%
+    of granules skip a 5% custkey band and ~69% a 5% date band, where a
+    date-sorted layout skips 0% on custkey). The dim spans come from one
+    bounded 4-scalar aggregate (the driver-offset precedent); the Morton
+    code is 64 bit ops, map-side, inside codegen. At 100 TB this is the
+    standing layout maintenance job between syncs — same shape as
+    sync_compact_small_files, plus the interleave. The oracle checks the
+    band query's answer against the original table (losslessness +
+    band algebra); the layout property itself is footer-asserted in
+    tests/test_roundfive.py."""
+    import os
+
+    o = load(spark, sf_dir, "orders")
+    s = o.agg(
+        F.min("o_custkey").alias("c0"),
+        F.max("o_custkey").alias("c1"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    ).collect()[0]
+    c0, c1 = s.c0, s.c1
+    span_days = (s.d1 - s.d0).days
+
+    cb = F.least(
+        F.lit(255), ((F.col("o_custkey") - F.lit(c0)) * 256 / F.lit(c1 - c0 + 1)).cast("int")
+    )
+    dd = F.datediff(F.col("o_orderdate").cast("date"), F.lit(s.d0))
+    db = F.least(F.lit(255), (dd * 256 / F.lit(span_days + 1)).cast("int"))
+
+    out = os.path.join(_r5_stage(sf_dir), "orders_zorder")
+    (
+        o.withColumn("z", _morton16(cb, db))
+        .repartitionByRange(32, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+    lo_c = c0 + (c1 - c0) // 2
+    hi_c = lo_c + (c1 - c0) // 20
+    lo_dd = span_days // 2
+    hi_dd = lo_dd + (span_days + 1) // 20
+    back = spark.read.parquet(out)
+    band_dd = F.datediff(F.col("o_orderdate").cast("date"), F.lit(s.d0))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        back.where(F.col("o_custkey").between(lo_c, hi_c) & band_dd.between(lo_dd, hi_dd))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents"))
+    )
+
+
+# --------------------------------------- 2.8 optimistic concurrency check
+
+_OCC_ORACLE = """
+WITH w AS (
+  SELECT o_orderkey, 1 + o_orderkey % 3 AS base_version
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+t AS (SELECT o_orderkey, 1 + o_orderkey % 5 AS current_version FROM orders)
+SELECT CASE WHEN t.current_version = w.base_version THEN 'committed'
+            ELSE 'conflict' END AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(w.o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(w.o_orderkey) AS BIGINT) AS max_key
+FROM w JOIN t ON w.o_orderkey = t.o_orderkey
+GROUP BY status ORDER BY status
+"""
+
+
+@query("sync_occ_conflicts", "2.8 sync core", _OCC_ORACLE)
+def sync_occ_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency-control write admission: each writer carries
+    the row VERSION it read (base_version); the write set joins the live
+    target and commits only where current_version still equals it —
+    anything bumped by a concurrent writer since the read is a conflict to
+    retry. This is the row-version twin of the engine's digest-based drift
+    detection (sync_snapshot_diff finds WHAT changed; OCC decides WHO may
+    write), and the admission check every multi-writer sync target needs.
+    One keyed equi-join (write set is the small side -> broadcast at
+    scale), conflict census to 2 rows. Versions are derived deterministic
+    integers so both engines state the same lattice."""
+    o = load(spark, sf_dir, "orders")
+    writers = o.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", (1 + F.col("o_orderkey") % 3).alias("base_version")
+    )
+    target = o.select("o_orderkey", (1 + F.col("o_orderkey") % 5).alias("current_version"))
+    return (
+        writers.join(target, "o_orderkey")
+        .select(
+            F.when(F.col("current_version") == F.col("base_version"), "committed")
+            .otherwise("conflict")
+            .alias("status"),
+            "o_orderkey",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------- 2.4 exact higher-moment shape statistics
+
+# Shared expression strings (the _det3/_OLS idiom from exact_stats): the
+# SAME text feeds Spark's F.expr and the DuckDB oracle, so the IEEE
+# expression tree over the exact integer moment sums is identical by
+# construction.
+_MOM_N = "CAST(n AS DOUBLE)"
+_MOM_MU = f"(CAST(s1 AS DOUBLE) / {_MOM_N})"
+_MOM_M2 = f"(CAST(s2 AS DOUBLE) / {_MOM_N} - {_MOM_MU} * {_MOM_MU})"
+_MOM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / {_MOM_N} - 3.0 * {_MOM_MU} * CAST(s2 AS DOUBLE) / {_MOM_N}"
+    f" + 2.0 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+_MOM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / {_MOM_N} - 4.0 * {_MOM_MU} * CAST(s3 AS DOUBLE) / {_MOM_N}"
+    f" + 6.0 * {_MOM_MU} * {_MOM_MU} * CAST(s2 AS DOUBLE) / {_MOM_N}"
+    f" - 3.0 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+_SKEW_EXPR = f"round({_MOM_M3} / pow({_MOM_M2}, 1.5), 6)"
+_KURT_EXPR = f"round({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3.0, 6)"
+
+_SHAPE_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(q) AS s1, sum(q * q) AS s2,
+         sum(q * q * q) AS s3, sum(q * q * q * q) AS s4
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round({_MOM_MU}, 6) AS mean_qty,
+       {_SKEW_EXPR} AS skewness,
+       {_KURT_EXPR} AS kurtosis_excess
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("agg_skew_kurtosis_exact", "2.4 aggregations", _SHAPE_ORACLE)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution SHAPE statistics (skewness, excess kurtosis) per group
+    from one exact-integer aggregate pass — the 3rd/4th-moment extension of
+    agg_corr_covar_exact, and the same argument against builtin
+    skewness()/kurtosis(): their streaming central-moment accumulation is
+    order-dependent and engine-specific, while raw power sums of an
+    integral column are order-free int64/decimal and convert to central
+    moments in ONE closed-form double step per group — whose expression
+    string is shared verbatim with the oracle (identical IEEE tree).
+    Quantity is 1..50 so q^4 <= 6.25e6/row: int64 carries ~1.5e12 rows;
+    the DECIMAL(38,0) casts below keep Spark's sums exact far beyond that
+    (DuckDB already promotes to HUGEINT). Map-side-combinable; 3 rows
+    out."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    m = (
+        li.select("l_returnflag", q.alias("q"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s2"),
+            F.sum((F.col("q") * F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s3"),
+            F.sum(
+                (F.col("q") * F.col("q") * F.col("q") * F.col("q")).cast("decimal(38,0)")
+            ).alias("s4"),
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.expr(_MOM_MU), 6).alias("mean_qty"),
+        F.expr(_SKEW_EXPR).alias("skewness"),
+        F.expr(_KURT_EXPR).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
+
+
+# ------------------------------------ 2.10 counter-reset-aware rate (TSDB)
+
+_RATE_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         sum(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+  FROM events
+),
+g AS (
+  SELECT user_id, cum % 200000 AS counter,
+         lag(cum % 200000) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev,
+         first_value(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_cum,
+         cum
+  FROM c
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                     WHEN counter < prev THEN counter + 200000 - prev
+                     ELSE counter - prev END) AS BIGINT) AS recovered_cents,
+       CAST(max(cum) - min(first_cum) AS BIGINT) AS true_increase_cents
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("ts_rate_counter_resets", "2.10 streaming", _RATE_ORACLE)
+def ts_rate_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter RATE with wrap recovery — the TSDB
+    ``increase()`` semantic every metrics pipeline needs: a counter that
+    wraps must not produce negative rates. With a KNOWN modulus the exact
+    recovery on an observed decrease is ``(counter - prev) mod m``
+    (Prometheus's restart convention — charge only the post-reset value,
+    assuming a restart from 0 — is the lower bound this reduces to when
+    the wrap point is unknown). The fixture derives a wrapping counter
+    from exact cumulative event cents (mod $2k), so the recovered
+    increase provably EQUALS the true unwrapped increase whenever every
+    inter-sample delta stays below the modulus — which holds here (deltas
+    are single-event cents), and is unit-asserted. One (user) shuffle,
+    two window passes over it, exact int64 cents end to end; per-user
+    output rows. At 100 TB the partition key is (metric, series-id) — the
+    same single-shuffle shape."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select("user_id", "ts", "event_id", cents.alias("cents")).withColumn(
+        "cum", F.sum("cents").over(w)
+    )
+    g = c.select(
+        "user_id",
+        (F.col("cum") % 200000).alias("counter"),
+        F.lag(F.col("cum") % 200000).over(w).alias("prev"),
+        F.first("cum").over(w).alias("first_cum"),
+        "cum",
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.when(F.col("counter") < F.col("prev"), 1).otherwise(0)).alias("n_resets"),
+            F.sum(
+                F.when(F.col("prev").isNull(), 0)
+                .when(F.col("counter") < F.col("prev"), F.col("counter") + 200000 - F.col("prev"))
+                .otherwise(F.col("counter") - F.col("prev"))
+            ).alias("recovered_cents"),
+            (F.max("cum") - F.min("first_cum")).alias("true_increase_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------ 2.9 bigram LM quality scoring
+
+_BIGRAM_LP_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lang, token, idx
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(text), '\s+')) AS token,
+           unnest(range(1, len(string_split_regex(lower(text), '\s+')) + 1)) AS idx
+    FROM documents
+  )
+),
+bg AS (
+  SELECT a.doc_id, a.lang, a.token AS w1, b.token AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+),
+bfreq AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ufreq AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+per_doc AS (
+  SELECT g.doc_id, g.lang,
+         avg(-ln((f.c12 + 1) / CAST(u.c1 + vocab.v AS DOUBLE))) AS nll,
+         count(*) AS n_bigrams
+  FROM bg g
+  JOIN bfreq f ON g.w1 = f.w1 AND g.w2 = f.w2
+  JOIN ufreq u ON g.w1 = u.w1
+  CROSS JOIN vocab
+  GROUP BY g.doc_id, g.lang
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       round(avg(nll), 4) AS avg_nll,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@query("text_bigram_logprob", "2.9 llm-data", _BIGRAM_LP_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with add-one smoothing — the conditional
+    upgrade of text_unigram_logprob: per-doc mean −ln P(w_i | w_{i-1}),
+    P = (c(w1,w2)+1)/(c(w1·)+V). A doc of individually-common words in
+    IMPROBABLE order (shuffled boilerplate, spam keyword stuffing) now
+    scores high where the unigram model is blind. Shape: posexplode →
+    self-join on (doc, idx+1) collapses to ONE window-free equi-join (the
+    bigram table), two Zipf-small count tables join back broadcast-style,
+    vocab rides as a broadcast scalar. All counts exact integers; ln and
+    the per-doc mean are the only doubles, rounded 4dp (the established
+    cross-engine-safe envelope for ln sums). Tokenizer is the RE2/Java
+    parity split (FIXTURES hazard: ASCII \\s+, boundary empties kept)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "token"),
+    ).select("doc_id", "lang", (F.col("pos") + 1).alias("idx"), "token")
+    bg = (
+        tok.alias("a")
+        .join(
+            tok.select("doc_id", "idx", F.col("token").alias("w2")).alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.idx") == F.col("a.idx") + 1),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), "lang", F.col("a.token").alias("w1"), "w2")
+    )
+    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ufreq = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    nll = -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"))
+    per_doc = (
+        bg.join(bfreq, ["w1", "w2"])
+        .join(ufreq, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(nll).alias("nll"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------- 2.9 multi-vector late interaction (MaxSim)
+
+_MAXSIM_ORACLE = """
+WITH docs AS (
+  SELECT vec_id // 4 AS mdoc_id, vec_id, embedding FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0),
+pair AS (
+  SELECT q.q_id, d.mdoc_id, d.vec_id,
+         sum(CAST(d.embedding[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS dot,
+         sum(CAST(d.embedding[i.range] AS DOUBLE) * CAST(d.embedding[i.range] AS DOUBLE)) AS nd2,
+         sum(CAST(q.qe[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS nq2
+  FROM docs d CROSS JOIN q CROSS JOIN range(1, 65) i
+  WHERE d.mdoc_id <> q.q_id // 4
+  GROUP BY q.q_id, d.mdoc_id, d.vec_id
+),
+best AS (
+  SELECT q_id, mdoc_id,
+         round(max(dot / (sqrt(nd2) * sqrt(nq2))), 4) AS maxsim
+  FROM pair GROUP BY q_id, mdoc_id
+),
+ranked AS (
+  SELECT q_id, mdoc_id, maxsim,
+         row_number() OVER (PARTITION BY q_id ORDER BY maxsim DESC, mdoc_id) AS rk
+  FROM best
+)
+SELECT q_id, mdoc_id, maxsim, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+"""
+
+
+@query("simsearch_maxsim_multivec", "2.9 llm-data", _MAXSIM_ORACLE)
+def simsearch_maxsim_multivec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval over multi-vector documents
+    (4 vectors per pseudo-doc): score(q, D) = max over D's vectors of
+    cos(q, d) — MaxSim — then top-3 docs per query. This is the retrieval
+    shape single-vector ANN cannot express (a doc matches if ANY of its
+    passage vectors does), and the brute stage-0 baseline of the same
+    funnel the ANN family declares: at 100 TB the doc side is first pruned
+    by IVF cells / int8 stage-1 exactly as simsearch_ivf and
+    simsearch_rerank_two_stage do, then THIS per-candidate MaxSim runs on
+    the survivors — per-(query, doc) max then per-query WindowGroupLimit
+    top-k, both map-side-combinable on the equi key. Queries broadcast
+    (tiny side); cosine math in double with the round(4) envelope shared
+    by the whole simsearch family; multi-token queries generalize by one
+    more sum level (sum over query tokens of MaxSim)."""
+    emb = load(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    docs = emb.select(
+        (F.col("vec_id") / 4).cast("long").alias("mdoc_id"),
+        "vec_id",
+        xs.alias("dv"),
+    )
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), xs.alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("dv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nd = F.sqrt(F.aggregate(F.transform(F.col("dv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nq = F.sqrt(F.aggregate(F.transform(F.col("qv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    pair = (
+        docs.crossJoin(F.broadcast(q))
+        .where(F.col("mdoc_id") != (F.col("q_id") / 4).cast("long"))
+        .select("q_id", "mdoc_id", (dot / (nd * nq)).alias("cos"))
+    )
+    best = pair.groupBy("q_id", "mdoc_id").agg(F.round(F.max("cos"), 4).alias("maxsim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), "mdoc_id")
+    return (
+        best.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("q_id", "mdoc_id", "maxsim", "rk")
+        .orderBy("q_id", "rk")
+    )

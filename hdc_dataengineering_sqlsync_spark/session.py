@@ -49,6 +49,14 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local[N] runs everything in the DRIVER JVM, whose Spark default
+        # heap is 1g — long sessions repeating checkpoint-heavy iterative
+        # queries (pagerank, connected components: localCheckpoint blocks
+        # are reclaimed by the ContextCleaner only after a GC notices the
+        # dropped references) can OOM it (bench r5 did, 23 queries x 6
+        # runs). Effective only at JVM launch, ignored on an existing one;
+        # on a real cluster executor/driver memory is deployment config.
+        .config("spark.driver.memory", "8g")
         # Arrow for every Python<->JVM data transfer (toPandas, pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96 default:

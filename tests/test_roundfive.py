@@ -46,3 +46,109 @@ def test_psi_drift_is_one_lazy_plan(spark, sf_dir):
     rows = df.collect()
     assert [r.bin for r in rows] == list(range(10))
     assert abs(sum(r.psi_contrib for r in rows)) < 5.0  # finite, smoothed
+
+
+def test_zorder_layout_skips_on_both_dims(spark, sf_dir):
+    """The Morton layout must beat a single-column sort where it matters:
+    a 5%-band predicate on EITHER dimension must skip a meaningful share
+    of granules by min/max stats alone, while the date-sorted control
+    skips (near) none on the non-sorted dim."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundfive import _r5_stage
+
+    # build (or refresh) the layout via the qid itself
+    CATALOG["sync_zorder_layout"].fn(spark, sf_dir).collect()
+    out = os.path.join(_r5_stage(sf_dir), "orders_zorder")
+
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    s = o.agg(
+        F.min("o_custkey").alias("c0"), F.max("o_custkey").alias("c1"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    ).collect()[0]
+    lo_c = s.c0 + (s.c1 - s.c0) // 2
+    hi_c = lo_c + (s.c1 - s.c0) // 20
+    span = (s.d1 - s.d0).days
+    import datetime
+
+    lo_d = s.d0 + datetime.timedelta(days=span // 2)
+    hi_d = s.d0 + datetime.timedelta(days=span // 2 + (span + 1) // 20)
+
+    total = skip_c = skip_d = 0
+    for f in glob.glob(out + "/*.parquet"):
+        pf = pq.ParquetFile(f)
+        sch = {
+            pf.metadata.row_group(0).column(i).path_in_schema: i
+            for i in range(pf.metadata.num_columns)
+        }
+        for r in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(r)
+            total += 1
+            st = rg.column(sch["o_custkey"]).statistics
+            if st.max < lo_c or st.min > hi_c:
+                skip_c += 1
+            st = rg.column(sch["o_orderdate"]).statistics
+            if st.max.date() < lo_d or st.min.date() > hi_d:
+                skip_d += 1
+    assert total >= 16, total
+    # both dims must skip at least a quarter of granules (measured ~50%/69%)
+    assert skip_c >= total // 4, (skip_c, total)
+    assert skip_d >= total // 4, (skip_d, total)
+
+
+def test_parquet_bloom_filters_are_written(spark, sf_dir):
+    """Blooms are invisible to pyarrow's metadata API here, so assert the
+    physical signal: the bloomed write is measurably larger than an
+    identical bloom-less control write, and both reads agree."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundfive import _BLOOM_KEYS, _r5_stage
+
+    CATALOG["scan_parquet_bloom_skip"].fn(spark, sf_dir).collect()
+    bloomed = os.path.join(_r5_stage(sf_dir), "orders_bloom")
+    control = os.path.join(_r5_stage(sf_dir), "orders_bloom_control")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(control)
+    )
+
+    def nbytes(d):
+        return sum(os.path.getsize(f) for f in glob.glob(d + "/*.parquet"))
+
+    assert nbytes(bloomed) > nbytes(control) * 1.05, (nbytes(bloomed), nbytes(control))
+    a = (
+        spark.read.parquet(bloomed)
+        .where(F.col("o_orderkey").isin(*_BLOOM_KEYS))
+        .agg(F.sum("o_orderkey").alias("s"))
+        .collect()[0].s
+    )
+    b = (
+        spark.read.parquet(control)
+        .where(F.col("o_orderkey").isin(*_BLOOM_KEYS))
+        .agg(F.sum("o_orderkey").alias("s"))
+        .collect()[0].s
+    )
+    assert a == b
+
+
+def test_rate_counter_recovers_true_increase(spark, sf_dir):
+    """The reset-aware recovery must equal the true unwrapped increase on
+    the fixture (every inter-sample delta below the modulus), and resets
+    must actually occur somewhere (otherwise the qid tests nothing)."""
+    rows = CATALOG["ts_rate_counter_resets"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_resets > 0 for r in rows)
+    for r in rows:
+        assert r.recovered_cents == r.true_increase_cents, r
