@@ -666,3 +666,248 @@ def simsearch_maxsim_multivec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "mdoc_id", "maxsim", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# ------------------------------------------------ 2.4 ordered LISTAGG
+
+_LISTAGG_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority, o_orderkey, o_custkey
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       string_agg(CAST(o_custkey AS VARCHAR), ',' ORDER BY o_orderkey) AS custkeys
+FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("agg_listagg_ordered", "2.4 aggregations", _LISTAGG_ORACLE)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 LISTAGG ... WITHIN GROUP (ORDER BY ...) — ordered string
+    aggregation (the SQL:2016 answer to MySQL group_concat / DuckDB
+    string_agg), new surface in Spark 4.0. The WITHIN GROUP order makes
+    the output deterministic — an UNORDERED listagg is run-to-run
+    nondeterministic under parallel aggregation, the same flapping class
+    as tie-nondeterministic mode() (see agg_mode). Input is a keyed slice
+    so the strings stay bounded; at 100 TB ordered listagg of unbounded
+    groups is the anti-pattern — collect_sorted + slicing (agg_collect_
+    sorted) is the governed form; this qid declares the surface."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 1000 == 0)
+    o.createOrReplaceTempView("hdc_r5_listagg_src")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               listagg(CAST(o_custkey AS STRING), ',') WITHIN GROUP (ORDER BY o_orderkey) AS custkeys
+        FROM hdc_r5_listagg_src
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------- 2.11 declarative SQL UDFs
+
+_SQLUDF_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(CASE WHEN CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 20000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("udf_sql_function", "2.11 UDF surface", _SQLUDF_ORACLE)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURNS ... RETURN
+    expr``) — the serialization-matrix cell that costs NOTHING at scale:
+    unlike every Python flavor declared in plans/udfs.py, a SQL UDF is
+    inlined into the Catalyst plan at analysis time — full codegen, no
+    serialization boundary, no Python worker. The cents() money-exactness
+    idiom and a large-order predicate become REUSABLE, catalog-visible
+    functions instead of copy-pasted expressions — the governance story
+    for the FIXTURES.md rounding conventions. The oracle inlines the same
+    expressions; results must be identical because the UDF IS the
+    expression."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hdc_cents(x DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(round(x * 100, 0) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hdc_is_large(cents BIGINT) RETURNS INT "
+        "RETURN CASE WHEN cents >= 20000000 THEN 1 ELSE 0 END"
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("hdc_r5_sqludf_src")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(hdc_cents(o_totalprice)) AS total_cents,
+               CAST(sum(hdc_is_large(hdc_cents(o_totalprice))) AS BIGINT) AS n_large
+        FROM hdc_r5_sqludf_src
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+# ------------------------------ 2.2 parameterized SQL + IDENTIFIER clause
+
+_SQLPARAM_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderkey % 7 = 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("sql_parameterized_identifier", "2.2 projection/filter", _SQLPARAM_ORACLE)
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers + the IDENTIFIER() clause —
+    injection-safe DYNAMIC SQL (Spark 4): the table name binds through
+    IDENTIFIER(:tbl) as an identifier (never string-spliced), values bind
+    as typed literals. For a sync engine that templates per-table
+    extraction queries over hundreds of tables this is the difference
+    between a query CATALOG and a string-concat injection surface — the
+    same reason sources/jdbc.py quotes identifiers in generated MERGE
+    text. Constant-folds to the identical plan as the literal query (the
+    oracle)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("hdc_r5_param_src")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_key
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :floor AND o_orderkey % :modk = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"tbl": "hdc_r5_param_src", "floor": 150000, "modk": 7},
+    )
+
+
+# ------------------------------------------ 2.10 CUSUM changepoint scan
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY day
+),
+k AS (SELECT sum(n) // count(*) AS target FROM daily),
+dev AS (
+  SELECT day, n, n - target AS dev FROM daily, k
+),
+c1 AS (
+  SELECT day, n, sum(dev) OVER (ORDER BY day) AS c FROM dev
+),
+cum AS (
+  SELECT day, n, c,
+         min(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runmin
+  FROM c1
+),
+k2 AS (SELECT target FROM k)
+SELECT day, CAST(n AS BIGINT) AS n,
+       CAST(c - least(runmin, 0) AS BIGINT) AS cusum,
+       CAST(CASE WHEN c - least(runmin, 0) > target THEN 1 ELSE 0 END AS INT)
+         AS alarm
+FROM cum, k2 ORDER BY day
+"""
+
+
+@query("ts_changepoint_cusum", "2.10 streaming", _CUSUM_ORACLE)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection over the daily event series —
+    the sequential level-shift monitor (alarm when cumulative positive
+    drift exceeds a threshold). The textbook form is a RECURSION
+    (s_t = max(0, s_{t-1} + dev_t)) that no window function expresses;
+    the closed form used here is the prefix-sum identity
+    ``s_t = cum_t − min(0, running_min(cum_t))`` — two stacked windows
+    over the REDUCED daily series, the same collapse-then-scan discipline
+    as the KS/deciles prefix-sum family. Everything is exact integers
+    (counts, integer-mean target via `div`); the alarm threshold is the
+    target itself (h = K), so both engines state one literal-free rule.
+    Volume-immune: the raw stream reduces map-side to #days rows first."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    k = daily.agg(F.expr("sum(n) div count(*)").alias("target"))
+    dev = daily.crossJoin(F.broadcast(k)).withColumn("dev", F.col("n") - F.col("target"))
+    wd = Window.orderBy("day")
+    cum = dev.withColumn("c", F.sum("dev").over(wd)).withColumn(
+        "runmin", F.min("c").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    s = F.col("c") - F.least(F.col("runmin"), F.lit(0))
+    return cum.select(
+        "day",
+        "n",
+        s.cast("long").alias("cusum"),
+        F.when(s > F.col("target"), 1).otherwise(0).cast("int").alias("alarm"),
+    ).orderBy("day")
+
+
+# --------------------------------------------- 2.3 nearest-event as-of
+
+_ASOF_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back_ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_ts
+  FROM events
+)
+SELECT event_id,
+       CASE
+         WHEN back_ts IS NULL THEN fwd_ts
+         WHEN fwd_ts IS NULL THEN back_ts
+         WHEN date_diff('microseconds', back_ts, ts)
+              <= date_diff('microseconds', ts, fwd_ts) THEN back_ts
+         ELSE fwd_ts
+       END AS nearest_view_ts
+FROM e WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@query("join_asof_nearest", "2.3 joins", _ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (the third pandas merge_asof mode,
+    completing backward = join_asof_prior_event and bounded-backward =
+    join_asof_tolerance): each purchase resolves to the temporally CLOSEST
+    view either side, ties to the earlier one. Same single-shuffle shape
+    as its siblings — one (user) window pass computes both the running
+    last-view-before and first-view-after (no range join, no self-join),
+    then a map-side 3-way pick. Tie/interval math in exact integer
+    microseconds (unix_micros), never float seconds."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    e = ev.select("user_id", "event_id", "event_type", "ts").select(
+        "*",
+        F.max(view_ts).over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("back_ts"),
+        F.min(view_ts).over(w.rowsBetween(1, Window.unboundedFollowing)).alias("fwd_ts"),
+    )
+    back_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    fwd_gap = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(back_gap <= fwd_gap, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select("event_id", nearest.alias("nearest_view_ts"))
+        .orderBy("event_id")
+    )

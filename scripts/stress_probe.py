@@ -106,7 +106,9 @@ def build_replica(spark, mode: str, factor: int, out_dir: str) -> None:
         if name in replicated:
             replicated[name].repartition(32).write.mode("overwrite").parquet(dst)
         elif not os.path.exists(dst):
-            shutil.copytree(os.path.join(BASE_SF, f"{name}.parquet"), dst)
+            src = os.path.join(BASE_SF, f"{name}.parquet")
+            # testdata tables are single parquet FILES, not directories
+            (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
     open(os.path.join(out_dir, "_DONE"), "w").write("ok\n")
 
 
