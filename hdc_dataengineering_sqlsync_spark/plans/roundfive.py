@@ -911,3 +911,260 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", nearest.alias("nearest_view_ts"))
         .orderBy("event_id")
     )
+
+
+# -------------------------------------- 2.8 vector-clock conflict classes
+
+_VCLOCK_ORACLE = """
+WITH k AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 10 = 0),
+v AS (
+  SELECT key,
+         key % 4 AS a1, key % 6 AS a2,
+         key % 4 + CASE WHEN key % 9 = 0 THEN 1 ELSE 0 END AS b1,
+         key % 6 - CASE WHEN key % 11 = 0 THEN 1 ELSE 0 END AS b2
+  FROM k
+)
+SELECT CASE
+         WHEN a1 = b1 AND a2 = b2 THEN 'equal'
+         WHEN a1 <= b1 AND a2 <= b2 THEN 'a_before_b'
+         WHEN b1 <= a1 AND b2 <= a2 THEN 'b_before_a'
+         ELSE 'concurrent'
+       END AS relation,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(key) AS BIGINT) AS min_key
+FROM v GROUP BY relation ORDER BY relation
+"""
+
+
+@query("sync_vector_clock_conflicts", "2.8 sync core", _VCLOCK_ORACLE)
+def sync_vector_clock_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-clock causality classification — the multi-master conflict
+    DETECTOR underneath the resolution strategies already declared
+    (sync_conflict_lww resolves, CRDTs merge; this decides WHETHER a pair
+    of replica versions needs resolving at all): per key, two 2-site
+    version vectors compare component-wise into equal / a≤b (happens-
+    before) / b≤a / concurrent — only the concurrent class is a true
+    conflict. Pure map-side integer lattice algebra on derived vectors
+    (deterministic in both engines), census to 4 rows; at 100 TB the
+    vectors ride as struct columns next to the payload and this is one
+    map-side classify + tiny keyed census, no join at all."""
+    k = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key")
+    )
+    v = k.select(
+        "key",
+        (F.col("key") % 4).alias("a1"),
+        (F.col("key") % 6).alias("a2"),
+        (F.col("key") % 4 + F.when(F.col("key") % 9 == 0, 1).otherwise(0)).alias("b1"),
+        (F.col("key") % 6 - F.when(F.col("key") % 11 == 0, 1).otherwise(0)).alias("b2"),
+    )
+    rel = (
+        F.when((F.col("a1") == F.col("b1")) & (F.col("a2") == F.col("b2")), "equal")
+        .when((F.col("a1") <= F.col("b1")) & (F.col("a2") <= F.col("b2")), "a_before_b")
+        .when((F.col("b1") <= F.col("a1")) & (F.col("b2") <= F.col("a2")), "b_before_a")
+        .otherwise("concurrent")
+    )
+    return (
+        v.select(rel.alias("relation"), "key")
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("key").alias("min_key"))
+        .orderBy("relation")
+    )
+
+
+# ----------------------------------------- 2.4 grouping_id provenance
+
+_GROUPING_ID_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("agg_grouping_id", "2.4 aggregations", _GROUPING_ID_ORACLE)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() provenance columns over GROUPING SETS —
+    the disambiguator agg_grouping_sets deliberately sidesteps: a NULL
+    group key in rollup output is ambiguous (real NULL data vs subtotal
+    row) and the grouping bits are the standard answer, needed by any BI
+    layer consuming multi-level aggregates. Bit order is the SQL standard
+    (first listed column = most significant), pinned cross-engine by the
+    oracle. Same single multi-phase hash aggregate as the other
+    grouping-set qids — provenance costs nothing."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("hdc_r5_gid_src")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n
+        FROM hdc_r5_gid_src
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# ------------------------------------------ 2.7 calendar interval suite
+
+_INTERVAL_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+  WHERE o_orderkey % 500 = 0
+)
+SELECT o_orderkey,
+       od,
+       CAST(od + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       last_day(od) AS month_end,
+       CAST(date_trunc('quarter', od) AS DATE) AS quarter_start,
+       CAST(date_diff('day', od, DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+       CAST(isodow(od) AS INT) AS iso_dow,
+       CAST(od + ((7 + 1 - isodow(od)) % 7 + CASE WHEN isodow(od) = 1 THEN 7 ELSE 0 END)
+              * INTERVAL 1 DAY AS DATE) AS next_monday
+FROM d ORDER BY o_orderkey
+"""
+
+
+@query("fn_interval_calendar_suite", "2.7 scalar functions", _INTERVAL_ORACLE)
+def fn_interval_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic suite: month addition with end-of-month
+    clamping (add_months), last_day, quarter truncation, signed day
+    difference, ISO day-of-week, and strictly-next Monday — the date
+    algebra every sync watermark / partition-boundary / retention rule
+    leans on, pinned cross-engine (month arithmetic is where engines
+    diverge: clamping vs overflow on Jan 31 + 1 month — both engines
+    clamp, asserted by the oracle equality). All map-side calendar
+    functions inside codegen; DuckDB lacks next_day() so the oracle
+    states it arithmetically from isodow — the shared closed form."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 500 == 0)
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    # Spark dayofweek: Sunday=1; ISO dow: Monday=1..Sunday=7
+    iso_dow = ((F.dayofweek("od") + 5) % 7 + 1).cast("int")
+    return d.select(
+        "o_orderkey",
+        "od",
+        F.add_months("od", 3).alias("plus_3m"),
+        F.last_day("od").alias("month_end"),
+        F.date_trunc("quarter", "od").cast("date").alias("quarter_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("od")).cast("long").alias(
+            "days_to_y2k"
+        ),
+        iso_dow.alias("iso_dow"),
+        F.next_day("od", "Mon").alias("next_monday"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------- 2.9 Zipf exponent fit
+
+_ZIPF_ORACLE = r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+freq AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+  FROM freq
+),
+top AS (SELECT lang, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        FROM ranked WHERE rk <= 50),
+m AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM top GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 3) AS zipf_slope
+FROM m ORDER BY lang
+"""
+
+
+@query("text_zipf_fit", "2.9 llm-data", _ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per language — corpus health diagnostic: natural
+    text fits ln(freq) ~ −s·ln(rank) with s ≈ 1; machine-generated or
+    template-heavy corpora flatten or steepen the curve, so the fitted
+    slope is a cheap distribution-level quality gate complementing the
+    per-doc scores (quality/logprob). Token census → per-lang ranked
+    top-50 (WindowGroupLimit keeps 50/lang pre-shuffle) → closed-form OLS
+    on (ln rank, ln freq) — the wl_price_trend_slope aggregate shape over
+    50 points/lang. round(3) envelope: the ln-product sums accumulate in
+    engine-specific order, the only non-integer step."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    top = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select(
+            "lang",
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    m = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "lang", F.col("n").alias("n_points"), F.round(slope, 3).alias("zipf_slope")
+    ).orderBy("lang")
+
+
+# ------------------------------------- 2.12 user-journey path transitions
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+
+@query("wl_path_transitions", "2.12 composite workloads", _TRANSITIONS_ORACLE)
+def wl_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix (the Markov-chain census
+    behind flow/sankey analytics and next-action models): consecutive
+    event-type pairs per user with transition counts and user reach. The
+    sequence materializes with ONE lag over the (user) shuffle —
+    wl_event_funnel's ordered-step machinery generalized to ALL pairs —
+    then a keyed census of the tiny (type x type) matrix; count distinct
+    expands two-phase. Deterministic order: (ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("prev_type", "next_type")
+    )
