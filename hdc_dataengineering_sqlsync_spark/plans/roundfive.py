@@ -1168,3 +1168,210 @@ def wl_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# ----------------------------------------------- 2.9 BM25 ranked retrieval
+
+_BM25_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(CAST(dlen AS DOUBLE)) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ('window', 'join') GROUP BY doc_id, token
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl)))
+           AS score
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+"""
+
+
+@query("text_bm25_search", "2.9 llm-data", _BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene's +1 idf variant, k1=1.2, b=0.75) for
+    a 2-term query — the lexical scorer that pairs with the declared
+    dense/ANN retrieval stack for hybrid search, upgrading
+    text_tfidf_top_terms from term weighting to full query-document
+    ranking with document-length normalization. Shape: the tf table is
+    filtered to query terms BEFORE any shuffle (two terms -> tiny), df
+    and the (n_docs, avgdl) scalars broadcast, doc lengths join on the
+    already-reduced tf keys — at 100 TB an inverted-index layout
+    (bucketBy token) makes the tf lookup a pruned scan, same algebra.
+    All counts exact; one ln per (term) and the length-normalized sum are
+    the only doubles, rounded 4dp with rank ties broken by doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dlen").cast("double")).alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("token").isin("window", "join"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfpart = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfpart).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+# ------------------------------------- 2.9 deterministic train/test split
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 8))
+                    AS BIGINT) % 10 = 0
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+@query("mix_train_test_split", "2.9 llm-data", _SPLIT_ORACLE)
+def mix_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/test split by keyed hash — the
+    holdout-assignment idiom for training-data pipelines: md5 of a
+    namespaced doc key, first 8 hex digits mod 10 (the
+    sample_hash_stratified machinery re-aimed at split assignment). Hash
+    assignment is retry-stable, partition-independent, and REPRODUCIBLE
+    across engines and runs — df.randomSplit is none of those (plan-
+    dependent, re-rolls per materialization), which silently leaks test
+    docs into training on any recompute. Disjointness + per-lang balance
+    are the oracle-checked census; map-side only, no shuffle beyond the
+    tiny rollup."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    assigned = docs.select(
+        "lang",
+        "n_chars",
+        F.when(bucket == 0, "test").otherwise("train").alias("split"),
+    )
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "split")
+    )
+
+
+# --------------------------- 2.9 matryoshka-truncation retrieval funnel
+
+_MATRYOSHKA_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pre AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN i.range <= 16
+                  THEN CAST(e.embedding[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)
+                  ELSE 0.0 END) AS dot16,
+         sum(CASE WHEN i.range <= 16
+                  THEN CAST(e.embedding[i.range] AS DOUBLE) * CAST(e.embedding[i.range] AS DOUBLE)
+                  ELSE 0.0 END) AS nd16,
+         sum(CASE WHEN i.range <= 16
+                  THEN CAST(q.qe[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)
+                  ELSE 0.0 END) AS nq16,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS dot64,
+         sum(CAST(e.embedding[i.range] AS DOUBLE) * CAST(e.embedding[i.range] AS DOUBLE)) AS nd64,
+         sum(CAST(q.qe[i.range] AS DOUBLE) * CAST(q.qe[i.range] AS DOUBLE)) AS nq64
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) i
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+),
+ranked AS (
+  SELECT vec_id,
+         round(dot16 / (sqrt(nd16) * sqrt(nq16)), 4) AS cos16,
+         round(dot64 / (sqrt(nd64) * sqrt(nq64)), 4) AS cos64,
+         row_number() OVER (ORDER BY round(dot16 / (sqrt(nd16) * sqrt(nq16)), 4) DESC,
+                            vec_id) AS rk
+  FROM pre
+)
+SELECT CAST(rk AS INT) AS rk, vec_id, cos16, cos64
+FROM ranked WHERE rk <= 10 ORDER BY rk
+"""
+
+
+@query("simsearch_matryoshka_truncate", "2.9 llm-data", _MATRYOSHKA_ORACLE)
+def simsearch_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) dimension-truncation retrieval: stage 1 ranks by
+    cosine over only the FIRST 16 of 64 dims (4x less arithmetic and --
+    stored truncated -- 4x less scan I/O), stage 2 re-scores the top-10
+    survivors at full dimension. The dimension-axis sibling of the
+    precision-axis funnel (simsearch_quantize_int8 -> rerank_two_stage):
+    MRL-trained embeddings pack meaning into leading dims, so prefix
+    cosine is the cheap first pass. Output pins BOTH scores per survivor
+    (prefix ranking + exact rescue), tie-stable via (rounded cos, vec_id).
+    Honesty note: the synthetic fixture's embeddings are RANDOM, so here
+    the prefix carries no privileged signal and funnel recall vs the
+    full-dim ranking is near-chance — the qid pins the MECHANICS (both
+    scores, ordering, determinism, the exact algebra); real MRL
+    embeddings are what make the funnel's recall hold in production."""
+    emb = load(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.where(F.col("vec_id") == 0).select(xs.alias("qv"))
+    docs = emb.where(F.col("vec_id") != 0).select("vec_id", xs.alias("dv"))
+    pair = docs.crossJoin(F.broadcast(q))
+
+    def dot(a, b, n):
+        return F.aggregate(
+            F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a, n):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.slice(a, 1, n), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+
+    cos16 = dot(F.col("dv"), F.col("qv"), 16) / (norm(F.col("dv"), 16) * norm(F.col("qv"), 16))
+    cos64 = dot(F.col("dv"), F.col("qv"), 64) / (norm(F.col("dv"), 64) * norm(F.col("qv"), 64))
+    scored = pair.select(
+        "vec_id", F.round(cos16, 4).alias("cos16"), F.round(cos64, 4).alias("cos64")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos16"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("rk", "vec_id", "cos16", "cos64")
+        .orderBy("rk")
+    )

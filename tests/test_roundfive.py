@@ -152,3 +152,41 @@ def test_rate_counter_recovers_true_increase(spark, sf_dir):
     assert any(r.n_resets > 0 for r in rows)
     for r in rows:
         assert r.recovered_cents == r.true_increase_cents, r
+
+
+def test_zipf_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-lang top-50 must group-limit inside the window (k rows kept
+    per partition pre-shuffle), never rank-then-filter the full census."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        CATALOG["text_zipf_fit"].fn(spark, sf_dir).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_matryoshka_funnel_mechanics(spark, sf_dir):
+    """Funnel mechanics: exactly 10 survivors, full-dim rescore present
+    for each, prefix ranking strictly ordered and deterministic across
+    runs. (Recall vs the full-dim ranking is NOT asserted: the synthetic
+    embeddings are random, not MRL-trained, so prefix dims carry no
+    privileged signal — the qid docstring documents this.)"""
+    rows = CATALOG["simsearch_matryoshka_truncate"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.cos64 is not None for r in rows)
+    assert [r.rk for r in rows] == list(range(1, 11))
+    assert all(rows[i].cos16 >= rows[i + 1].cos16 for i in range(9))
+    again = CATALOG["simsearch_matryoshka_truncate"].fn(spark, sf_dir).collect()
+    assert [(r.rk, r.vec_id) for r in rows] == [(r.rk, r.vec_id) for r in again]
+
+
+def test_train_test_split_is_disjoint_and_stable(spark, sf_dir):
+    """Hash assignment must be reproducible run-to-run (same census twice)
+    and roughly 90/10 overall."""
+    a = {(r.lang, r.split): r.n_docs for r in CATALOG["mix_train_test_split"].fn(spark, sf_dir).collect()}
+    b = {(r.lang, r.split): r.n_docs for r in CATALOG["mix_train_test_split"].fn(spark, sf_dir).collect()}
+    assert a == b
+    train = sum(v for (_, s), v in a.items() if s == "train")
+    test = sum(v for (_, s), v in a.items() if s == "test")
+    assert 0.02 < test / (train + test) < 0.25
