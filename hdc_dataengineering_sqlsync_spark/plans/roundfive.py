@@ -1375,3 +1375,251 @@ def simsearch_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("rk", "vec_id", "cos16", "cos64")
         .orderBy("rk")
     )
+
+
+# ------------------------------------ 2.4 exact mergeable distinct bitmap
+
+_BITMAP_ORACLE = """
+WITH blocks AS (
+  SELECT o_orderpriority,
+         o_custkey // 63 AS block,
+         bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 63 AS INT)) AS bits
+  FROM orders GROUP BY o_orderpriority, block
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct_cust
+FROM blocks GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("agg_exact_distinct_bitmap", "2.4 aggregations", _BITMAP_ORACLE)
+def agg_exact_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style integer bitmaps — the
+    third point on the distinct spectrum (exact expand-and-count =
+    agg_count_distinct, approximate-mergeable = HLL): dense-int keys pack
+    into 63-bit blocks (block = key div 63, one bit per key; bit 63
+    avoided so the sign bit never participates) with bit_or as the merge
+    — ASSOCIATIVE and IDEMPOTENT, so partial bitmaps combine map-side,
+    re-merge across partitions/days/retries without double counting, and
+    store compactly as a (group, block, int64) table: an exact mergeable
+    distinct SKETCH in plain SQL. popcount at read time. At 100 TB state
+    is bounded by keyspace/63 per group, not row count — the identical
+    algebra both engines run here."""
+    o = load(spark, sf_dir, "orders")
+    blocks = (
+        o.select(
+            "o_orderpriority",
+            F.expr("o_custkey div 63").alias("block"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("o_orderpriority", "block")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    return (
+        blocks.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.bit_count("bits")).alias("n_distinct_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------- 2.8 idempotency-key audit
+
+_IDEMPOTENCY_ORACLE = """
+WITH deliveries AS (
+  SELECT o_orderkey AS key,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         1 AS attempt
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT)
+           + CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END,
+         2
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+per_key AS (
+  SELECT key, count(*) AS n_deliveries, count(DISTINCT cents) AS n_payloads
+  FROM deliveries GROUP BY key
+)
+SELECT CASE WHEN n_deliveries = 1 THEN 'unique'
+            WHEN n_payloads = 1 THEN 'benign_dup'
+            ELSE 'conflicting_dup' END AS class,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(min(key) AS BIGINT) AS min_key
+FROM per_key GROUP BY class ORDER BY class
+"""
+
+
+@query("sync_idempotency_keys", "2.8 sync core", _IDEMPOTENCY_ORACLE)
+def sync_idempotency_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency-key audit for at-least-once delivery — the transport
+    reality every sync consumer faces: redelivery with an IDENTICAL
+    payload is benign (dedup and move on), redelivery with a DIFFERENT
+    payload under the same key is an upstream bug that silent
+    last-write-wins would swallow. Derived duplicate stream (every 3rd
+    key redelivered; every 17th redelivery corrupted by one cent) →
+    per-key (deliveries, distinct payloads) census → 3-class rollup. One
+    keyed aggregate; payload identity via exact cents (production: the
+    row digest of functions/digests.py). Distinct-per-key expands
+    two-phase; no joins."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    first = o.select(F.col("o_orderkey").alias("key"), cents.alias("cents"))
+    redelivery = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (cents + F.when(F.col("o_orderkey") % 17 == 0, 1).otherwise(0)).alias("cents"),
+    )
+    per_key = (
+        first.unionByName(redelivery)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_deliveries"), F.countDistinct("cents").alias("n_payloads"))
+    )
+    cls = (
+        F.when(F.col("n_deliveries") == 1, "unique")
+        .when(F.col("n_payloads") == 1, "benign_dup")
+        .otherwise("conflicting_dup")
+    )
+    return (
+        per_key.select(cls.alias("class"), "key")
+        .groupBy("class")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.min("key").alias("min_key"))
+        .orderBy("class")
+    )
+
+
+# --------------------------------------------- 2.12 cohort LTV curve
+
+_LTV_ORACLE = """
+WITH om AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY o_custkey),
+cell AS (
+  SELECT cohort.m0, om.m - cohort.m0 AS age, sum(om.cents) AS rev
+  FROM om JOIN cohort ON om.o_custkey = cohort.o_custkey
+  WHERE om.m - cohort.m0 <= 6
+  GROUP BY cohort.m0, age
+),
+sized AS (SELECT m0, count(*) AS cohort_n FROM cohort GROUP BY m0)
+SELECT cell.m0 AS cohort_month, CAST(cell.age AS INT) AS age_months,
+       CAST(sized.cohort_n AS BIGINT) AS cohort_customers,
+       CAST(sum(cell.rev) OVER (PARTITION BY cell.m0 ORDER BY cell.age) AS BIGINT)
+         AS cum_revenue_cents
+FROM cell JOIN sized ON cell.m0 = sized.m0
+ORDER BY cohort_month, age_months
+"""
+
+
+@query("wl_cohort_ltv_curve", "2.12 composite workloads", _LTV_ORACLE)
+def wl_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue twin of
+    wl_retention_cohorts: customers cohorted by first-order month,
+    cumulative revenue per cohort tracked across the first 6 months of
+    age (the curve whose asymptote IS the LTV estimate). Two keyed
+    aggregates collapse the fact table to a ≤ (#months × 7) cell matrix
+    BEFORE the running-sum window touches anything — the
+    aggregate-then-window discipline; months as exact linear integers
+    (y*12+m), money as exact int64 cents."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cohort = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    cell = (
+        om.join(cohort, "o_custkey")
+        .withColumn("age", F.col("m") - F.col("m0"))
+        .where(F.col("age") <= 6)
+        .groupBy("m0", "age")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    sized = cohort.groupBy("m0").agg(F.count(F.lit(1)).alias("cohort_n"))
+    w = Window.partitionBy("m0").orderBy("age")
+    return (
+        cell.join(sized, "m0")
+        .select(
+            F.col("m0").alias("cohort_month"),
+            F.col("age").cast("int").alias("age_months"),
+            F.col("cohort_n").alias("cohort_customers"),
+            F.sum("rev").over(w).alias("cum_revenue_cents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+# ----------------------------------------- 2.3 BOM multiplicative rollup
+
+_BOM_ORACLE = """
+WITH path AS (
+  SELECT c_custkey AS leaf,
+         c_custkey // CAST(power(10, j.j) AS BIGINT) AS node
+  FROM customer, unnest(range(0, 7)) AS j(j)
+  WHERE c_custkey // CAST(power(10, j.j) AS BIGINT) > 0
+),
+eff AS (
+  SELECT leaf,
+         min(node) AS root,
+         sum(CASE WHEN node >= 10 AND node % 3 = 1 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN node >= 10 AND node % 3 = 2 THEN 1 ELSE 0 END) AS n3
+  FROM path GROUP BY leaf
+)
+SELECT root, CAST(count(*) AS BIGINT) AS n_leaves,
+       CAST(sum(CAST(power(2, n2) * power(3, n3) AS BIGINT)) AS BIGINT)
+         AS total_demand,
+       CAST(max(CAST(power(2, n2) * power(3, n3) AS BIGINT)) AS BIGINT)
+         AS max_leaf_demand
+FROM eff GROUP BY root ORDER BY root
+"""
+
+
+@query("hier_bom_rollup", "2.3 joins", _BOM_ORACLE)
+def hier_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials MULTIPLICATIVE rollup — the product twin of
+    hier_subtree_totals' additive sum: each non-root tree edge carries a
+    per-assembly quantity (derived: 2 if node%3=1, 3 if node%3=2, else
+    1), and a leaf's demand to build ONE root unit is the PRODUCT of
+    quantities down its path. Products stay EXACT by counting factor
+    exponents (n2 twos, n3 threes — path length ≤ 6 bounds 2^n2·3^n3 ≤
+    729, far inside int64) instead of a float product() aggregate — the
+    same no-float-accumulation discipline as the moment sums. The
+    decimal-prefix tree gives ancestor paths in closed form (one explode,
+    map-side), so no recursion is needed on either engine; an arbitrary
+    parent-pointer forest runs the same algebra over hier_recursive_cte's
+    iterative expansion."""
+    c = load(spark, sf_dir, "customer")
+    j = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("j")
+    path = (
+        c.select(F.col("c_custkey").alias("leaf"), j)
+        .select("leaf", F.expr("leaf div CAST(power(10, j) AS BIGINT)").alias("node"))
+        .where(F.col("node") > 0)
+    )
+    eff = path.groupBy("leaf").agg(
+        F.min("node").alias("root"),
+        F.sum(
+            F.when((F.col("node") >= 10) & (F.col("node") % 3 == 1), 1).otherwise(0)
+        ).alias("n2"),
+        F.sum(
+            F.when((F.col("node") >= 10) & (F.col("node") % 3 == 2), 1).otherwise(0)
+        ).alias("n3"),
+    )
+    demand = F.expr("CAST(power(2, n2) * power(3, n3) AS BIGINT)")
+    return (
+        eff.select("root", demand.alias("demand"))
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaves"),
+            F.sum("demand").alias("total_demand"),
+            F.max("demand").alias("max_leaf_demand"),
+        )
+        .orderBy("root")
+    )
