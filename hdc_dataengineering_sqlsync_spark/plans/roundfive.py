@@ -543,27 +543,27 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgrade of text_unigram_logprob: per-doc mean −ln P(w_i | w_{i-1}),
     P = (c(w1,w2)+1)/(c(w1·)+V). A doc of individually-common words in
     IMPROBABLE order (shuffled boilerplate, spam keyword stuffing) now
-    scores high where the unigram model is blind. Shape: posexplode →
-    self-join on (doc, idx+1) collapses to ONE window-free equi-join (the
-    bigram table), two Zipf-small count tables join back broadcast-style,
-    vocab rides as a broadcast scalar. All counts exact integers; ln and
-    the per-doc mean are the only doubles, rounded 4dp (the established
-    cross-engine-safe envelope for ln sums). Tokenizer is the RE2/Java
-    parity split (FIXTURES hazard: ASCII \\s+, boundary empties kept)."""
+    scores high where the unigram model is blind. Shape: bigrams derive
+    MAP-SIDE by zipping the token array with its own tail (zip_with over
+    two slices — no posexplode self-join, which would shuffle the entire
+    token stream twice on (doc, idx)); then two Zipf-small count tables
+    join back broadcast-style and vocab rides as a broadcast scalar. All
+    counts exact integers; ln and the per-doc mean are the only doubles,
+    rounded 4dp (the established cross-engine-safe envelope for ln
+    sums). Tokenizer is the RE2/Java parity split (FIXTURES hazard:
+    ASCII \\s+, boundary empties kept)."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "token"),
-    ).select("doc_id", "lang", (F.col("pos") + 1).alias("idx"), "token")
-    bg = (
-        tok.alias("a")
-        .join(
-            tok.select("doc_id", "idx", F.col("token").alias("w2")).alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.idx") == F.col("a.idx") + 1),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"), "lang", F.col("a.token").alias("w1"), "w2")
+    toks = F.split(F.lower("text"), r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    bg = (
+        docs.select("doc_id", "lang", F.explode(pairs).alias("p"))
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("token"))
     bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ufreq = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = tok.agg(F.countDistinct("token").alias("v"))
