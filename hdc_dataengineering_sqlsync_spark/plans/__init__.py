@@ -71,6 +71,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     relational_ext,
     surface_ext,
     roundfive,
+    roundfive_b,
 )
 
 _LEDGER = os.path.join(
