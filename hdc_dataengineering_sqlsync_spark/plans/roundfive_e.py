@@ -219,3 +219,313 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------------------- 2.12 workloads: sequential pattern census (A->B in 1h)
+
+_SEQPAT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS x, event_id FROM events
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.user_id
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id
+   AND b.x > a.x AND b.x <= a.x + 3600000000
+   AND b.event_id <> a.event_id
+)
+SELECT type_a, type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pairs GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
+
+
+@query("wl_seq_pattern_1h", "2.12 composite workloads", _SEQPAT_ORACLE)
+def wl_seq_pattern_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern census: A-then-B-within-1h event pair frequencies.
+
+    First-order sequence mining with a TIME constraint — unlike
+    wl_path_transitions (strictly consecutive events), this counts every
+    (A, B) instance where B follows A within one hour, the support
+    census behind "users who err after clicking" style rules.
+
+    Scale shape: NOT a free band self-join — the successor lookup is an
+    EQUI-join on (user, hour-bucket) with constant fan-out 2 (each event
+    probes its own bucket and the next; any pair within 1h spans at most
+    adjacent buckets), then the exact band filter prunes locally — the
+    join_range_bucketized discipline. Per-user histories co-locate, so
+    the shuffle is the event stream keyed by (user, bucket). All-integer
+    micros arithmetic."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        "event_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+    )
+    probe = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("type_a"),
+        F.col("x").alias("xa"),
+        F.col("event_id").alias("ida"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    pairs = probe.join(ev, (probe.u == ev.user_id) & (probe.bucket == ev.bucket)).where(
+        (F.col("x") > F.col("xa"))
+        & (F.col("x") <= F.col("xa") + 3600000000)
+        & (F.col("event_id") != F.col("ida"))
+    )
+    return (
+        pairs.groupBy("type_a", F.col("event_type").alias("type_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("u").alias("n_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ------------------- 2.9 llm-data: blob chunk manifest + dedup ratio
+
+_CHUNK_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS blen FROM documents
+),
+chunks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           generate_series(1, CAST(ceil(blen / 64.0) AS BIGINT)),
+           i -> md5(substr(text, CAST((i - 1) * 64 + 1 AS BIGINT), 64))
+         )) AS chunk_md5
+  FROM d WHERE blen > 0
+),
+reasm AS (
+  SELECT doc_id,
+         (string_agg(sub, '' ORDER BY i) = MAX(text)) AS ok
+  FROM (
+    SELECT d.doc_id, d.text, i.range AS i,
+           substr(d.text, CAST((i.range - 1) * 64 + 1 AS BIGINT), 64) AS sub
+    FROM d CROSS JOIN range(1, 9999) i
+    WHERE (i.range - 1) * 64 < d.blen
+  ) GROUP BY doc_id
+)
+SELECT source,
+       CAST(COUNT(DISTINCT chunks.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+       COUNT(DISTINCT chunk_md5) * 10000 // COUNT(*) AS unique_bps,
+       CAST((SELECT COUNT(*) FROM reasm WHERE ok) AS BIGINT)
+         AS n_reassembled_ok
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+@query("multimodal_chunk_manifest", "2.9 llm-data", _CHUNK_ORACLE)
+def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk manifest: split payloads, fingerprint, audit.
+
+    The chunked-blob-store bookkeeping every multimodal lake needs:
+    payloads split into fixed 64-byte chunks, each fingerprinted (md5),
+    with (a) a reassembly identity audit (concatenating a doc's chunks
+    in manifest order must reproduce the payload byte-for-byte) and
+    (b) the chunk-level dedup ratio (distinct/total fingerprints) that
+    prices content-addressed storage. Text payloads stand in for blobs
+    so the oracle can replicate the split byte-exactly; the binary path
+    is identical Spark-side (substring/md5 operate on BINARY too).
+
+    Scale shape: chunking is map-side (transform over an index
+    sequence); only 16-byte fingerprints shuffle for the distinct
+    census — payload bytes never leave their partition (the
+    dedup_passage_exact discipline); reassembly is a map-side HOF
+    identity, no re-join."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("blen")
+    ).where(F.col("blen") > 0)
+    idx = F.sequence(F.lit(1), F.ceil(F.col("blen") / 64.0).cast("long"))
+    sub = lambda i: F.substring(  # noqa: E731
+        F.col("text"), (i - 1) * 64 + 1, 64
+    )
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.transform(idx, lambda i: F.md5(sub(i)))).alias("chunk_md5"),
+    )
+    reasm = d.select(
+        "source",
+        (
+            F.concat_ws(
+                "", F.transform(idx, lambda i: sub(i))
+            )
+            == F.col("text")
+        ).alias("ok"),
+    )
+    ok_total = reasm.agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_reassembled_ok")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+            F.expr(
+                "count(distinct chunk_md5) * 10000 div count(1)"
+            ).alias("unique_bps"),
+        )
+        .crossJoin(F.broadcast(ok_total))
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "unique_bps",
+            "n_reassembled_ok",
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------- 2.7 scalar functions: XPath suite
+
+_XPATH_ORACLE = """
+WITH x AS (
+  SELECT s_suppkey,
+         '<s id="' || s_suppkey || '"><nat>' || s_nationkey
+           || '</nat><bal>' || CAST(round(s_acctbal * 100, 0) AS BIGINT)
+           || '</bal><tags><t>alpha</t><t>tag' || (s_suppkey % 3)
+           || '</t></tags></s>' AS xml
+  FROM supplier
+),
+parsed AS (
+  SELECT s_suppkey,
+         CAST(regexp_extract(xml, '<nat>(-?[0-9]+)</nat>', 1) AS BIGINT)
+           AS nat,
+         CAST(regexp_extract(xml, '<bal>(-?[0-9]+)</bal>', 1) AS BIGINT)
+           AS bal_cents,
+         regexp_extract(xml, '<t>(tag[0-9])</t>', 1) AS tag2,
+         2 AS n_tags
+  FROM x
+)
+SELECT nat,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents,
+       CAST(SUM(n_tags) AS BIGINT) AS n_tags,
+       MIN(tag2) AS min_tag, MAX(tag2) AS max_tag
+FROM parsed GROUP BY nat ORDER BY nat
+"""
+
+
+@query("fn_xpath_suite", "2.7 scalar functions", _XPATH_ORACLE)
+def fn_xpath_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath scalar-function suite over embedded XML fragments.
+
+    The semi-structured sibling of fn_json_extract/fn_variant: per-row
+    XML parsed with `xpath_long` (typed leaf extraction), `xpath_string`
+    (first match), and `xpath` (node-set -> array, counted) — the legacy
+    enterprise-feed shape a sync tool still meets. Deterministic
+    synthesized fragments; the oracle re-derives the same leaves with
+    anchored regexes (exact because the fragment shape is controlled).
+
+    Scale shape: map-side JVM XPath evaluation in codegen; one tiny
+    keyed census shuffles."""
+    x = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.concat(
+            F.lit('<s id="'),
+            F.col("s_suppkey"),
+            F.lit('"><nat>'),
+            F.col("s_nationkey"),
+            F.lit("</nat><bal>"),
+            F.round(F.col("s_acctbal") * 100, 0).cast("long"),
+            F.lit("</bal><tags><t>alpha</t><t>tag"),
+            F.col("s_suppkey") % 3,
+            F.lit("</t></tags></s>"),
+        ).alias("xml"),
+    )
+    parsed = x.select(
+        F.expr("xpath_long(xml, '/s/nat')").alias("nat"),
+        F.expr("xpath_long(xml, '/s/bal')").alias("bal_cents"),
+        F.expr("xpath_string(xml, '/s/tags/t[2]')").alias("tag2"),
+        F.size(F.expr("xpath(xml, '/s/tags/t/text()')")).alias("n_tags"),
+    )
+    return (
+        parsed.groupBy("nat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").alias("bal_cents"),
+            F.sum("n_tags").cast("long").alias("n_tags"),
+            F.min("tag2").alias("min_tag"),
+            F.max("tag2").alias("max_tag"),
+        )
+        .orderBy("nat")
+    )
+
+
+# ---------------------- 2.8 sync: partition-layout evolution migration
+
+_EVOLVE_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY year(o_orderdate) ORDER BY yr
+"""
+
+
+@query("sync_partition_evolution", "2.8 sync core", _EVOLVE_ORACLE)
+def sync_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout evolution: migrate status-partitioned -> year-partitioned.
+
+    The table-management job behind every "we partitioned on the wrong
+    column" incident: the old layout (partitioned by o_orderstatus)
+    migrates to the new one (partitioned by order year) INCREMENTALLY —
+    one source partition at a time, each a partition-PRUNED read
+    (predicate on the partition column touches only that directory)
+    appended into the new layout. Readers of the new layout must see
+    exactly the original rows: the declared output is the per-year
+    census vs the base-table oracle, the row-conservation proof.
+
+    Scale shape: each migration step reads one old partition and writes
+    its year splits — bounded working set, restartable per partition
+    (the unit of retry a real migration needs); no step ever scans the
+    full table, and the final read prunes on the NEW partition column."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _os.path.join(
+        _tempfile.gettempdir(), f"hdc_evolve_{tag}_{_os.getpid()}"
+    )
+    old_path = _os.path.join(base, "old_by_status")
+    new_path = _os.path.join(base, "new_by_year")
+    _shutil.rmtree(base, ignore_errors=True)
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(
+        old_path
+    )
+    old = spark.read.parquet(old_path)
+    statuses = [
+        r.o_orderstatus
+        for r in old.select("o_orderstatus").distinct().collect()
+    ]  # bounded: #partitions, the migration plan itself
+    for st in sorted(statuses):
+        step = old.where(F.col("o_orderstatus") == st).withColumn(
+            "yr", F.year("o_orderdate").cast("long")
+        )
+        step.write.mode("append").partitionBy("yr").parquet(new_path)
+    migrated = spark.read.parquet(new_path)
+    return (
+        migrated.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("yr")
+    )

@@ -50,6 +50,12 @@ PROBE_SET: dict[str, str] = {
     "dedup_minhash_banded": "docs",
     "dedup_cluster_components": "docs",
     "dedup_semantic_centroid": "docs",
+    # round-5 session-2 additions: new heavy/novel shapes under the gate
+    "text_ngram_novelty": "docs",
+    "dedup_recall_eval": "docs",
+    "wl_fifo_inventory": "volume",
+    "wl_seq_pattern_1h": "events",
+    "wl_attribution_credit": "events",
 }
 
 TABLES = [
@@ -84,6 +90,20 @@ def build_replica(spark, mode: str, factor: int, out_dir: str) -> None:
             li = li.withColumn("l_partkey", F.col("l_partkey") + F.col("rep") * pkey_span)
         replicated["orders"] = o
         replicated["lineitem"] = li.drop("rep")
+    elif mode == "events":
+        # Nx events AND Nx users (per-replica user shift): per-user history
+        # length stays constant, so user-partitioned windows/joins are
+        # probed on MORE partitions, not pathologically longer ones —
+        # the realistic growth axis for an event log.
+        evid_span = base("events").agg(F.max("event_id")).collect()[0][0] + 1
+        uid_span = base("events").agg(F.max("user_id")).collect()[0][0] + 1
+        replicated["events"] = (
+            base("events")
+            .crossJoin(F.broadcast(rep))
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * evid_span)
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * uid_span)
+            .drop("rep")
+        )
     elif mode == "docs":
         did_span = base("documents").agg(F.max("doc_id")).collect()[0][0] + 1
         replicated["documents"] = (

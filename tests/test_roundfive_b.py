@@ -346,3 +346,53 @@ def test_dedup_recall_eval_bounds(spark, sf_dir):
     assert r.n_caught <= r.n_candidates
     assert r.n_truth > 0  # the corpus plants >=0.5 near-dups at every sf
     assert r.recall_bps >= 5000  # banding at the catch threshold keeps most
+
+
+# ----------------------------------------------- batch M (roundfive_e)
+
+
+def test_seq_pattern_superset_of_transitions(spark, sf_dir):
+    """Every strictly-consecutive transition within 1h is also a
+    time-bounded pair, so pair counts dominate the same-shape transition
+    counts; the matrix covers all 5x5 observed types at sf >= 0.001."""
+    rows = CATALOG["wl_seq_pattern_1h"].fn(spark, sf_dir).collect()
+    assert rows
+    types = {r.type_a for r in rows} | {r.type_b for r in rows}
+    assert len(types) == 5
+    for r in rows:
+        assert r.n_users <= r.n_pairs
+
+
+def test_chunk_manifest_reassembly_and_dedup(spark, sf_dir):
+    rows = CATALOG["multimodal_chunk_manifest"].fn(spark, sf_dir).collect()
+    assert rows
+    n_docs_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert r.n_reassembled_ok == n_docs_total  # global audit column
+        assert r.n_distinct_chunks <= r.n_chunks
+        assert 0 < r.unique_bps <= 10000
+
+
+def test_xpath_suite_tag_counts(spark, sf_dir):
+    rows = CATALOG["fn_xpath_suite"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tags == 2 * r.n
+        assert r.min_tag.startswith("tag") and r.max_tag.startswith("tag")
+
+
+def test_partition_evolution_new_layout_prunes(spark, sf_dir):
+    """After migration the new layout must be year-partitioned: a
+    single-year read touches only that year's directory."""
+    import re
+
+    df = CATALOG["sync_partition_evolution"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows and sum(r.n for r in rows) == spark.read.parquet(
+        f"{sf_dir}/orders.parquet"
+    ).count()
+    # reconstruct the migrated path from any input file of the final plan
+    files = df.inputFiles()
+    assert files and all("/new_by_year/" in f for f in files)
+    years = {re.search(r"yr=(\d+)", f).group(1) for f in files}
+    assert len(years) == len(rows)
