@@ -75,6 +75,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_c,
     roundfive_d,
     roundfive_e,
+    roundfive_f,
 )
 
 _LEDGER = os.path.join(

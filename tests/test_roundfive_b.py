@@ -396,3 +396,71 @@ def test_partition_evolution_new_layout_prunes(spark, sf_dir):
     assert files and all("/new_by_year/" in f for f in files)
     years = {re.search(r"yr=(\d+)", f).group(1) for f in files}
     assert len(years) == len(rows)
+
+
+# ----------------------------------------------- batch N (roundfive_e)
+
+
+def test_execute_immediate_matches_static(spark, sf_dir):
+    static = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    dyn = CATALOG["sql_execute_immediate"].fn(spark, sf_dir).collect()
+    assert {r.o_orderpriority: r.n for r in dyn} == {
+        r.o_orderpriority: r["count"] for r in static
+    }
+
+
+def test_csv_failfast_mode_throws(spark, sf_dir):
+    """FAILFAST — the third mode — must throw on the corrupt fixture; a
+    thrown query can't be a t2 row so it is pinned here."""
+    import glob
+    import os
+    import tempfile
+
+    import pytest
+
+    CATALOG["scan_csv_failfast_modes"].fn(spark, sf_dir).collect()  # stage file
+    paths = glob.glob(os.path.join(tempfile.gettempdir(), "hdc_csvmodes_*.csv"))
+    assert paths
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.schema("id INT, val INT").option("mode", "FAILFAST").csv(
+            paths[0]
+        ).select(F.sum("val")).collect()
+
+
+def test_to_number_roundtrip_exact(spark, sf_dir):
+    r = CATALOG["fn_to_number_format"].fn(spark, sf_dir).collect()[0]
+    assert r.n > 0
+    assert r.n_malformed > 0
+    assert r.try_parsed_cents < r.parsed_cents_total
+
+
+# ----------------------------------------------- batch O (roundfive_f)
+
+
+def test_sessionize_census_sane(spark, sf_dir):
+    r = CATALOG["win_sessionize_gap"].fn(spark, sf_dir).collect()[0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert r.n_events == n_events  # every event lands in exactly one session
+    assert r.n_users <= r.n_sessions <= r.n_events
+    assert r.events_per_session_bps >= 10000  # >= 1 event per session
+    assert r.med2_duration_us >= 0
+
+
+def test_nrr_bounds_and_base(spark, sf_dir):
+    rows = CATALOG["wl_net_revenue_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.base_cents > 0 and r.n_base_customers > 0
+        assert r.nrr_bps == r.retained_cents * 10000 // r.base_cents
+
+
+def test_assortativity_in_range_and_partition_stable(spark, sf_dir):
+    a = CATALOG["graph_assortativity_exact"].fn(spark, sf_dir).collect()[0]
+    assert -1.0 <= a.assortativity_r <= 1.0
+    assert a.n_directed_edges % 2 == 0  # both directions present
