@@ -76,6 +76,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_d,
     roundfive_e,
     roundfive_f,
+    roundfive_g,
 )
 
 _LEDGER = os.path.join(

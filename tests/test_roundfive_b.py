@@ -464,3 +464,68 @@ def test_assortativity_in_range_and_partition_stable(spark, sf_dir):
     a = CATALOG["graph_assortativity_exact"].fn(spark, sf_dir).collect()[0]
     assert -1.0 <= a.assortativity_r <= 1.0
     assert a.n_directed_edges % 2 == 0  # both directions present
+
+
+# ----------------------------------------------- batch P (roundfive_g)
+
+
+def test_business_days_formula_vs_python_loop(spark, sf_dir):
+    """Pin the closed-form weekday count against an independent per-day
+    Python loop over a matrix of intervals covering every weekday/offset
+    combination (including weekend endpoints)."""
+    import datetime
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundfive_g import _bdays
+
+    base = datetime.date(2024, 1, 1)  # a Monday
+    rows = []
+    for start_off in range(14):
+        for span in range(0, 15):
+            d1 = base + datetime.timedelta(days=start_off)
+            d2 = d1 + datetime.timedelta(days=span)
+            expected = sum(
+                1
+                for k in range(1, span + 1)
+                if (d1 + datetime.timedelta(days=k)).weekday() < 5
+            )
+            rows.append((d1.isoformat(), d2.isoformat(), expected))
+    df = spark.createDataFrame(rows, "d1 string, d2 string, expected long")
+    expr = _bdays(
+        "datediff(cast(d1 as date), date'1970-01-01')",
+        "datediff(cast(d2 as date), date'1970-01-01')",
+        "div",
+    )
+    bad = df.selectExpr("*", f"{expr} AS got").filter("got <> expected")
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_collation_collapses_case_classes(spark, sf_dir):
+    r = CATALOG["fn_collation_lcase"].fn(spark, sf_dir).collect()[0]
+    assert r.d_ci < r.d_raw  # case variants collapse under UTF8_LCASE
+    assert r.d_ci <= 5 * 25  # segment x nation upper bound on classes
+    # the collated prefix predicate is case-insensitive: the upper-case
+    # literal matches lower/mixed-case variants too
+    assert r.n_prefix_ci > 0 and r.n_eq_ci >= 0
+
+
+def test_recursive_glob_ignores_sidecars_and_infers_no_partitions(spark, sf_dir):
+    df = CATALOG["scan_recursive_glob"].fn(spark, sf_dir)
+    # recursiveFileLookup disables partition inference: the census schema
+    # is exactly the three aggregates, nothing inferred from dir names
+    assert [f.name for f in df.schema.fields] == ["n", "n_prio", "total_cents"]
+    r = df.collect()[0]
+    urgent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+        .count()
+    )
+    assert r.n == urgent and r.n_prio == 1
+
+
+def test_shard_audit_partitions_all_docs(spark, sf_dir):
+    r = CATALOG["mix_shard_balance_audit"].fn(spark, sf_dir).collect()[0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert r.n_docs == n_docs
+    assert 1 <= r.n_shards <= 32
+    assert r.min_rows >= 1 and r.max_rows >= r.min_rows
+    assert r.max_skew_bps >= 10000  # max is never below the ideal share
