@@ -77,6 +77,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_e,
     roundfive_f,
     roundfive_g,
+    roundfive_h,
 )
 
 _LEDGER = os.path.join(

@@ -194,13 +194,31 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth leg runs on a SAMPLE, documented); the evaluation join
     touches two slim pair lists."""
     from hdc_dataengineering_sqlsync_spark.operators.dedup import (
-        minhash_banded_pairs,
+        _band_buckets,
+        _minhash_sigs,
         shingle_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_banded_pairs(docs).select(
-        F.col("doc_id").alias("id_a"), F.col("doc_id2").alias("id_b")
+    # Candidate PAIR SET only: the recall metric never reads est_jaccard,
+    # so this leg runs dedup_minhash_banded's signature/band/bucket
+    # machinery but skips its estimate join (two signature re-joins) and
+    # global sort — the same pair set, materially less work.
+    # signatures materialize before banding (the element_at-per-slot
+    # projection-collapse hazard documented in lsh_star_edges)
+    buckets = _band_buckets(
+        _minhash_sigs(docs, "doc_id", "text", 12).localCheckpoint(eager=True),
+        "doc_id",
+        4,
+        3,
+    )
+    ba = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    bb = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     truth = shingle_jaccard_pairs(docs, k_shingle=3, threshold=0.5).select(
         F.col("doc_id").alias("id_a"), F.col("doc_id2").alias("id_b")

@@ -326,3 +326,61 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
                     os.remove(os.path.join(self.path, m.staged))
                 except OSError:
                     pass
+
+
+ARROW_SOURCE_NAME = "synthetic_arrow"
+
+
+class SyntheticArrowDataSource(DataSource):
+    """Arrow-BATCH Python data source: ``read()`` yields
+    ``pyarrow.RecordBatch`` objects instead of per-row tuples, so rows
+    cross the Python/JVM boundary as columnar Arrow buffers (one
+    serialization per batch, not per row) — the fast path for pure-Python
+    connectors that can produce columnar data natively.
+
+    Options: ``rows`` (total, default 1000), ``partitions`` (default 8).
+    Values are a closed form over the row index, all-integer, so the t2
+    oracle recomputes them from range() without running the source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return ARROW_SOURCE_NAME
+
+    def schema(self) -> str:
+        return "row_id bigint, bucket int, cents bigint"
+
+    def reader(self, schema) -> "SyntheticArrowReader":
+        return SyntheticArrowReader(self.options)
+
+
+class SyntheticArrowReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        # contiguous range slices -> one columnar batch per partition;
+        # vectorized construction, no per-row Python objects at all.
+        per = -(-self.n_rows // self.n_parts)  # ceil
+        lo = partition.value * per
+        hi = min(lo + per, self.n_rows)
+        if lo >= hi:
+            return
+        ids = list(range(lo, hi))
+        yield pa.record_batch(
+            {
+                "row_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array([i % 8 for i in ids], pa.int32()),
+                "cents": pa.array([(i * 73) % 10000 for i in ids], pa.int64()),
+            }
+        )
+
+
+def register_arrow(spark) -> None:
+    """Idempotently register the Arrow-batch source with this session."""
+    spark.dataSource.register(SyntheticArrowDataSource)

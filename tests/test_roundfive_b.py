@@ -529,3 +529,54 @@ def test_shard_audit_partitions_all_docs(spark, sf_dir):
     assert 1 <= r.n_shards <= 32
     assert r.min_rows >= 1 and r.max_rows >= r.min_rows
     assert r.max_skew_bps >= 10000  # max is never below the ideal share
+
+
+# ----------------------------------------------- batch Q (roundfive_h)
+
+
+def test_closure_contains_full_chain(spark, sf_dir):
+    """Spot-check one deep key's complete ancestor chain and the depth-1
+    slice (must equal the non-root row count)."""
+    rows = CATALOG["hier_closure_doubling"].fn(spark, sf_dir).collect()
+    by_dist = {r.dist: r for r in rows}
+    n_nonroot = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter("c_custkey >= 10")
+        .count()
+    )
+    assert by_dist[1].n_pairs == n_nonroot
+    # pair counts shrink with distance (every dist-d pair extends a d-1 pair)
+    dists = sorted(by_dist)
+    assert dists == list(range(1, len(dists) + 1))
+    for a, b in zip(dists, dists[1:]):
+        assert by_dist[b].n_pairs <= by_dist[a].n_pairs
+
+
+def test_xyz_classes_partition_parts(spark, sf_dir):
+    rows = CATALOG["wl_xyz_variability"].fn(spark, sf_dir).collect()
+    assert {r.xyz for r in rows} <= {"X", "Y", "Z"}
+    n_parts = sum(r.n_parts for r in rows)
+    distinct_parts = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert n_parts == distinct_parts  # every part classified exactly once
+
+
+def test_arrow_source_buckets_complete(spark, sf_dir):
+    rows = CATALOG["pyds_arrow_source"].fn(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(8))
+    assert sum(r.n for r in rows) == 20000
+
+
+def test_minhash_sig_plan_single_projection(spark, sf_dir):
+    """The signature pipeline must not recompute shingles for the empty-doc
+    filter: the filter is a token-count precondition, so the plan contains
+    exactly ONE aggregate-lambda (the signature fold) per projection."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import _minhash_sigs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _minhash_sigs(docs, "doc_id", "text", 12)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate(") <= 1, plan
