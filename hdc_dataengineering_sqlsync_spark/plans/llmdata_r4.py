@@ -411,23 +411,41 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per non-empty cell (n_members, n_near_pairs)."""
     e = load(spark, sf_dir, "embeddings")
     q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
-    dots = [
-        F.aggregate(
-            F.zip_with(
-                "q", F.array(*[F.lit(v) for v in _sem_cent(k)]), lambda x, y: x * y.cast("long")
-            ),
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import _spread
+
+    # materialize the quantized vector BEFORE the K dot products:
+    # projection collapse would otherwise inline the 64-dim cast/round
+    # transform into every one of the K dot expressions (K x 64 ops/row
+    # instead of 64); _spread un-pins the map from a single landing file.
+    quantized = _spread(e).select("vec_id", q.alias("q")).localCheckpoint(eager=True)
+    # K lives in DATA (an array-of-codebook-rows literal), not in CODE:
+    # the earlier 16-column dot forest + greatest(struct x16) compiled a
+    # janino unit so large that codegen dominated cold runtime (~50s at
+    # vanilla sf0.1); one transform over the codebook array computes the
+    # same K dots, and the argmax (ties toward the GREATEST cell, matching
+    # the oracle's d_c >= d_o convention) is array_position on the
+    # reversed dot list.
+    codebook = F.array(
+        *[F.array(*[F.lit(v).cast("long") for v in _sem_cent(k)]) for k in range(_SEM_K)]
+    )
+    ds = F.transform(
+        codebook,
+        lambda c: F.aggregate(
+            F.zip_with("q", c, lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
-        ).alias(f"d{k}")
-        for k in range(_SEM_K)
-    ]
-    cell = F.greatest(
-        *[F.struct(F.col(f"d{k}").alias("d"), F.lit(k).alias("c")) for k in range(_SEM_K)]
-    )["c"]
+        ),
+    )
+    # single-pass argmax fold so ds is evaluated ONCE (reverse+array_max
+    # would inline the whole dot list twice); `>=` keeps later (greater)
+    # cells on ties — the oracle's convention.
+    cell = F.aggregate(
+        F.zip_with(ds, F.sequence(F.lit(0), F.lit(_SEM_K - 1)), lambda d, i: F.struct(d.alias("d"), i.alias("i"))),
+        F.struct(F.lit(-(2**62)).cast("long").alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] >= acc["d"], x).otherwise(acc),
+    )["i"].cast("int")
     cells = (
-        e.select("vec_id", q.alias("q"))
-        .select("vec_id", "q", *dots)
-        .select("vec_id", "q", cell.alias("cell"))
+        quantized.select("vec_id", "q", cell.alias("cell"))
         # consumed 3x (both self-join sides + member census); the K x 64-dim
         # argmax is the expensive part — materialize it once
         .localCheckpoint()
