@@ -78,6 +78,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_f,
     roundfive_g,
     roundfive_h,
+    roundfive_i,
 )
 
 _LEDGER = os.path.join(

@@ -580,3 +580,46 @@ def test_minhash_sig_plan_single_projection(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _minhash_sigs(docs, "doc_id", "text", 12)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("aggregate(") <= 1, plan
+
+
+# ----------------------------------------------- batch R (roundfive_i)
+
+
+def test_bitmap_builtin_equals_naive_distinct(spark, sf_dir):
+    rows = {r.o_orderpriority: r for r in CATALOG["agg_bitmap_builtin"].fn(spark, sf_dir).collect()}
+    naive = {
+        r.o_orderpriority: r.d
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert {k: v.n_distinct_cust for k, v in rows.items()} == naive
+
+
+def test_lateral_alias_single_evaluation(spark, sf_dir):
+    """The alias chain lowers to LAYERED projections: the base round()/cast
+    expression appears exactly once in the optimized plan, while the
+    hand-expanded single SELECT inlines it into every derived column."""
+    df = CATALOG["sql_lateral_column_alias"].fn(spark, sf_dir)
+    p1 = df._jdf.queryExecution().optimizedPlan().toString()
+    assert p1.count("round(") == 1, p1
+    expanded = spark.sql(
+        """
+        SELECT cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               cast(round(o_totalprice * 100, 0) AS BIGINT) div 5000000 AS tier,
+               (cast(round(o_totalprice * 100, 0) AS BIGINT) div 5000000) * 5000000 AS tier_floor_cents
+        FROM orders
+        """
+    )
+    p2 = expanded._jdf.queryExecution().optimizedPlan().toString()
+    assert p2.count("round(") == 3, p2
+
+
+def test_default_columns_partial_insert(spark, sf_dir):
+    rows = CATALOG["sql_default_columns"].fn(spark, sf_dir).collect()
+    assert [(r.id, r.status, r.prio) for r in rows] == [
+        (1, "open", 3),
+        (2, "closed", 3),
+        (3, "open", 7),
+    ]
