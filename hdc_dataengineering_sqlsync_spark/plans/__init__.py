@@ -80,6 +80,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_h,
     roundfive_i,
     roundfive_j,
+    roundfive_k,
 )
 
 _LEDGER = os.path.join(

@@ -665,3 +665,52 @@ def test_did_identity(spark, sf_dir):
     r = CATALOG["wl_promo_uplift_did"].fn(spark, sf_dir).collect()[0]
     assert r.did_mc == (r.t_post_mc - r.t_pre_mc) - (r.c_post_mc - r.c_pre_mc)
     assert all(v > 0 for v in [r.t_pre_mc, r.t_post_mc, r.c_pre_mc, r.c_post_mc])
+
+
+# ----------------------------------------------- batch T (roundfive_k)
+
+
+def test_join_hints_steer_plan_not_result(spark, sf_dir):
+    """MERGE / SHUFFLE_HASH / BROADCAST hints must each produce their
+    physical operator AND identical results."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def rollup(hint):
+        j = c.join(n.hint(hint), c.c_nationkey == n.n_nationkey)
+        return j.groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).orderBy("n_name")
+
+    plans = {h: _explain(rollup(h)) for h in ["merge", "shuffle_hash", "broadcast"]}
+    assert "SortMergeJoin" in plans["merge"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    results = [rollup(h).collect() for h in plans]
+    assert results[0] == results[1] == results[2]
+
+
+def test_corrupt_file_fails_without_option(spark, sf_dir):
+    """The staged bad file must actually be fatal without the option —
+    otherwise the qid tests nothing."""
+    import os
+    import tempfile
+
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="hdc_corrupttest_")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.mode("overwrite").parquet(root)
+    with open(os.path.join(root, "zz_bad.parquet"), "wb") as fh:
+        fh.write(b"PAR1 garbage")
+    with pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(root).count()
+    good = spark.read.option("ignoreCorruptFiles", "true").parquet(root).count()
+    assert good == spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+
+def test_mask_preserves_shape(spark, sf_dir):
+    rows = CATALOG["fn_mask_builtin"].fn(spark, sf_dir).collect()
+    assert rows
+    import re
+
+    for r in rows:
+        # only mask alphabet + preserved punctuation may appear
+        assert re.fullmatch(r"[Xxn#/ ]+", r.masked), r.masked
