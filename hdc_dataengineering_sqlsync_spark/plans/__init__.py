@@ -81,6 +81,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_i,
     roundfive_j,
     roundfive_k,
+    roundfive_l,
 )
 
 _LEDGER = os.path.join(

@@ -714,3 +714,65 @@ def test_mask_preserves_shape(spark, sf_dir):
     for r in rows:
         # only mask alphabet + preserved punctuation may appear
         assert re.fullmatch(r"[Xxn#/ ]+", r.masked), r.masked
+
+
+# ----------------------------------------------- batch U (roundfive_l)
+
+
+def test_naaj_plan_flag_and_null_poisoning(spark, sf_dir):
+    """The single-column NOT IN must plan as a null-aware anti join
+    (trailing true flag on the hash anti join), and the with_null
+    variant must return zero rows."""
+    rows = {r.variant: r.n_rows for r in CATALOG["join_null_aware_anti"].fn(spark, sf_dir).collect()}
+    assert rows["with_null"] == 0
+    assert rows["no_null"] > 0
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("hdc_t_orders")
+    spark.sql(
+        "SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS bk "
+        f"FROM parquet.`{sf_dir}/customer.parquet` WHERE c_custkey % 10 = 0"
+    ).createOrReplaceTempView("hdc_t_blocked")
+    df = spark.sql(
+        "SELECT * FROM hdc_t_orders WHERE o_custkey NOT IN (SELECT bk FROM hdc_t_blocked)"
+    )
+    # simple-form plan shows the trailing isNullAwareAntiJoin flag:
+    # "BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"Join .*LeftAnti.*, true", plan), plan
+
+
+def test_luhn_matches_python_reference(spark, sf_dir):
+    """Pin the built-in against a from-scratch Python Luhn on the same
+    synthesized numbers."""
+    def luhn_ok(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .selectExpr(
+            "concat(lpad(cast(c_custkey * 7919 % 100000000 as string), 8, '0'),"
+            " lpad(cast(c_custkey % 10000 as string), 4, '0')) AS pan12"
+        )
+        .selectExpr("pan12", "luhn_check(pan12) AS ok")
+        .collect()
+    )
+    for r in rows[:500]:
+        assert r.ok == luhn_ok(r.pan12), r.pan12
+
+
+def test_from_csv_malformed_yields_nulls(spark, sf_dir):
+    """A short/typed-mismatch payload parses to NULL fields, not an error."""
+    df = spark.createDataFrame([("1,apple,2",), ("bad,x",), ("9,z,notint",)], "line string")
+    out = df.selectExpr("from_csv(line, 'k BIGINT, name STRING, score BIGINT') AS r").collect()
+    assert out[0].r.k == 1 and out[0].r.score == 2
+    assert out[1].r.score is None
+    assert out[2].r.score is None and out[2].r.k == 9
