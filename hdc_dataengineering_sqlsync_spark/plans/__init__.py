@@ -82,6 +82,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_j,
     roundfive_k,
     roundfive_l,
+    roundfive_m,
 )
 
 _LEDGER = os.path.join(

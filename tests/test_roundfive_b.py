@@ -776,3 +776,41 @@ def test_from_csv_malformed_yields_nulls(spark, sf_dir):
     assert out[0].r.k == 1 and out[0].r.score == 2
     assert out[1].r.score is None
     assert out[2].r.score is None and out[2].r.k == 9
+
+
+# ----------------------------------------------- batch V (roundfive_m)
+
+
+def test_schema_probe_reads_no_files(spark, sf_dir):
+    """limit(0) must fold to an empty LocalRelation — no file scan in the
+    optimized plan, and inputFiles() is empty."""
+    probe = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(0)
+    plan = probe._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation <empty>" in plan, plan
+    assert probe.inputFiles() == []
+
+
+def test_try_timestamp_waterfall_coverage(spark, sf_dir):
+    r = CATALOG["fn_try_to_timestamp_formats"].fn(spark, sf_dir).collect()[0]
+    assert r.n == r.n_parsed + r.n_failed
+    assert r.n_failed > 0 and r.n_parsed > 0
+    # corrupt slice is exactly the k%7==0 customers
+    n_bad = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter("c_custkey % 7 = 0")
+        .count()
+    )
+    assert r.n_failed == n_bad
+
+
+def test_sum_distinct_two_phase_plan(spark, sf_dir):
+    """All distinct aggs share ONE child (qty), so the rewrite is the
+    two-level (group, value)-keyed aggregate — three HashAggregate levels
+    and NO Expand (Expand appears only when distinct children differ)."""
+    df = CATALOG["agg_sum_distinct"].fn(spark, sf_dir)
+    plan = _explain(df)
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 3, plan
+    for r in df.collect():
+        assert r.qty_distinct_sum <= r.qty_total
+        assert r.qty_distinct_n <= 50
