@@ -83,6 +83,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_k,
     roundfive_l,
     roundfive_m,
+    roundfive_n,
 )
 
 _LEDGER = os.path.join(

@@ -814,3 +814,22 @@ def test_sum_distinct_two_phase_plan(spark, sf_dir):
     for r in df.collect():
         assert r.qty_distinct_sum <= r.qty_total
         assert r.qty_distinct_n <= 50
+
+
+# ----------------------------------------------- batch W (roundfive_n)
+
+
+def test_utf8_repair_replaces_bad_bytes(spark, sf_dir):
+    rows = spark.sql(
+        "SELECT is_valid_utf8(unhex('4180FF42')) AS ok,"
+        " make_valid_utf8(cast(unhex('4180FF42') AS STRING)) AS fixed"
+    ).collect()
+    assert rows[0].ok is False
+    assert rows[0].fixed == "A��B"
+    r = CATALOG["fn_utf8_validation"].fn(spark, sf_dir).collect()[0]
+    assert r.n == r.n_valid + r.n_invalid and r.n_invalid > 0
+
+
+def test_ddww_state_expiry_reemits(spark, sf_dir):
+    rows = {r.k: r.n_emitted for r in CATALOG["stream_dedup_within_watermark"].fn(spark, sf_dir).collect()}
+    assert rows == {"K": 2, "K2": 1, "X": 1, "Y": 1}
