@@ -84,6 +84,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_l,
     roundfive_m,
     roundfive_n,
+    roundfive_o,
 )
 
 _LEDGER = os.path.join(

@@ -833,3 +833,37 @@ def test_utf8_repair_replaces_bad_bytes(spark, sf_dir):
 def test_ddww_state_expiry_reemits(spark, sf_dir):
     rows = {r.k: r.n_emitted for r in CATALOG["stream_dedup_within_watermark"].fn(spark, sf_dir).collect()}
     assert rows == {"K": 2, "K2": 1, "X": 1, "Y": 1}
+
+
+# ----------------------------------------------- batch X (roundfive_o)
+
+
+def test_csv_encoding_utf8_misread_differs(spark, sf_dir):
+    """Reading the latin-1 file as UTF-8 must NOT reproduce the correct
+    census — otherwise the option tests nothing."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="hdc_enc_t_")
+    with open(os.path.join(root, "f.csv"), "wb") as fh:
+        fh.write("1,café\n".encode("iso-8859-1"))
+    good = (
+        spark.read.schema("k BIGINT, label STRING")
+        .option("encoding", "ISO-8859-1")
+        .csv(root)
+        .collect()
+    )
+    assert good[0].label == "café"
+    bad = spark.read.schema("k BIGINT, label STRING").csv(root).collect()
+    assert bad[0].label != "café"  # mojibake or replacement under UTF-8
+
+
+def test_union_schema_evolution_null_fill(spark, sf_dir):
+    rows = {r.channel: r for r in CATALOG["set_union_schema_evolution"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"(pre-schema)", "store", "web"}
+    n_v1 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderkey % 3 = 0")
+        .count()
+    )
+    assert rows["(pre-schema)"].n == n_v1
