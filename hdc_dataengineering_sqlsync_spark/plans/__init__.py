@@ -85,6 +85,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_m,
     roundfive_n,
     roundfive_o,
+    roundfive_p,
 )
 
 _LEDGER = os.path.join(

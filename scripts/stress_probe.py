@@ -56,6 +56,12 @@ PROBE_SET: dict[str, str] = {
     "wl_fifo_inventory": "volume",
     "wl_seq_pattern_1h": "events",
     "wl_attribution_credit": "events",
+    # round-5 session-3 additions
+    "hier_closure_doubling": "customers",  # doubling self-joins over Nx keys
+    "graph_assortativity_exact": "graph",  # exact-moment pass over Nx edges
+    "text_cooccurrence_pmi": "docs",     # doc-keyed pair join fan-out
+    "win_sessionize_gap": "events",      # per-user window over Nx histories
+    "simsearch_kmeans_train": "docs",    # Nx sample vs fixed-K codebook
 }
 
 TABLES = [
@@ -102,6 +108,18 @@ def build_replica(spark, mode: str, factor: int, out_dir: str) -> None:
             .crossJoin(F.broadcast(rep))
             .withColumn("event_id", F.col("event_id") + F.col("rep") * evid_span)
             .withColumn("user_id", F.col("user_id") + F.col("rep") * uid_span)
+            .drop("rep")
+        )
+    elif mode == "customers":
+        # Nx customers with shifted keys: the synthetic parent(k)=k DIV 10
+        # hierarchy gets Nx nodes and (for shifted replicas) deeper key
+        # ranges — the closure's doubling rounds see a strictly larger
+        # pair table per round.
+        ckey_span = base("customer").agg(F.max("c_custkey")).collect()[0][0] + 1
+        replicated["customer"] = (
+            base("customer")
+            .crossJoin(F.broadcast(rep))
+            .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * ckey_span)
             .drop("rep")
         )
     elif mode == "docs":

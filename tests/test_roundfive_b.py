@@ -867,3 +867,48 @@ def test_union_schema_evolution_null_fill(spark, sf_dir):
         .count()
     )
     assert rows["(pre-schema)"].n == n_v1
+
+
+# ----------------------------------------------- batch Y (roundfive_p)
+
+
+def test_erasure_rewrites_only_affected_files(spark, sf_dir):
+    """Range clustering must confine targets to a subset of files; the
+    untouched files' bytes (mtimes) must not change across the erasure."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    root = tempfile.mkdtemp(prefix="hdc_erasure_t_")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src.repartitionByRange(6, "o_custkey").write.mode("overwrite").parquet(root)
+    target = FF.col("o_custkey") % 1000 == 7
+    before = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in os.listdir(root)
+        if f.endswith(".parquet")
+    }
+    affected = {
+        r.f
+        for r in spark.read.parquet(root)
+        .select(FF.col("_metadata.file_path").alias("f"))
+        .where(target)
+        .distinct()
+        .collect()
+    }
+    # range clustering: strictly fewer files touched than exist
+    assert 0 < len(affected) < len(before)
+    from urllib.parse import urlparse
+
+    cleaned = spark.read.parquet(*sorted(affected)).where(~target)
+    cleaned.write.mode("append").parquet(root)
+    for f in affected:
+        os.remove(urlparse(f).path)
+    after = spark.read.parquet(root)
+    assert after.where(target).count() == 0
+    assert after.count() == src.where(~target).count()
+    untouched = {os.path.basename(urlparse(f).path) for f in affected}
+    for name, mt in before.items():
+        if name not in untouched and os.path.exists(os.path.join(root, name)):
+            assert os.path.getmtime(os.path.join(root, name)) == mt
