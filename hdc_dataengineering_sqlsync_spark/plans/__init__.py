@@ -86,6 +86,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_n,
     roundfive_o,
     roundfive_p,
+    roundfive_q,
 )
 
 _LEDGER = os.path.join(

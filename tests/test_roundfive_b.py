@@ -912,3 +912,33 @@ def test_erasure_rewrites_only_affected_files(spark, sf_dir):
     for name, mt in before.items():
         if name not in untouched and os.path.exists(os.path.join(root, name)):
             assert os.path.getmtime(os.path.join(root, name)) == mt
+
+
+# ----------------------------------------------- batch Z (roundfive_q)
+
+
+def test_ab_test_cells_and_rates(spark, sf_dir):
+    r = CATALOG["wl_ab_test_ztest"].fn(spark, sf_dir).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_t + r.n_c == n_users
+    assert 0 <= r.conv_t <= r.n_t and 0 <= r.conv_c <= r.n_c
+    assert r.rate_t_bps == r.conv_t * 10000 // r.n_t
+    # z is NULL exactly when the pooled rate is degenerate (p = 0 or 1)
+    degenerate = (r.conv_t + r.conv_c) in (0, r.n_t + r.n_c)
+    assert (r.z_score is None) == degenerate
+
+
+def test_modified_after_filters_at_listing(spark, sf_dir):
+    df = CATALOG["scan_modified_after"].fn(spark, sf_dir)
+    r = df.collect()[0]
+    expected = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter("n_nationkey % 3 <> 0")
+        .count()
+    )
+    assert r.n == expected
