@@ -87,6 +87,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_o,
     roundfive_p,
     roundfive_q,
+    roundfive_r,
 )
 
 _LEDGER = os.path.join(

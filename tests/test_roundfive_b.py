@@ -942,3 +942,17 @@ def test_modified_after_filters_at_listing(spark, sf_dir):
         .count()
     )
     assert r.n == expected
+
+
+# ----------------------------------------------- batch AA (roundfive_r)
+
+
+def test_ring_rebalance_moves_small_fraction(spark, sf_dir):
+    """Adding one vnode to a 16-vnode ring must move roughly 1/17th of
+    keys — pinned under a 2x sanity ceiling — and never change the owner
+    of a key outside the new vnode's arc (owners count stays sane)."""
+    r = CATALOG["sync_consistent_hash_ring"].fn(spark, sf_dir).collect()[0]
+    assert r.n_keys > 0
+    assert 1 <= r.n_owners_base <= 16
+    assert 0 < r.n_moved < r.n_keys
+    assert r.moved_bps < 2 * 10000 // 17  # < 2/(V+1)
