@@ -346,10 +346,25 @@ def _spread(df: DataFrame) -> DataFrame:
     shuffle moves only the raw docs once, trivially cheaper than the
     hashing it parallelizes; when the input already has >= cores
     partitions (any real 100 TB scan), this is a no-op and no shuffle is
-    added."""
+    added.
+
+    Under-parallelism is detected from ``inputFiles()`` — a pure
+    driver-side file listing. Probing ``df.rdd.getNumPartitions()``
+    instead would MATERIALIZE upstream AQE query stages for any input
+    whose plan contains an exchange (a caller-supplied join/groupBy
+    result), silently executing the expensive upstream twice. Non-scan
+    inputs (empty listing) are left alone: they have already been
+    shuffled, so their parallelism is the session's shuffle setting.
+    The one imprecision — a single LARGE splittable file that Spark
+    would split into many tasks anyway — costs one harmless round-robin
+    pass of data the hash stage dwarfs."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

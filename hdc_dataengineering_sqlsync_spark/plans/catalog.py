@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Query", "CATALOG", "query"]
+__all__ = ["Query", "CATALOG", "query", "duck_md5_int"]
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
 
@@ -82,6 +82,20 @@ def normalize_oracle_rounding(sql: str) -> str:
             out.append(f"cast(cast({expr} AS DECIMAL(38,{scale})) AS DOUBLE)")
         i = k
     return "".join(out)
+
+
+def duck_md5_int(expr: str, nibbles: int) -> str:
+    """DuckDB SQL for the integer value of the first ``nibbles`` hex digits
+    of ``md5(expr)`` — the engine-portable hash idiom (Spark side:
+    ``conv(substr(md5(x), 1, n), 16, 10)``). One definition so every
+    oracle that mints md5-derived shard/ring positions shares the same
+    nibble reconstruction."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(parts) + ")"
 
 
 def _pin_utc(fn: SparkFn) -> SparkFn:

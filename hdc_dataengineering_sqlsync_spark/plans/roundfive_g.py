@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import duck_md5_int, query
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # ------------------- 2.7 scalar functions: Spark-4 collation semantics
@@ -233,12 +233,7 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_SPARK = (
     "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 32"
 )
-_SHARD_DUCK = (
-    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
-    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
-    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 32"
-)
+_SHARD_DUCK = f"{duck_md5_int('CAST(doc_id AS VARCHAR)', 4)} % 32"
 
 _SHARD_ORACLE = f"""
 WITH assigned AS (

@@ -20,7 +20,13 @@ _CLOSURE_ORACLE = """
 WITH RECURSIVE anc(child, anc, dist) AS (
   SELECT c_custkey, c_custkey // 10, 1 FROM customer WHERE c_custkey >= 10
   UNION ALL
-  SELECT a.child, a.anc // 10, a.dist + 1 FROM anc a WHERE a.anc >= 10
+  -- the recursive hop goes THROUGH a materialized vertex: the closure is
+  -- over edges whose intermediate endpoint exists as a customer row —
+  -- exactly what the doubling self-join traverses (a purely arithmetic
+  -- walk would silently diverge on any fixture with key gaps)
+  SELECT a.child, c.c_custkey // 10, a.dist + 1
+  FROM anc a JOIN customer c ON c.c_custkey = a.anc
+  WHERE a.anc >= 10
 )
 SELECT CAST(dist AS BIGINT) AS dist,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -47,7 +53,10 @@ def hier_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     In a TREE each (child, ancestor) pair has exactly one path, so the
     doubling join itself never duplicates a pair — only the carry-over
     union re-emits earlier rounds' short paths, and one distinct per
-    round removes them.
+    round removes them. Closure semantics: paths traverse MATERIALIZED
+    vertices (each intermediate ancestor must exist as a customer row —
+    what the self-join inherently requires); the oracle's recursive hop
+    joins customer for the same rule, so key-gapped fixtures agree.
 
     Scale shape: each round is ONE self-equi-join on (anc = child) plus
     a distinct — both hash-partitioned on the join key; localCheckpoint

@@ -238,10 +238,15 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = samp.orderBy("vec_id").limit(4).collect()
     centroids = [list(r.q) for r in seeds]  # k = seed rank by vec_id
 
-    def assign(cents: list[list[int]]):
+    def assign(cents: list[tuple[int, list[int]]]):
+        # cents carries (ORIGINAL cluster id, centroid): if a cluster
+        # empties after an update it simply drops out, and surviving
+        # clusters keep their ids — the oracle's cents1 behaves the same
+        # way, so labels can never silently compact (0,1,3 -> 0,1,2).
         cb = F.array(
-            *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in cents]
+            *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for _, c in cents]
         )
+        ks = F.array(*[F.lit(int(k)) for k, _ in cents])
         d2s = F.transform(
             cb,
             lambda c: F.aggregate(
@@ -253,11 +258,7 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single-pass argmin fold (ds evaluated once); strict < keeps the
         # FIRST minimum -> ties resolve to the smallest cluster id
         best = F.aggregate(
-            F.zip_with(
-                d2s,
-                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            ),
+            F.zip_with(d2s, ks, lambda d, i: F.struct(d.alias("d"), i.alias("i"))),
             F.struct(
                 F.lit(2**62).cast("long").alias("d"), F.lit(-1).alias("i")
             ),
@@ -267,7 +268,7 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "q", best["i"].alias("k"), best["d"].alias("d2")
         )
 
-    a1 = assign(centroids)
+    a1 = assign(list(enumerate(centroids)))
     sums = (
         a1.select("k", F.posexplode("q").alias("dim", "v"))
         .groupBy("k", "dim")
@@ -279,7 +280,7 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate toward zero: DuckDB integer `//` truncates, Python floors
         tv = abs(r.sv) // r.n
         upd.setdefault(r.k, [0] * 64)[r.dim] = tv if r.sv >= 0 else -tv
-    a2 = assign([upd[k] for k in sorted(upd)])
+    a2 = assign(sorted(upd.items()))
     return (
         a2.groupBy(F.col("k").cast("long").alias("k"))
         .agg(

@@ -133,13 +133,22 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         q.processAllAvailable()
         q.stop()
 
-    with stream_shuffle(spark):
-        run_phase([("K", T(0)), ("K", T(0, 30)), ("K2", T(4, 30)), ("X", T(6))])
-        run_phase([("K", T(6, 30)), ("K2", T(5, 15)), ("Y", T(7))])
-    return (
-        spark.read.schema(schema)
-        .parquet(out)
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_emitted"))
-        .orderBy("k")
-    )
+    import shutil
+
+    try:
+        with stream_shuffle(spark):
+            run_phase(
+                [("K", T(0)), ("K", T(0, 30)), ("K2", T(4, 30)), ("X", T(6))]
+            )
+            run_phase([("K", T(6, 30)), ("K2", T(5, 15)), ("Y", T(7))])
+        res = (
+            spark.read.schema(schema)
+            .parquet(out)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_emitted"))
+            .orderBy("k")
+        )
+        res.collect()  # materialize before the staging tree is removed
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

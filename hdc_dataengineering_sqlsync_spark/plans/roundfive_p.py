@@ -18,13 +18,21 @@ from pyspark.sql import functions as F
 from hdc_dataengineering_sqlsync_spark.plans.catalog import query
 from hdc_dataengineering_sqlsync_spark.registry import load
 
+# The erased band is dataset-relative (45%..45%+2% of the max subject
+# key) so the qid exercises a NON-EMPTY, properly-confined band at every
+# scale factor — identical integer arithmetic on both engines.
 _ERASURE_ORACLE = """
+WITH b AS (
+  SELECT MAX(o_custkey) * 45 // 100 AS lo,
+         MAX(o_custkey) * 45 // 100 + greatest(MAX(o_custkey) // 50, 1) AS hi
+  FROM orders
+)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
          AS total_cents,
-       CAST(COUNT(*) FILTER (WHERE o_custkey % 1000 = 7) AS BIGINT)
-         AS n_target_rows
-FROM orders WHERE o_custkey % 1000 <> 7
+       CAST(COUNT(*) FILTER (WHERE o_custkey >= b.lo AND o_custkey < b.hi)
+            AS BIGINT) AS n_target_rows
+FROM orders, b WHERE NOT (o_custkey >= b.lo AND o_custkey < b.hi)
 """
 
 
@@ -42,7 +50,11 @@ def sync_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     those files re-write (filtered); every other file is untouched on
     disk (byte-for-byte, mtime-asserted in the unit test). The final
     census proves completeness: zero target rows remain, everything
-    else survives.
+    else survives. The erased subjects here are a CONTIGUOUS key band —
+    the favorable case range clustering is designed to create; subjects
+    scattered across the key space degrade toward a full rewrite, which
+    is precisely the argument for clustering the table on the subject
+    key in the first place.
 
     Scale shape: detect = one aggregate over the scan's own metadata
     column; rewrite I/O ∝ files-containing-targets (with range
@@ -58,7 +70,10 @@ def sync_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # range-clustered layout on the subject key: targets concentrate
         # in few files instead of smearing over all of them
         src.repartitionByRange(6, "o_custkey").write.parquet(root)
-        target = F.col("o_custkey") % 1000 == 7
+        mx = src.agg(F.max("o_custkey")).collect()[0][0]
+        lo = mx * 45 // 100
+        hi = lo + max(mx // 50, 1)
+        target = (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)
         affected = [
             r.f
             for r in spark.read.parquet(root)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import duck_md5_int, query
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # Ring positions are md5-derived 24-bit integers, minted from closed-form
@@ -19,18 +19,8 @@ from hdc_dataengineering_sqlsync_spark.registry import load
 # the rebalance audit.
 _V_BASE = 16
 
-_POS = "({h1} * 65536 + {h2} * 256 + {h3})"
-
-
-def _hex_nibble_duck(expr: str, i: int) -> str:
-    return f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
-
-
 def _pos_duck(expr: str) -> str:
-    b1 = f"({_hex_nibble_duck(expr, 1)} * 16 + {_hex_nibble_duck(expr, 2)})"
-    b2 = f"({_hex_nibble_duck(expr, 3)} * 16 + {_hex_nibble_duck(expr, 4)})"
-    b3 = f"({_hex_nibble_duck(expr, 5)} * 16 + {_hex_nibble_duck(expr, 6)})"
-    return _POS.format(h1=b1, h2=b2, h3=b3)
+    return duck_md5_int(expr, 6)
 
 
 _RING_ORACLE = f"""
