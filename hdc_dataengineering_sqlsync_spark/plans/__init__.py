@@ -88,6 +88,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_p,
     roundfive_q,
     roundfive_r,
+    roundfive_s,
 )
 
 _LEDGER = os.path.join(

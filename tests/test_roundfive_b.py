@@ -1006,3 +1006,40 @@ def test_ring_rebalance_moves_small_fraction(spark, sf_dir):
     assert 1 <= r.n_owners_base <= 16
     assert 0 < r.n_moved < r.n_keys
     assert r.moved_bps < 2 * 10000 // 17  # < 2/(V+1)
+
+
+# ----------------------------------------------- batch BB (roundfive_s)
+
+
+def test_try_sum_vs_ansi_sum(spark, sf_dir):
+    """The same overflowing expression must raise under plain sum() and
+    yield NULL under try_sum()."""
+    import pytest
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "cast(round(o_totalprice * 100, 0) as bigint) * cast(1e9 as bigint) AS big"
+    )
+    assert df.selectExpr("try_sum(big) AS s").collect()[0].s is None
+    with pytest.raises(Exception):
+        df.selectExpr("sum(big) AS s").collect()
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """MAU conservation: new+retained+resurrected == MAU(m) and
+    retained+churned == MAU(m-1) for every month present in both."""
+    rows = {r.mo: r for r in CATALOG["wl_growth_accounting"].fn(spark, sf_dir).collect()}
+    mau = {
+        r.mo: r.n
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_custkey", "year(o_orderdate) * 12 + month(o_orderdate) AS mo")
+        .distinct()
+        .groupBy("mo")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for mo, r in rows.items():
+        if mo in mau:
+            assert r.n_new + r.n_retained + r.n_resurrected == mau[mo]
+        if mo - 1 in mau:
+            assert r.n_retained + r.n_churned == mau[mo - 1]
