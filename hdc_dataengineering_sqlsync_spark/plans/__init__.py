@@ -89,6 +89,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_q,
     roundfive_r,
     roundfive_s,
+    roundfive_t,
 )
 
 _LEDGER = os.path.join(

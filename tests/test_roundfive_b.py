@@ -1043,3 +1043,22 @@ def test_growth_accounting_identities(spark, sf_dir):
             assert r.n_new + r.n_retained + r.n_resurrected == mau[mo]
         if mo - 1 in mau:
             assert r.n_retained + r.n_churned == mau[mo - 1]
+
+
+# ----------------------------------------------- batch CC (roundfive_t)
+
+
+def test_rollup_cascade_scans_raw_once(spark, sf_dir):
+    """Lossless re-aggregation across levels; the census plan contains
+    no raw scan (each level materializes, coarser levels re-aggregate
+    the stored partials)."""
+    df = CATALOG["ts_rollup_cascade"].fn(spark, sf_dir)
+    # levels are materialized: the census plan re-reads checkpointed
+    # partials, never the raw fact stream
+    plan = _explain(df)
+    assert plan.count("events.parquet") == 0, plan
+    rows = {r.level: r for r in df.collect()}
+    a, b, c = rows["a_minute"], rows["b_hour"], rows["c_day"]
+    assert a.total_n == b.total_n == c.total_n
+    assert a.total_cents == b.total_cents == c.total_cents
+    assert a.n_buckets >= b.n_buckets >= c.n_buckets
