@@ -90,6 +90,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_r,
     roundfive_s,
     roundfive_t,
+    roundfive_u,
 )
 
 _LEDGER = os.path.join(

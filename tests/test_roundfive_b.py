@@ -1062,3 +1062,35 @@ def test_rollup_cascade_scans_raw_once(spark, sf_dir):
     assert a.total_n == b.total_n == c.total_n
     assert a.total_cents == b.total_cents == c.total_cents
     assert a.n_buckets >= b.n_buckets >= c.n_buckets
+
+
+# ----------------------------------------------- batch DD (roundfive_u)
+
+
+def test_dst_skipped_hour_and_fold(spark, sf_dir):
+    """Spring-forward: 02:xx local never appears in the converted fan.
+    Fall-back: some local wall time is produced by TWO distinct UTC
+    instants (the fold). Both fans must straddle exactly two offsets."""
+    from pyspark.sql import functions as FF
+
+    rows = {r.anchor: r for r in CATALOG["fn_timezone_dst_convert"].fn(spark, sf_dir).collect()}
+    assert rows["spring"].n_offsets == 2 and rows["fall"].n_offsets == 2
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spring_local = c.select(
+        FF.expr(
+            "from_utc_timestamp(TIMESTAMP '2024-03-10 02:00:00'"
+            " + make_dt_interval(0, 0, (c_custkey * 37) % 600, 0),"
+            " 'America/New_York') AS tl"
+        )
+    )
+    hours = {r.h for r in spring_local.select(FF.hour("tl").alias("h")).distinct().collect()}
+    assert 2 not in hours  # 02:xx local does not exist on 2024-03-10
+    # the fold, pinned explicitly: two UTC instants one hour apart map to
+    # the SAME local wall time on fall-back day
+    fold = spark.sql(
+        "SELECT from_utc_timestamp(TIMESTAMP '2024-11-03 05:30:00',"
+        " 'America/New_York') AS a,"
+        " from_utc_timestamp(TIMESTAMP '2024-11-03 06:30:00',"
+        " 'America/New_York') AS b"
+    ).collect()[0]
+    assert fold.a == fold.b
