@@ -91,6 +91,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_s,
     roundfive_t,
     roundfive_u,
+    roundfive_v,
 )
 
 _LEDGER = os.path.join(

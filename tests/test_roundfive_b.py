@@ -1094,3 +1094,25 @@ def test_dst_skipped_hour_and_fold(spark, sf_dir):
         " 'America/New_York') AS b"
     ).collect()[0]
     assert fold.a == fold.b
+
+
+# ----------------------------------------------- batch EE (roundfive_v)
+
+
+def test_anova_f_nonnegative_and_dof(spark, sf_dir):
+    r = CATALOG["wl_anova_oneway"].fn(spark, sf_dir).collect()[0]
+    assert r.k == 5 and r.n > r.k
+    assert r.f_stat is not None and r.f_stat >= 0.0
+
+
+def test_bround_bias_counts_even_halves(spark, sf_dir):
+    """bias_units must equal the number of EVEN integer parts (the ties
+    where HALF_UP and HALF_EVEN disagree)."""
+    r = CATALOG["fn_bround_half_even"].fn(spark, sf_dir).collect()[0]
+    n_even_k = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter("c_custkey % 2 = 0")
+        .count()
+    )
+    assert r.bias_units == n_even_k
+    assert r.sum_half_up == r.sum_half_even + r.bias_units
