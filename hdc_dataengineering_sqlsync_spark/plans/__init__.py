@@ -92,6 +92,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_t,
     roundfive_u,
     roundfive_v,
+    roundfive_w,
 )
 
 _LEDGER = os.path.join(

@@ -1116,3 +1116,48 @@ def test_bround_bias_counts_even_halves(spark, sf_dir):
     )
     assert r.bias_units == n_even_k
     assert r.sum_half_up == r.sum_half_even + r.bias_units
+
+
+# ----------------------------------------------- batch FF (roundfive_w)
+
+
+def test_orphan_gc_preserves_committed_bytes(spark, sf_dir):
+    """GC must remove exactly the uncommitted files and leave committed
+    files byte-untouched (mtime check); the manifest-resolved read is
+    identical before and after."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    root = tempfile.mkdtemp(prefix="hdc_gc_t_")
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    src.repartition(2).write.mode("overwrite").parquet(root)
+    committed = sorted(f for f in os.listdir(root) if f.endswith(".parquet"))
+    with open(os.path.join(root, "manifest.json"), "w") as fh:
+        json.dump({"files": committed}, fh)
+    before_rows = sorted(
+        spark.read.parquet(*[os.path.join(root, f) for f in committed]).collect()
+    )
+    mtimes = {f: os.path.getmtime(os.path.join(root, f)) for f in committed}
+    src.withColumn("r_name", FF.lit("ZOMBIE")).repartition(1).write.mode(
+        "append"
+    ).parquet(root)
+    orphans = [
+        f
+        for f in os.listdir(root)
+        if f.endswith(".parquet") and f not in committed
+    ]
+    assert len(orphans) == 1
+    for f in orphans:
+        os.remove(os.path.join(root, f))
+    after_rows = sorted(
+        spark.read.parquet(*[os.path.join(root, f) for f in committed]).collect()
+    )
+    assert after_rows == before_rows
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(root, f)) == mt
+    assert not [
+        f for f in os.listdir(root) if f.endswith(".parquet") and f not in committed
+    ]
