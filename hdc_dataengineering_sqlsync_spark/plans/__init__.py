@@ -93,6 +93,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_u,
     roundfive_v,
     roundfive_w,
+    roundfive_x,
 )
 
 _LEDGER = os.path.join(

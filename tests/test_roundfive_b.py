@@ -1161,3 +1161,16 @@ def test_orphan_gc_preserves_committed_bytes(spark, sf_dir):
     assert not [
         f for f in os.listdir(root) if f.endswith(".parquet") and f not in committed
     ]
+
+
+# ----------------------------------------------- batch GG (roundfive_x)
+
+
+def test_column_churn_matches_mutation_classes(spark, sf_dir):
+    rows = {r.col: r for r in CATALOG["sync_column_churn_profile"].fn(spark, sf_dir).collect()}
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert rows["c_name"].n_changed == c.filter("c_custkey % 5 = 0").count()
+    assert rows["c_acctbal"].n_changed == c.filter("c_custkey % 7 = 0").count()
+    # segment flips only register when the value actually differs
+    assert rows["c_mktsegment"].n_changed <= c.filter("c_custkey % 11 = 0").count()
+    assert all(0 <= r.churn_bps <= 10000 for r in rows.values())
