@@ -94,6 +94,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_v,
     roundfive_w,
     roundfive_x,
+    roundfive_y,
 )
 
 _LEDGER = os.path.join(

@@ -1174,3 +1174,29 @@ def test_column_churn_matches_mutation_classes(spark, sf_dir):
     # segment flips only register when the value actually differs
     assert rows["c_mktsegment"].n_changed <= c.filter("c_custkey % 11 = 0").count()
     assert all(0 <= r.churn_bps <= 10000 for r in rows.values())
+
+
+# ----------------------------------------------- batch HH (roundfive_y)
+
+
+def test_burstiness_classes_cover_vocab(spark, sf_dir):
+    rows = CATALOG["text_burstiness_dispersion"].fn(spark, sf_dir).collect()
+    assert {r.cls for r in rows} <= {"heavy", "bursty", "regular"}
+    vocab = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS t")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == vocab
+
+
+def test_kcore_monotone_contraction(spark, sf_dir):
+    rows = CATALOG["graph_kcore_peel3"].fn(spark, sf_dir).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes and b.n_edges <= a.n_edges
+    # every surviving node in the last materialized round has degree >= 3
+    # in the PRIOR round's edge set by construction; sanity: nonempty core
+    assert rows[-1].n_nodes > 0
