@@ -95,6 +95,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_w,
     roundfive_x,
     roundfive_y,
+    roundfive_z,
 )
 
 _LEDGER = os.path.join(

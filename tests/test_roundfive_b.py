@@ -1200,3 +1200,14 @@ def test_kcore_monotone_contraction(spark, sf_dir):
     # every surviving node in the last materialized round has degree >= 3
     # in the PRIOR round's edge set by construction; sanity: nonempty core
     assert rows[-1].n_nodes > 0
+
+
+# ----------------------------------------------- batch II (roundfive_z)
+
+
+def test_price_indices_bracket_fisher(spark, sf_dir):
+    r = CATALOG["wl_price_index_family"].fn(spark, sf_dir).collect()[0]
+    assert r.n_parts > 0
+    lo, hi = sorted([r.laspeyres_bps, r.paasche_bps])
+    assert lo * 0.9 <= r.fisher_index * 10000 <= hi * 1.1  # geometric mean sits between
+    assert r.laspeyres_bps > 0 and r.paasche_bps > 0
