@@ -96,6 +96,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_x,
     roundfive_y,
     roundfive_z,
+    roundfive_aa,
 )
 
 _LEDGER = os.path.join(

@@ -1211,3 +1211,25 @@ def test_price_indices_bracket_fisher(spark, sf_dir):
     lo, hi = sorted([r.laspeyres_bps, r.paasche_bps])
     assert lo * 0.9 <= r.fisher_index * 10000 <= hi * 1.1  # geometric mean sits between
     assert r.laspeyres_bps > 0 and r.paasche_bps > 0
+
+
+# ----------------------------------------------- batch JJ (roundfive_aa)
+
+
+def test_km_monotone_and_censoring(spark, sf_dir):
+    rows = CATALOG["wl_survival_kaplan_meier"].fn(spark, sf_dir).collect()
+    assert rows
+    # survival is non-increasing in t and within (0, 1]
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival <= a.survival + 1e-9
+        assert b.n_risk < a.n_risk or b.t > a.t
+    assert all(0.0 <= r.survival <= 1.0 for r in rows)
+    assert all(0 <= r.d <= r.n_risk for r in rows)
+    # the first at-risk count is the whole cohort
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_risk == n_cust
