@@ -97,6 +97,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_y,
     roundfive_z,
     roundfive_aa,
+    roundfive_ab,
 )
 
 _LEDGER = os.path.join(

@@ -1233,3 +1233,17 @@ def test_km_monotone_and_censoring(spark, sf_dir):
         .count()
     )
     assert rows[0].n_risk == n_cust
+
+
+# ----------------------------------------------- batch KK (roundfive_ab)
+
+
+def test_corr_matrix_single_scan_and_bounds(spark, sf_dir):
+    df = CATALOG["agg_corr_matrix_exact"].fn(spark, sf_dir)
+    # ONE moment pass: the 1-row moment table is materialized, so the
+    # census plan contains no fact scan at all
+    plan = _explain(df)
+    assert plan.count("lineitem.parquet") == 0, plan
+    rows = {r.pair: r.r for r in df.collect()}
+    assert set(rows) == {"q_p", "q_d", "p_d"}
+    assert all(-1.0 <= v <= 1.0 for v in rows.values())
