@@ -98,6 +98,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_z,
     roundfive_aa,
     roundfive_ab,
+    roundfive_ac,
 )
 
 _LEDGER = os.path.join(
