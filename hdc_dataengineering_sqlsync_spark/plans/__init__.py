@@ -99,6 +99,10 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_aa,
     roundfive_ab,
     roundfive_ac,
+    roundfive_ad,
+    roundfive_ae,
+    roundfive_af,
+    roundfive_ag,
 )
 
 _LEDGER = os.path.join(
