@@ -94,11 +94,16 @@ def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ 2.8 sync core
 
-# log10(1 + 1/d) to 4 decimals — fixed literals on BOTH sides so no libm
-# log10 ulp difference can leak into the comparison.
-_BENFORD = {1: 0.3010, 2: 0.1761, 3: 0.1249, 4: 0.0969, 5: 0.0792, 6: 0.0669, 7: 0.0580, 8: 0.0512, 9: 0.0458}
+# log10(1 + 1/d) in exact integer BASIS POINTS (×10000) — fixed integer
+# literals on BOTH sides, so neither libm log10 ulps nor double-rounding
+# repr-ties (the r5 driver red row) can leak into the comparison.
+_BENFORD_BPS = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
 
-_BENFORD_CASE = "CASE digit " + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()) + " END"
+_BENFORD_CASE = (
+    "CAST(CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_BPS.items())
+    + " END AS BIGINT)"
+)
 
 _BENFORD_ORACLE = f"""
 WITH digits AS (
@@ -111,9 +116,9 @@ census AS (
 ),
 tot AS (SELECT sum(n) AS total FROM census)
 SELECT digit, CAST(n AS BIGINT) AS n,
-       round(CAST(n AS DOUBLE) / total, 4) AS obs_pct,
-       {_BENFORD_CASE} AS exp_pct,
-       round(abs(round(CAST(n AS DOUBLE) / total, 4) - ({_BENFORD_CASE})), 4) AS abs_dev
+       CAST((n * 20000 + total) // (2 * total) AS BIGINT) AS obs_bps,
+       {_BENFORD_CASE} AS exp_bps,
+       CAST(abs((n * 20000 + total) // (2 * total) - ({_BENFORD_CASE})) AS BIGINT) AS abs_dev_bps
 FROM census, tot ORDER BY digit
 """
 
@@ -122,25 +127,28 @@ FROM census, tot ORDER BY digit
 def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit audit on order totals — the fraud /
     synthetic-data screen: observed digit shares vs the Benford expectation
-    log10(1+1/d) (fixed 4-decimal literals on both sides, so no libm
-    divergence). The leading digit comes from exact cents (×100 shifts the
-    decimal point, leaving the first significant digit unchanged), so the
-    census is pure integer counting — one map-side-combinable aggregate to
-    9 rows, then literal arithmetic over already-rounded shares."""
+    log10(1+1/d), both in exact integer basis points. The leading digit
+    comes from exact cents (×100 shifts the decimal point, leaving the first
+    significant digit unchanged), so the census is pure integer counting —
+    one map-side-combinable aggregate to 9 rows. The observed share rounds
+    half-up via pure integer division ``(n·20000 + total) div (2·total)``
+    (all positive, so Spark ``div`` == DuckDB ``//``), eliminating the
+    double-rounded derived ratio that tie-broke differently across engines
+    in the r5 driver environment."""
     o = load(spark, sf_dir, "orders")
     digit = F.substring(F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1).cast("int")
     census = o.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     tot = census.agg(F.sum("n").alias("total"))
-    exp_pct = F.expr(_BENFORD_CASE)
-    obs_pct = F.round(F.col("n").cast("double") / F.col("total"), 4)
+    obs_bps = F.expr("(n * 20000 + total) div (2 * total)").cast("long")
+    exp_bps = F.expr(_BENFORD_CASE.replace(" // ", " div "))
     return (
         census.crossJoin(F.broadcast(tot))
         .select(
             "digit",
             "n",
-            obs_pct.alias("obs_pct"),
-            exp_pct.alias("exp_pct"),
-            F.round(F.abs(obs_pct - exp_pct), 4).alias("abs_dev"),
+            obs_bps.alias("obs_bps"),
+            exp_bps.alias("exp_bps"),
+            F.abs(obs_bps - exp_bps).cast("long").alias("abs_dev_bps"),
         )
         .orderBy("digit")
     )
@@ -711,7 +719,8 @@ _TREND_ORACLE = """
 WITH pt AS (
   SELECT l_returnflag,
          (CAST(year(l_shipdate) AS BIGINT) - 1995) * 12 + month(l_shipdate) AS x,
-         CAST(round(round(avg(l_extendedprice), 2) * 100, 0) AS BIGINT) AS yc
+         (2 * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) + count(*))
+           // (2 * count(*)) AS yc
   FROM lineitem GROUP BY l_returnflag, x
 ),
 s AS (
@@ -732,16 +741,26 @@ def wl_price_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS trend slope of the monthly average price per returnflag — linear
     regression AS AN AGGREGATE (the closed-form normal equation), the way
     a 100 TB engine fits millions of tiny per-group models: no solver, no
-    iteration, just sums. Determinism: the monthly averages snap to
-    2 decimals and then to int64 cents, the month index is an integer, so
-    every Σx, Σy, Σxy, Σx² is EXACT int64 (order-free) and the single
-    final division is identical IEEE in both engines. Two keyed aggregates
-    — months per flag, then one row per flag; both map-side combinable."""
+    iteration, just sums. Determinism: the monthly average snaps to int64
+    cents via pure half-up integer division ``(2·Σcents + n) div (2n)``
+    (the r6 replacement for ``round(avg(price),2)`` — avg is a derived
+    ratio whose 2-decimal rounding can land on a repr tie, the exact class
+    that turned dq_benford_firstdigit red in the r5 driver), the month
+    index is an integer, so every Σx, Σy, Σxy, Σx² is EXACT int64
+    (order-free) and the single final division is identical IEEE in both
+    engines. Two keyed aggregates — months per flag, then one row per
+    flag; both map-side combinable."""
     li = load(spark, sf_dir, "lineitem")
     x = ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     pt = (
         li.groupBy("l_returnflag", x.alias("x"))
-        .agg(F.round(F.round(F.avg("l_extendedprice"), 2) * 100, 0).cast("long").alias("yc"))
+        .agg(F.sum(cents).alias("sc"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "l_returnflag",
+            "x",
+            F.expr("(2 * sc + cnt) div (2 * cnt)").alias("yc"),
+        )
     )
     s = pt.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -72,8 +72,11 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2.5 windows",
     """
     SELECT event_id,
-           round(round(sum(value) OVER w, 2) / count(*) OVER w, 2) AS mov_avg,
-           round(sum(value) OVER w, 2) AS mov_sum
+           CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                 + count(*) OVER w) // (2 * count(*) OVER w) AS DOUBLE) / 100
+             AS mov_avg,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE) / 100
+             AS mov_sum
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -83,22 +86,32 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving sum/avg over a 4-row frame.
 
-    mov_avg is round(rounded_sum / frame_count) rather than round(avg(...)):
-    DuckDB evaluates sliding frames with a segment tree (different fp
-    summation order than Spark's sequential pass), so raw avgs differ at ulp
-    level and the 2-decimal `value` data puts true avgs exactly on .xx5
-    rounding boundaries. Rounding the sum first (boundary-free for 2-decimal
-    data) makes the dividend bit-identical across engines.
+    Exact-integer arithmetic end-to-end (r6): per-row 2-decimal values snap
+    to int64 cents BEFORE the frame sum, so the sliding sum is order-free
+    exact integer regardless of DuckDB's segment-tree vs Spark's sequential
+    frame evaluation; mov_avg rounds half-up in pure integer division
+    ``(2·Σcents + n) div (2n)``. The former ``round(rounded_sum/count, 2)``
+    rounded a derived ratio that can sit exactly on a .xx5 repr tie (e.g.
+    10.01/2 = 5.005) — the cross-engine tie-break class that turned
+    dq_benford_firstdigit red in the r5 driver. The final /100 of an exact
+    integer is the single IEEE op, identical in both engines.
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
-    mov_sum = F.round(F.sum("value").over(w), 2)
-    cnt = F.count(F.lit(1)).over(w)
-    return e.select(
-        "event_id",
-        F.round(mov_sum / cnt, 2).alias("mov_avg"),
-        mov_sum.alias("mov_sum"),
-    ).orderBy("event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        e.select(
+            "event_id",
+            F.sum(cents).over(w).alias("sc"),
+            F.count(F.lit(1)).over(w).alias("cnt"),
+        )
+        .select(
+            "event_id",
+            (F.expr("(2 * sc + cnt) div (2 * cnt)").cast("double") / 100).alias("mov_avg"),
+            (F.col("sc").cast("double") / 100).alias("mov_sum"),
+        )
+        .orderBy("event_id")
+    )
 
 
 @query(
