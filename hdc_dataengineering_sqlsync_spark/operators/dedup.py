@@ -176,11 +176,21 @@ def shingle_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_col: str = "lang",
+    left_ids: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram (k-word-shingle) Jaccard near-dup pairs, blocked by
     ``block_col``. Same relational plan as ``jaccard_pairs`` but over
     k-shingles instead of unigrams — shingles catch local word order, the
     standard near-dup signal (and the exact-verify stage behind MinHash-LSH).
+
+    ``left_ids`` (optional, single ``id_col`` column) restricts the LEFT
+    (lower-id) side of the pair join to a document sample BEFORE the
+    shingle self-join — the scale path for exact-truth evaluation legs:
+    the quadratic all-pairs scan becomes |sample|·n, linear in the corpus
+    for a fixed sample. The filter is a broadcast semi-join (the sample is
+    small by construction), so only sampled docs' shingles enter the join
+    build side; pairs keep the ``id_a < id_b`` convention, i.e. a pair
+    survives iff its LOWER id is sampled.
     """
     sh = _spread(docs).select(
         F.col(id_col),
@@ -188,7 +198,8 @@ def shingle_jaccard_pairs(
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k=k_shingle))).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk_a"), "shingle")
+    sh_left = sh if left_ids is None else sh.join(F.broadcast(left_ids), id_col, "left_semi")
+    a = sh_left.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk_b"), "shingle")
     inter = (
         a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")) & (a.shingle == b.shingle))

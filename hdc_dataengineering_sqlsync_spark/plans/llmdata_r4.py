@@ -345,7 +345,16 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (K ~ n / target_cell_size). K=16 here; the r4 10x stress probe measured
 # the cliff at K=4 (6.9s -> 95s for 10x vectors) and the fix is more
 # cells, not a different algorithm.
-_SEM_K = 16
+# Data-driven codebook size (r6): K = ceil(n / _SEM_TARGET_CELL), so the
+# expected cell population stays ~constant and the intra-cell pair scan
+# stays LINEAR in n (n·target/2 candidate pairs) instead of quadratic at a
+# fixed K. 128 reproduces the former K=16 exactly at the sf0.1 bench table
+# (2000 vectors) while the 10x stress probe (20k vectors) gets 157 cells.
+_SEM_TARGET_CELL = 128
+
+
+def _sem_k(n: int) -> int:
+    return max(1, (n + _SEM_TARGET_CELL - 1) // _SEM_TARGET_CELL)
 
 
 def _sem_cent(c: int) -> list[int]:
@@ -353,31 +362,31 @@ def _sem_cent(c: int) -> list[int]:
 
 
 def _semantic_dedup_oracle() -> str:
-    def dot(c: list[int]) -> str:
-        arr = "[" + ", ".join(str(v) for v in c) + "]"
-        return (
-            "cast(list_sum(list_transform(range(1, 65), i -> "
-            f"cast(round(embedding[i] * 1000, 0) AS BIGINT) * ({arr})[i])) AS BIGINT)"
-        )
-
-    dots = ",\n         ".join(f"{dot(_sem_cent(k))} AS d{k}" for k in range(_SEM_K))
-    best = (
-        "CASE "
-        + " ".join(
-            "WHEN "
-            + " AND ".join(f"d{c} >= d{o}" for o in range(_SEM_K) if o != c)
-            + f" THEN {c}"
-            for c in range(_SEM_K - 1, -1, -1)
-        )
-        + " END"
-    )
+    # K is computed FROM THE DATA inside the SQL (same ceil(n/target) as the
+    # Spark side); the codebook entry is the same closed form as _sem_cent,
+    # with DuckDB's 1-based range(1,65) index i standing in for j+1. The
+    # argmax-with-ties-toward-the-GREATEST-cell is len - indexof(reversed,
+    # max): list_indexof returns the FIRST (1-based) hit in the reversed
+    # list, i.e. the LAST maximal cell in the original order.
     return f"""
-WITH dots AS (
-  SELECT vec_id, embedding,
-         {dots}
+WITH kk AS (
+  SELECT CAST(greatest(1, (count(*) + {_SEM_TARGET_CELL - 1}) // {_SEM_TARGET_CELL}) AS BIGINT)
+           AS k
   FROM embeddings
 ),
-cells AS (SELECT vec_id, embedding, {best} AS cell FROM dots),
+dots AS (
+  SELECT vec_id, embedding,
+         list_transform(range(0, kk.k), c ->
+           cast(list_sum(list_transform(range(1, 65), i ->
+             cast(round(embedding[i] * 1000, 0) AS BIGINT)
+             * ((i * (2 * c + 3) * 11) % 41 - 20))) AS BIGINT)) AS ds
+  FROM embeddings, kk
+),
+cells AS (
+  SELECT vec_id, embedding,
+         CAST(len(ds) - list_indexof(list_reverse(ds), list_max(ds)) AS INT) AS cell
+  FROM dots
+),
 pairs AS (
   SELECT a.cell,
          cast(list_sum(list_transform(range(1, 65), i ->
@@ -402,75 +411,84 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 argmax over the closed-form codebook, ties toward the greatest
     cell), and the quadratic pair scan runs ONLY inside each cell —
     candidate pairs drop from O(n^2) to sum(|cell|^2), and cells shard
-    across the cluster. K is the scale dial (K ~ n / target_cell_size):
-    the r4 10x stress probe measured 95s at K=4 vs the K=16 form here —
-    the remedy for growth is MORE cells, same algorithm. Near pair =
+    across the cluster. K is DATA-DRIVEN since r6: K = ceil(n / 128), so
+    the expected cell stays ~128 vectors and the candidate-pair count is
+    LINEAR in n (n·64 pairs) at any scale — the r4 10x stress probe
+    measured 95s at a fixed K=4 vs seconds with cells held at target size;
+    n comes from parquet footer metadata on the driver (no Spark job). Near pair =
     exact int64 dot >= 150000 (~cos 0.15 at 1e-3 quantization). Compare
     dedup_embedding_cosine (label-blocked exact baseline): same pair
     math, blocking key learned from the data instead of a given label.
     Output: per non-empty cell (n_members, n_near_pairs)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType
+
+    from hdc_dataengineering_sqlsync_spark.registry import rowcount
+
     e = load(spark, sf_dir, "embeddings")
+    k = _sem_k(rowcount(sf_dir, "embeddings"))
     q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
     from hdc_dataengineering_sqlsync_spark.operators.dedup import _spread
 
-    # materialize the quantized vector BEFORE the K dot products:
-    # projection collapse would otherwise inline the 64-dim cast/round
-    # transform into every one of the K dot expressions (K x 64 ops/row
-    # instead of 64); _spread un-pins the map from a single landing file.
-    quantized = _spread(e).select("vec_id", q.alias("q")).localCheckpoint(eager=True)
-    # K lives in DATA (an array-of-codebook-rows literal), not in CODE:
-    # the earlier 16-column dot forest + greatest(struct x16) compiled a
-    # janino unit so large that codegen dominated cold runtime (~50s at
-    # vanilla sf0.1); one transform over the codebook array computes the
-    # same K dots, and the argmax (ties toward the GREATEST cell, matching
-    # the oracle's d_c >= d_o convention) is array_position on the
-    # reversed dot list.
-    codebook = F.array(
-        *[F.array(*[F.lit(v).cast("long") for v in _sem_cent(k)]) for k in range(_SEM_K)]
-    )
-    ds = F.transform(
-        codebook,
-        lambda c: F.aggregate(
-            F.zip_with("q", c, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ),
-    )
-    # single-pass argmax fold so ds is evaluated ONCE (reverse+array_max
-    # would inline the whole dot list twice); `>=` keeps later (greater)
-    # cells on ties — the oracle's convention.
-    cell = F.aggregate(
-        F.zip_with(ds, F.sequence(F.lit(0), F.lit(_SEM_K - 1)), lambda d, i: F.struct(d.alias("d"), i.alias("i"))),
-        F.struct(F.lit(-(2**62)).cast("long").alias("d"), F.lit(-1).alias("i")),
-        lambda acc, x: F.when(x["d"] >= acc["d"], x).otherwise(acc),
-    )["i"].cast("int")
-    cells = (
-        quantized.select("vec_id", "q", cell.alias("cell"))
-        # consumed 3x (both self-join sides + member census); the K x 64-dim
-        # argmax is the expensive part — materialize it once
-        .localCheckpoint()
-    )
-    b = cells.select(
-        F.col("cell").alias("cell2"), F.col("vec_id").alias("v2"), F.col("q").alias("q2")
-    )
-    pdot = F.aggregate(
-        F.zip_with("q", "q2", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    near = (
-        cells.join(b, (F.col("cell") == F.col("cell2")) & (F.col("vec_id") < F.col("v2")))
-        .select("cell", pdot.alias("pdot"))
-        .where(F.col("pdot") >= 150000)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_near_pairs"))
-    )
-    members = cells.groupBy("cell").agg(F.countDistinct("vec_id").alias("n_members"))
-    return (
-        members.join(near, "cell", "left")
-        .select(
-            "cell",
-            "n_members",
-            F.coalesce(F.col("n_near_pairs"), F.lit(0).cast("long")).alias("n_near_pairs"),
+    # single linear pipeline since r6 (quantize → assign → per-cell census),
+    # so no checkpoint: the quantized vector has exactly one consumer (the
+    # Arrow batch feeding _assign) and is computed once per row either way;
+    # _spread un-pins the scan from a single landing file.
+    quantized = _spread(e).select("vec_id", q.alias("q"))
+    # Assignment is a dense int64 matmul (n×64 @ 64×K) + argmax — with K
+    # data-driven this is the dominant term, and Spark higher-order
+    # functions are CodegenFallback (interpreted per element), so the r5
+    # transform/aggregate fold paid K·64 interpreted ops per row. An
+    # Arrow-batched pandas UDF runs the same exact integer math through
+    # numpy BLAS-style batch matmul instead: identical results (int64
+    # end-to-end, no floats), ~an order of magnitude faster per batch.
+    # Ties go to the GREATEST cell (the oracle's d_c >= d_o convention):
+    # argmax over the column-REVERSED dot matrix returns the first max of
+    # the reversed order, i.e. the last maximal cell.
+    codebook_np = np.array([_sem_cent(c) for c in range(k)], dtype=np.int64)
+
+    def _assign_batch(qs):
+        qm = np.array(qs.tolist(), dtype=np.int64)
+        dots = qm @ codebook_np.T
+        idx = (dots.shape[1] - 1) - np.argmax(dots[:, ::-1], axis=1)
+        return pd.Series(idx.astype("int32"))
+
+    # no type hints: the module-wide `from __future__ import annotations`
+    # turns them into strings pyspark can't resolve against fn-local imports
+    _assign = F.pandas_udf(_assign_batch, IntegerType())
+
+    # Intra-cell pair census via applyInPandas: the pair ROWS never
+    # materialize (the r5 self-join shipped |cell|²/2 pairs × two 64-long
+    # arrays each through the shuffle and an interpreted HOF dot per pair);
+    # here each cell group arrives once as one Arrow batch and the pair
+    # scan is a single n×n int64 matmul + upper-triangle count in numpy.
+    # Per-cell work is bounded by the data-driven K holding cells at
+    # ~_SEM_TARGET_CELL members, so a group is a ~128×64 matrix — a
+    # microsecond-scale matmul — and only (cell, 2 counters) leaves Python.
+    def _cell_stats(pdf):
+        pdf = pdf.sort_values("vec_id")
+        qm = np.array(pdf["q"].tolist(), dtype=np.int64)
+        dots = qm @ qm.T
+        iu = np.triu_indices(len(pdf), k=1)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_members": [int(pdf["vec_id"].nunique())],
+                "n_near_pairs": [int((dots[iu] >= 150000).sum())],
+            }
         )
+
+    return (
+        quantized.select("vec_id", "q", _assign("q").alias("cell"))
+        # explicit hash partitioning on the group key: AQE would coalesce
+        # the tiny cell shuffle to ~3 tasks and serialize the per-cell
+        # pandas censuses; an explicit width keeps all cores on the Arrow
+        # groups and already satisfies applyInPandas' required
+        # distribution, so no second shuffle is inserted.
+        .repartition(32, "cell")
+        .groupBy("cell")
+        .applyInPandas(_cell_stats, "cell int, n_members long, n_near_pairs long")
         .orderBy("cell")
     )
 

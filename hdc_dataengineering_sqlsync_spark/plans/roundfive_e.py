@@ -136,14 +136,20 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_RECALL_ORACLE = None  # assembled below from the shared minhash CTEs
 
 
+_RECALL_SAMPLE_K = 1000
+
+
 def _build_dedup_recall_oracle() -> str:
     from hdc_dataengineering_sqlsync_spark.plans.llmdata import _MINHASH_CTES
 
     return f"""
 WITH {_MINHASH_CTES},
+smp AS (SELECT doc_id FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_RECALL_SAMPLE_K}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         WHERE a.doc_id IN (SELECT doc_id FROM smp)),
 sh2 AS (
   SELECT DISTINCT t.doc_id, d.lang,
          array_to_string(t.t[CAST(i.i AS INT):CAST(i.i + 2 AS INT)], ' ') AS shingle
@@ -155,6 +161,7 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM sh2 a JOIN sh2 b
     ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM smp)
   GROUP BY a.doc_id, b.doc_id
 ),
 truth AS (
@@ -189,10 +196,15 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability 1/2, so >=0.5 truth pairs land mostly above the S-curve
     knee and recall should be high but honestly below 100%.
 
-    Scale shape: both legs are the already-declared scale shapes (banded
-    equi-join candidates; df-bounded shingle join for truth — at 100 TB
-    the truth leg runs on a SAMPLE, documented); the evaluation join
-    touches two slim pair lists."""
+    Scale shape (r6): the exact-truth leg is SAMPLED — a deterministic
+    md5 bottom-k document sample (the sample_hash_bottomk idiom, k=1000,
+    TakeOrderedAndProject so no single-partition sort) restricts the
+    LOWER-id side of both the exact shingle join and the candidate set,
+    so the formerly-quadratic truth scan is |sample|·n — LINEAR in the
+    corpus — and recall is estimated over the same deterministic pair
+    subpopulation on both engines. At sf<=0.01 the sample covers every
+    doc, so small-SF results are unchanged. The evaluation join touches
+    two slim pair lists."""
     from hdc_dataengineering_sqlsync_spark.operators.dedup import (
         _band_buckets,
         _minhash_sigs,
@@ -200,6 +212,12 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
+    smp = (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(_RECALL_SAMPLE_K)
+        .select("doc_id")
+    )
     # Candidate PAIR SET only: the recall metric never reads est_jaccard,
     # so this leg runs dedup_minhash_banded's signature/band/bucket
     # machinery but skips its estimate join (two signature re-joins) and
@@ -212,7 +230,9 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
         3,
     )
-    ba = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    ba = buckets.join(F.broadcast(smp), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_a"), "band", "bkey"
+    )
     bb = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
     cand = (
         ba.join(bb, ["band", "bkey"])
@@ -220,7 +240,7 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    truth = shingle_jaccard_pairs(docs, k_shingle=3, threshold=0.5).select(
+    truth = shingle_jaccard_pairs(docs, k_shingle=3, threshold=0.5, left_ids=smp).select(
         F.col("doc_id").alias("id_a"), F.col("doc_id2").alias("id_b")
     )
     caught = truth.join(cand, ["id_a", "id_b"], "left_semi")

@@ -126,6 +126,21 @@ def path_for(sf_dir: str, table: str) -> str:
     return f"{sf_dir.rstrip('/')}/{table}.parquet"
 
 
+def rowcount(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTER metadata, no Spark job.
+
+    For data-driven plan parameters (e.g. the semantic-dedup codebook size
+    K = ceil(n/target)) the count is needed on the DRIVER before the plan
+    is built; ``df.count()`` is also metadata-only under Spark's parquet
+    aggregate pushdown but still schedules a job per fragment. Reading the
+    footers via pyarrow.dataset is milliseconds and works for both a
+    single parquet file and a directory of part files."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path_for(sf_dir, table), format="parquet")
+    return sum(frag.metadata.num_rows for frag in ds.get_fragments())
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one registry table with its declared schema.
 
