@@ -74,18 +74,23 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def decode_image(payload: bytes):
     """Decode an image payload to an HxWx3 uint8 RGB numpy array.
 
-    REAL for uncompressed 24-bit BMP (pure numpy/struct — no codec library
-    needed; see operators/media_codecs.py, oracle-verified by the
-    multimodal_decode_image qid). Compressed formats (JPEG/PNG/...) still
-    raise: those genuinely need a codec library absent from this container;
-    swap in Pillow/opencv here when available — the mapInPandas contract
-    (binary in, array out) is unchanged.
+    REAL for uncompressed 24-bit BMP (pure numpy/struct) and — since r6 —
+    8-bit truecolor PNG (stdlib zlib inflate + full five-predictor
+    scanline unfilter; see operators/media_codecs.py, oracle-verified by
+    the multimodal_decode_image / multimodal_decode_png qids). Formats
+    whose codecs are genuinely absent from this container (JPEG/WebP/...)
+    still raise; swap in Pillow/opencv here when available — the
+    mapInPandas contract (binary in, array out) is unchanged.
     """
     if bytes(payload[:2]) == b"BM":
         from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_bmp
 
         return decode_bmp(bytes(payload))
-    raise NotImplementedError("compressed image decode requires a codec library (not in container)")
+    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_png
+
+        return decode_png(bytes(payload))
+    raise NotImplementedError("JPEG/WebP image decode requires a codec library (not in container)")
 
 
 def decode_audio(payload: bytes):

@@ -103,6 +103,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_ae,
     roundfive_af,
     roundfive_ag,
+    roundsix,
 )
 
 _LEDGER = os.path.join(

@@ -1,0 +1,185 @@
+"""Round-6 unit tests: PNG codec (all five filter predictors) and the
+deterministic merges-table BPE (engine apply == pure-Python reference)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+    decode_png,
+    encode_png,
+)
+from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
+from hdc_dataengineering_sqlsync_spark.plans.roundsix import (
+    _BPE_MERGES,
+    _BPE_STEPS,
+    bpe_tokenize_reference,
+    bpe_tokens_spark,
+)
+
+
+# --------------------------------------------------------------- PNG codec
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 1), (5, 3), (6, 8), (11, 17), (12, 4)])
+def test_png_roundtrip_all_filters(h, w):
+    """h >= 5 exercises every predictor (encoder filter type is y % 5);
+    the small shapes hit the no-left-neighbor / no-up-row edges."""
+    rng = np.random.default_rng(h * 100 + w)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == (h, w, 3)
+    assert (out == px).all()
+
+
+def test_png_container_layout():
+    """Signature, IHDR fields, chunk CRCs, IEND terminator."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = encode_png(px)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    (ln,) = struct.unpack_from(">I", payload, 8)
+    assert payload[12:16] == b"IHDR" and ln == 13
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(">IIBBBBB", payload, 16)
+    assert (w, h, depth, ctype, comp, filt, interlace) == (3, 2, 8, 2, 0, 0, 0)
+    # every chunk CRC must verify
+    pos = 8
+    names = []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        name = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        assert crc == (zlib.crc32(name + body) & 0xFFFFFFFF), name
+        names.append(bytes(name))
+        pos += 12 + ln
+    assert names == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_png_filter_bytes_cycle():
+    """The encoder really emits filter types 0..4 (decoder coverage proof)."""
+    px = np.random.default_rng(1).integers(0, 256, (7, 4, 3), dtype=np.uint8)
+    payload = encode_png(px)
+    (ln,) = struct.unpack_from(">I", payload, 33)
+    assert payload[37:41] == b"IDAT"
+    raw = zlib.decompress(payload[41 : 41 + ln])
+    stride = 4 * 3 + 1
+    assert [raw[y * stride] for y in range(7)] == [0, 1, 2, 3, 4, 0, 1]
+
+
+def test_decode_image_dispatches_png():
+    px = np.random.default_rng(2).integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert (decode_image(encode_png(px)) == px).all()
+
+
+def test_decode_image_still_raises_for_compressed_codecs():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+
+
+def test_png_rejects_non_truecolor():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(px))
+    payload[25] = 6  # color type RGBA (decode_png doesn't verify CRCs)
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png(bytes(payload))
+
+
+# ------------------------------------------------------------ BPE tokenizer
+
+_FIXTURE_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "customer", "column", "filter",
+    "small", "slow", "merge", "order", "vector", "line", "data", "table",
+    "agg", "value", "key", "stream", "window", "spark", "a", "group",
+    "part", "big", "sort", "query", "fast", "the", "dup",
+]
+
+_EDGE_WORDS = [
+    "a",            # single char, zero merges
+    "aaa",          # overlapping pair occurrences (left-to-right, non-greedy)
+    "zzzz",         # no pair ever ranks
+    "smalll",       # merge chain then a dangling repeat
+    "rowrow",       # merged token adjacent to itself
+    "erer",         # rank-0 pair twice
+    "tableer",      # late merge creating a new rankable pair
+    "xcustomerx",   # ranked word embedded in unranked context
+]
+
+
+def test_bpe_reference_known_tokenizations():
+    assert bpe_tokenize_reference("customer") == ["customer"]
+    assert bpe_tokenize_reference("table") == ["t", "a", "b", "l", "e"]
+    assert bpe_tokenize_reference("join") == ["join"]
+    assert bpe_tokenize_reference("aaa") == ["a", "a", "a"]
+    assert bpe_tokenize_reference("erer") == ["er", "er"]
+
+
+def test_bpe_merges_table_reproduces_from_fixture_vocab():
+    """The frozen table IS the frequency-weighted training output on the
+    sf0.01 vocabulary (ties lexicographic); guards accidental edits."""
+    import duckdb
+
+    vocab = dict(
+        duckdb.sql(
+            "SELECT word, count(*) FROM (SELECT unnest("
+            "string_split_regex(lower(text),'\\s+')) AS word "
+            "FROM '/root/testdata/sf0.01/documents.parquet') GROUP BY word"
+        ).fetchall()
+    )
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(len(_BPE_MERGES)):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, toks in words.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] = pairs.get((toks[i], toks[i + 1]), 0) + vocab[w]
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, toks in words.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and (toks[i], toks[i + 1]) == best:
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            words[w] = out
+    assert merges == _BPE_MERGES
+
+
+def test_bpe_unroll_depth_covers_fixture_vocab():
+    """Every fixture word reaches its fixpoint within _BPE_STEPS merges
+    (a word of L chars needs at most L-1)."""
+    assert max(len(w) for w in _FIXTURE_VOCAB) - 1 <= _BPE_STEPS
+
+
+def test_bpe_spark_matches_reference(spark):
+    words = sorted(set(_FIXTURE_VOCAB + _EDGE_WORDS))
+    vocab = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: list(r["bpe_tokens"]) for r in bpe_tokens_spark(vocab).collect()}
+    for w in words:
+        assert got[w] == bpe_tokenize_reference(w), w
+
+
+def test_bpe_duckdb_oracle_matches_reference(oracle, sf_dir):
+    """The oracle's unrolled CTE chain tokenizes the live fixture vocab
+    identically to the reference (token-level, not just counts)."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundsix import _bpe_oracle_steps
+
+    sql = f"""
+    WITH wc AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    bpe0 AS (SELECT word, string_split(word,'') AS t FROM wc WHERE word <> '')
+    {_bpe_oracle_steps()}
+    SELECT word, t FROM bpe_final
+    """
+    for word, toks in oracle.execute(sql).fetchall():
+        assert list(toks) == bpe_tokenize_reference(word), word
