@@ -93,7 +93,7 @@ FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
-@query("multimodal_decode_png", "2.9 llm-data", _PNG_ORACLE)
+@query("multimodal_decode_png", "2.9 llm-data", _PNG_ORACLE, bench=True)
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode, oracle-verified: closed-form pixels →
     actual PNG bytes (encode_png: per-row filter cycling None/Sub/Up/
@@ -205,6 +205,10 @@ def bpe_tokens_spark(vocab: DataFrame, word_col: str = "word") -> DataFrame:
     )
     df = vocab.select(F.col(word_col).alias("word"), F.split(word_col, "").alias("t"))
     for _ in range(_BPE_STEPS):
+        # three projections per step (ranks -> first-best index -> rebuilt
+        # tokens): array_position propagates array_min's NULL, so no
+        # separate "best" column is needed, and IF(i IS NULL) doubles as
+        # the fixpoint guard
         df = df.select(
             "word",
             "t",
@@ -214,12 +218,11 @@ def bpe_tokens_spark(vocab: DataFrame, word_col: str = "word") -> DataFrame:
                 + "), cast(array() as array<int>))"
             ).alias("r"),
         )
-        df = df.select("word", "t", "r", F.expr("array_min(r)").alias("b"))
-        df = df.select("word", "t", "r", "b", F.expr("array_position(r, b)").alias("i"))
+        df = df.select("word", "t", F.expr("array_position(r, array_min(r))").alias("i"))
         df = df.select(
             "word",
             F.expr(
-                "IF(b IS NULL, t, concat("
+                "IF(i IS NULL, t, concat("
                 "slice(t,1,cast(i-1 as int)), "
                 "array(concat(element_at(t,cast(i as int)),element_at(t,cast(i+1 as int)))), "
                 "slice(t,cast(i+2 as int),size(t))))"
@@ -264,7 +267,7 @@ GROUP BY wc.lang ORDER BY wc.lang
 """
 
 
-@query("text_token_count_bpe", "2.9 llm-data", _BPE_ORACLE)
+@query("text_token_count_bpe", "2.9 llm-data", _BPE_ORACLE, bench=True)
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword token accounting with a deterministic merges-table BPE —
     the unit real LLM pipelines budget in, closing the gap between the
