@@ -363,12 +363,16 @@ def _spread(df: DataFrame) -> DataFrame:
     driver-side file listing. Probing ``df.rdd.getNumPartitions()``
     instead would MATERIALIZE upstream AQE query stages for any input
     whose plan contains an exchange (a caller-supplied join/groupBy
-    result), silently executing the expensive upstream twice. Non-scan
-    inputs (empty listing) are left alone: they have already been
-    shuffled, so their parallelism is the session's shuffle setting.
-    The one imprecision — a single LARGE splittable file that Spark
-    would split into many tasks anyway — costs one harmless round-robin
-    pass of data the hash stage dwarfs."""
+    result), silently executing the expensive upstream twice. Inputs with
+    an EMPTY listing (pure exchange output, in-memory relations) are left
+    alone: they have already been shuffled, so their parallelism is the
+    session's shuffle setting. Two accepted imprecisions, both one
+    harmless extra round-robin pass of data the hash stage dwarfs:
+    (1) a single LARGE splittable file that Spark would split into many
+    tasks anyway, and (2) a join/union OF file scans — ``inputFiles()``
+    reports the union of LEAF files even when the plan already contains
+    an exchange, so an already-shuffled wide input whose leaf-file count
+    is below the core count gets repartitioned once more."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:

@@ -3,8 +3,10 @@
 The container has no image/audio codec libraries (Pillow, opencv, soundfile),
 so round 1 stubbed every decode behind NotImplementedError. BMP and WAV,
 however, are *container formats with no compression* — header parsing plus a
-numpy reshape — so they are implemented for real here and the stubs now cover
-only genuinely codec-requiring formats (JPEG/PNG/MP3/...).
+numpy reshape — so they are implemented for real here; so are PNG (compression = stdlib
+zlib DEFLATE, r6) and GIF (compression = LZW, fully specified by the
+format and implemented below, r6). The stubs now cover only formats whose
+codecs are genuinely library-bound (JPEG/WebP/MP3/...).
 
 These are the engine's reference decode path: the multimodal catalog queries
 synthesize valid BMP/WAV payloads from a closed-form pixel/sample pattern,
@@ -34,6 +36,8 @@ __all__ = [
     "decode_wav",
     "encode_png",
     "decode_png",
+    "encode_gif",
+    "decode_gif",
 ]
 
 _BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, filesize, res, res, data offset
@@ -232,3 +236,170 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     return out.reshape(h, w, 3).copy()
+
+
+# --------------------------------------------------------------------- GIF
+#
+# GIF's compression is LZW — a dictionary coder fully specified in the
+# format (variable code width 3..12 bits, CLEAR/EOI codes, LSB-first
+# bitstream chopped into <=255-byte sub-blocks). No codec library needed:
+# the dictionary machinery below is ~60 lines each way. Implemented for
+# single-frame, global-color-table images (the still-image shape); the
+# encoder is a REAL LZW compressor (builds the dictionary, grows the code
+# width, resets at 4096), so a round-trip exercises genuine variable-width
+# code sequences, not a degenerate uncompressed stream.
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an HxW uint8 index matrix + Px3 palette as a GIF89a.
+
+    Real LZW: dictionary build, width growth at code-space exhaustion,
+    CLEAR-code reset when the 12-bit space fills.
+    """
+    if indices.ndim != 2:
+        raise ValueError(f"expected HxW index matrix, got shape {indices.shape}")
+    p = len(palette)
+    depth = max(2, (int(p) - 1).bit_length())  # GCT size is a power of two >= 4
+    if indices.max(initial=0) >= (1 << depth):
+        raise ValueError("index out of palette range")
+    h, w = indices.shape
+    gct = np.zeros((1 << depth, 3), dtype=np.uint8)
+    gct[:p] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor, no LCT
+
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code, width = eoi + 1, min_code + 1
+    emit(clear, width)
+    stream = indices.astype(np.uint8).tobytes()
+    wseq = stream[:1]
+    for b in stream[1:]:
+        cand = wseq + bytes([b])
+        if cand in table:
+            wseq = cand
+            continue
+        emit(table[wseq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12) - 1:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code, width = eoi + 1, min_code + 1
+        wseq = bytes([b])
+    if stream:
+        emit(table[wseq], width)
+    emit(eoi, width)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a single-frame GIF to an HxWx3 uint8 RGB array: header +
+    global color table, skip extensions, LZW-inflate the image data
+    (variable code width, CLEAR/EOI), map indices through the palette."""
+    if bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 7) + 1)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF contains no image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    ct = gct
+    if iflags & 0x80:
+        n = 1 << ((iflags & 7) + 1)
+        ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if ct is None:
+        raise ValueError("GIF has no color table")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = bitpos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if bitpos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[bitpos] << nbits
+            bitpos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    idx = np.frombuffer(bytes(out), np.uint8, w * h).reshape(h, w)
+    return ct[idx].copy()

@@ -2,12 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata structs.
 The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
-batch shapes — is real and tested. Decode/resize are REAL for uncompressed
-formats that need no codec library (24-bit BMP, 16-bit PCM WAV — pure
-numpy/stdlib, see operators/media_codecs.py) and oracle-verified by the
-multimodal_decode_* / multimodal_resize_stats qids; only compressed formats
-(JPEG/PNG/MP3/...) remain stubbed behind NotImplementedError because their
-codec libraries are not in this container. ``extract_features`` keeps its
+batch shapes — is real and tested. Decode/resize are REAL for every
+format whose compression ships with the standard library or needs none:
+24-bit BMP and 16-bit PCM WAV (r3), 8-bit truecolor PNG (zlib DEFLATE +
+five-predictor unfilter, r6), and single-frame GIF (full LZW, r6) — all
+pure numpy/stdlib (operators/media_codecs.py) and oracle-verified by the
+multimodal_decode_* / multimodal_resize_stats qids. Only formats whose
+codecs are genuinely library-bound (JPEG/WebP/MP3/...) remain stubbed
+behind NotImplementedError. ``extract_features`` keeps its
 deterministic byte-stats featurizer (the multimodal_extract oracle mirrors
 it in SQL) — a real encoder slots into the same mapInPandas stage.
 
@@ -76,8 +78,9 @@ def decode_image(payload: bytes):
 
     REAL for uncompressed 24-bit BMP (pure numpy/struct) and — since r6 —
     8-bit truecolor PNG (stdlib zlib inflate + full five-predictor
-    scanline unfilter; see operators/media_codecs.py, oracle-verified by
-    the multimodal_decode_image / multimodal_decode_png qids). Formats
+    scanline unfilter) and single-frame GIF (full LZW: variable code
+    width, CLEAR/EOI, 4096-reset; see operators/media_codecs.py,
+    oracle-verified by the multimodal_decode_image/_png/_gif qids). Formats
     whose codecs are genuinely absent from this container (JPEG/WebP/...)
     still raise; swap in Pillow/opencv here when available — the
     mapInPandas contract (binary in, array out) is unchanged.
@@ -90,6 +93,10 @@ def decode_image(payload: bytes):
         from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_png
 
         return decode_png(bytes(payload))
+    if bytes(payload[:4]) == b"GIF8":
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_gif
+
+        return decode_gif(bytes(payload))
     raise NotImplementedError("JPEG/WebP image decode requires a codec library (not in container)")
 
 

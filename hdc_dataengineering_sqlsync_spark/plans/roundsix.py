@@ -309,3 +309,102 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------- 2.9 llm-data: real GIF/LZW decode
+
+# Third real codec, second COMPRESSED one: GIF's LZW is fully specified by
+# the format, so encode and decode are pure stdlib/numpy. Distinct subset
+# (m % 6 = 0) and a palette-indexed closed form — the decode path is
+# different in kind from PNG's (dictionary coder vs filtered DEFLATE).
+_GIF_SUBSET = "doc_id % 6 = 0"
+
+# Fixed 16-color palette: channel values are closed-form in the index so
+# the oracle can reconstruct RGB from pure integer arithmetic.
+#   palette[i] = ((i*17) % 256, (i*29) % 256, (i*53) % 256)
+# pixel index: idx(x, y) = (3m + x + 2y) % 16
+_GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("n_colors", T.LongType()),
+    ]
+)
+
+_GIF_ORACLE = f"""
+WITH m AS (SELECT doc_id, 5 + (doc_id % 7) * 3 AS w, 4 + (doc_id % 5) * 2 AS h
+           FROM documents WHERE {_GIF_SUBSET}),
+px AS (
+  SELECT m.doc_id, m.w, m.h,
+         (3 * m.doc_id + xs.x + 2 * ys.y) % 16 AS idx
+  FROM m
+  JOIN (SELECT unnest(range(0, 23)) AS x) xs ON xs.x < m.w
+  JOIN (SELECT unnest(range(0, 12)) AS y) ys ON ys.y < m.h
+)
+SELECT doc_id AS media_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(sum((idx * 17) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((idx * 29) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((idx * 53) % 256) AS BIGINT) AS b_sum,
+       CAST(count(DISTINCT idx) AS BIGINT) AS n_colors
+FROM px GROUP BY doc_id, w, h ORDER BY media_id
+"""
+
+
+def _gif_palette() -> np.ndarray:
+    i = np.arange(16)
+    return np.stack([(i * 17) % 256, (i * 29) % 256, (i * 53) % 256], axis=1).astype(np.uint8)
+
+
+@query("multimodal_decode_gif", "2.9 llm-data", _GIF_ORACLE)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode, oracle-verified: closed-form
+    palette indices → actual GIF89a bytes (encode_gif: true LZW — the
+    dictionary builds, the code width grows, the 12-bit space resets) →
+    byte-level decode (decode_gif: header/extension walk, variable-width
+    LSB-first bitstream inflate, palette mapping) → exact int64 channel
+    sums + distinct-color census. The oracle reconstructs the same sums
+    from the index closed form and the palette closed form — any LZW or
+    container bug mismatches, and every stat is integer-exact. Scale
+    posture identical to the PNG/BMP paths: encode and decode inside ONE
+    mapInPandas partition, payloads never shuffle."""
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import encode_gif
+    from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
+
+    pal = _gif_palette()
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for m in pdf["doc_id"]:
+                m = int(m)
+                w, h = 5 + (m % 7) * 3, 4 + (m % 5) * 2
+                y, x = np.mgrid[0:h, 0:w]
+                idx = ((3 * m + x + 2 * y) % 16).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(payload).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        px.shape[1],
+                        px.shape[0],
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(len(np.unique(px.reshape(-1, 3), axis=0))),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _GIF_STATS_SCHEMA.fields])
+
+    docs = load(spark, sf_dir, "documents").where(_GIF_SUBSET)
+    media = docs.select("doc_id").mapInPandas(enc, schema=_PNG_MEDIA_SCHEMA)
+    return media.mapInPandas(dec, schema=_GIF_STATS_SCHEMA).orderBy("media_id")

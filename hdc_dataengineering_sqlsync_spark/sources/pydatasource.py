@@ -357,6 +357,13 @@ class SyntheticArrowReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 8))
+        # fail fast with a readable message on the driver — partitions < 1
+        # would otherwise surface as an opaque empty-partition-list failure
+        # Spark-side, and negative rows would silently yield no data
+        if self.n_rows < 0:
+            raise ValueError(f"rows must be >= 0, got {self.n_rows}")
+        if self.n_parts < 1:
+            raise ValueError(f"partitions must be >= 1, got {self.n_parts}")
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(i) for i in range(self.n_parts)]

@@ -183,3 +183,74 @@ def test_bpe_duckdb_oracle_matches_reference(oracle, sf_dir):
     """
     for word, toks in oracle.execute(sql).fetchall():
         assert list(toks) == bpe_tokenize_reference(word), word
+
+
+# ------------------------------------------------- ADVICE r5: option guards
+
+
+def test_synthetic_arrow_reader_validates_options():
+    from hdc_dataengineering_sqlsync_spark.sources.pydatasource import SyntheticArrowReader
+
+    with pytest.raises(ValueError, match="partitions"):
+        SyntheticArrowReader({"rows": 10, "partitions": 0})
+    with pytest.raises(ValueError, match="rows"):
+        SyntheticArrowReader({"rows": -1, "partitions": 2})
+    r = SyntheticArrowReader({"rows": 0, "partitions": 2})  # empty is legal
+    assert len(r.partitions()) == 2
+
+
+# --------------------------------------------------------------- GIF codec
+
+
+@pytest.mark.parametrize("h,w,p", [(1, 1, 4), (3, 5, 16), (8, 8, 16), (40, 60, 16), (9, 9, 3)])
+def test_gif_roundtrip(h, w, p):
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(h * 100 + w)
+    pal = rng.integers(0, 256, (p, 3), dtype=np.uint8)
+    idx = rng.integers(0, p, (h, w), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_lzw_dictionary_reset():
+    """A long low-entropy stream fills the 12-bit code space and forces the
+    CLEAR-code reset path on both sides."""
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = (np.indices((300, 300)).sum(axis=0) % 4).astype(np.uint8)
+    payload = encode_gif(idx, pal)
+    assert len(payload) < idx.size  # really compressed
+    assert (decode_gif(payload) == pal[idx]).all()
+
+
+def test_gif_skips_extension_blocks():
+    """decode must walk over 0x21 extension blocks (real encoders emit
+    GCE/comment extensions before the image descriptor)."""
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    payload = bytearray(encode_gif(idx, pal))
+    # splice a Graphic Control Extension right before the image descriptor
+    desc = payload.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    patched = bytes(payload[:desc]) + gce + bytes(payload[desc:])
+    assert (decode_gif(patched) == pal[idx]).all()
+
+
+def test_decode_image_dispatches_gif():
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import encode_gif
+
+    pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    idx = np.array([[0, 1, 1]], dtype=np.uint8)
+    assert (decode_image(encode_gif(idx, pal)) == pal[idx]).all()
