@@ -104,6 +104,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_af,
     roundfive_ag,
     roundsix,
+    roundsix_b,
 )
 
 _LEDGER = os.path.join(

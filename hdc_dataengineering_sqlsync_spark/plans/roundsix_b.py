@@ -1,0 +1,311 @@
+"""SURVEY.md §2 round-6 batch B: exact-arithmetic statistical tests and
+robust estimators.
+
+Chi-square independence (per-cell exact contributions — no cross-cell
+float sum exists anywhere), Mann-Whitney U with tie-corrected normal
+approximation (doubled integer midranks, the Spearman idiom), Theil-Sen
+robust trend slope (median of pairwise slopes over the reduced month
+grain), and exact DISCRETE percentiles (distinct-value census + cumulative
+window — zero floating point end to end).
+
+Every oracle follows the determinism rules in FIXTURES.md: exact int64 /
+decimal(38,0) until at most ONE final IEEE op per output, shared
+expression strings where a float formula is unavoidable, and raw
+(unrounded) doubles in the output when both engines provably compute the
+identical bits — re-rounding identical doubles is exactly the repr-tie
+class that made dq_benford_firstdigit flap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+# ------------------------- 2.12 workloads: chi-square independence census
+
+_CHISQ_ORACLE = """
+WITH cell AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         count(*) AS o
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT segment, priority, o,
+         sum(o) OVER (PARTITION BY segment) AS r,
+         sum(o) OVER (PARTITION BY priority) AS c,
+         sum(o) OVER () AS n
+  FROM cell
+)
+SELECT segment, priority, CAST(o AS BIGINT) AS o,
+       CAST((2000 * r * c + n) // (2 * n) AS BIGINT) AS e_milli,
+       CAST(CAST(n * o - r * c AS HUGEINT) * CAST(n * o - r * c AS HUGEINT)
+            AS DOUBLE) / CAST(n * r * c AS DOUBLE) AS chi2_term
+FROM m ORDER BY segment, priority
+"""
+
+
+@query("wl_chisq_independence", "2.12 composite workloads", _CHISQ_ORACLE)
+def wl_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment × order priority)
+    reported as the PER-CELL contribution table — the contingency audit
+    behind cohort-balance checks. Per-cell algebra avoids the float
+    Σ(o−e)²/e entirely: term = (N·o − r·c)² / (N·r·c) with the numerator
+    squared in exact decimal(38,0)/HUGEINT (fits to N ≈ 3·10⁹ rows; past
+    that, pre-scale counts to thousands — the test statistic is scale-free)
+    and ONE double division per cell, so no cross-cell float sum with an
+    engine-dependent order exists anywhere. Expected counts report in
+    exact half-up integer milli-units. One keyed count + three window
+    margins over the 25-cell table; the fact table is reduced before any
+    window. χ² itself is Σ of the 25 cells — left to the reader/driver
+    because summing 25 doubles is the one order-dependent op."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = cell.select(
+        "segment",
+        "priority",
+        "o",
+        F.sum("o").over(Window.partitionBy("segment")).alias("r"),
+        F.sum("o").over(Window.partitionBy("priority")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("decimal(38,0)")
+    return m.select(
+        "segment",
+        "priority",
+        F.col("o").cast("long").alias("o"),
+        F.expr("(2000 * r * c + n) div (2 * n)").cast("long").alias("e_milli"),
+        ((num * num).cast("double") / (F.col("n") * F.col("r") * F.col("c")).cast("double")).alias(
+            "chi2_term"
+        ),
+    ).orderBy("segment", "priority")
+
+
+# ---------------------------- 2.12 workloads: Mann-Whitney U (tie-corrected)
+
+# The z formula is ONE string fed to both engines (the _det3 idiom): every
+# input column is an exact int64, so the IEEE expression trees are
+# identical by construction. u2 is the DOUBLED U statistic (doubled
+# midranks keep tie averages integral — the Spearman idiom).
+# NB: bare decimal literals (12.0) parse as DECIMAL in Spark but DOUBLE in
+# DuckDB — a 1-ulp trap found during this qid's gate; CAST(... AS DOUBLE)
+# is the portable spelling.
+_MWU_Z_EXPR = (
+    "(u2 - n1 * n2) / (2 * sqrt((n1 * n2) / CAST(12 AS DOUBLE)"
+    " * ((n + 1) - tsum / (n * (n - CAST(1 AS DOUBLE))))))"
+)
+
+_MWU_ORACLE = f"""
+WITH s AS (
+  SELECT l_quantity AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+census AS (
+  SELECT v, CAST(sum(g1) AS BIGINT) AS t1, count(*) AS t
+  FROM s GROUP BY v
+),
+ranked AS (
+  SELECT t1, t,
+         2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS midrank2
+  FROM census
+),
+agg AS (
+  SELECT CAST(sum(t1) AS BIGINT) AS n1,
+         CAST(sum(t - t1) AS BIGINT) AS n2,
+         CAST(sum(t1 + t - t1) AS BIGINT) AS n,
+         CAST(sum(t1 * midrank2) AS BIGINT) AS r1_2,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(u2 AS BIGINT) AS u2,
+       {_MWU_Z_EXPR} AS z
+FROM (SELECT n1, n2, n, tsum, r1_2 - n1 * (n1 + 1) AS u2 FROM agg)
+"""
+
+
+@query("wl_mannwhitney_u", "2.12 composite workloads", _MWU_ORACLE)
+def wl_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum): do RETURNED lineitems (flag R)
+    carry a different quantity distribution than accepted ones (flag A) —
+    the nonparametric two-sample test a pipeline reaches for when
+    distributions are skewed. Exactness: the
+    combined ranking collapses to a DISTINCT-VALUE census (50 quantity
+    values at any corpus size — the win_range_frame idiom), midranks are
+    kept DOUBLED so ties stay integral, U is exact int64, and the
+    tie-corrected normal z is one shared expression string over exact
+    integers — identical IEEE trees in both engines, output raw
+    (re-rounding identical doubles is the repr-tie trap). Scale: one
+    map-side-combinable value census, one 50-row window, one 1-row
+    aggregate; nothing downstream of the census scales with the data."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "A"))
+    s = li.select(
+        F.col("l_quantity").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+    )
+    census = s.groupBy("v").agg(F.sum("g1").alias("t1"), F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = census.select(
+        "t1",
+        "t",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1).alias("midrank2"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("t1") * F.col("midrank2")).alias("r1_2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
+    )
+    u2 = agg.select(
+        "n1",
+        "n2",
+        "n",
+        "tsum",
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u2"),
+    )
+    return u2.select("n1", "n2", "u2", F.expr(_MWU_Z_EXPR).alias("z"))
+
+
+# --------------------------- 2.10 time series: Theil-Sen robust trend slope
+
+
+
+@query(
+    "ts_theil_sen_slope",
+    "2.10 streaming/time series",
+    """
+WITH pt AS (
+  SELECT l_returnflag AS flag,
+         (CAST(year(l_shipdate) AS BIGINT) - 1995) * 12 + month(l_shipdate) AS x,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS y
+  FROM lineitem GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.flag, (b.y - a.y) / (b.x - a.x) AS slope
+  FROM pt a JOIN pt b ON a.flag = b.flag AND b.x > a.x
+),
+ranked AS (
+  SELECT flag, slope,
+         row_number() OVER (PARTITION BY flag ORDER BY slope) AS i,
+         count(*) OVER (PARTITION BY flag) AS m
+  FROM slopes
+),
+med AS (
+  SELECT flag, CAST(max(m) AS BIGINT) AS n_pairs,
+         sum(CASE WHEN m % 2 = 1 AND i = (m + 1) // 2 THEN slope
+                  WHEN m % 2 = 0 AND (i = m // 2 OR i = m // 2 + 1) THEN slope / 2
+             END) AS sen_slope_cents
+  FROM ranked GROUP BY flag
+)
+SELECT flag, n_pairs, sen_slope_cents FROM med ORDER BY flag
+""",
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of monthly revenue per returnflag —
+    the median of all pairwise month-to-month slopes, the outlier-immune
+    alternative to the OLS wl_price_trend_slope. Scale: the fact table
+    reduces to the (flag, month) grain FIRST (≤ ~84 points per flag), so
+    the pairwise self-join is bounded at ~3.5k pairs per flag — the
+    classic reduce-then-quadratic shape, never corpus-quadratic. Each
+    slope is ONE int64/int64 IEEE division (identical bits both engines);
+    the median picks the middle value(s) by rank — equal-slope tie order
+    cannot change the selected VALUE — and the even-count average
+    `(s_k + s_{k+1})/2` is expressed as sum(s/2) over the two middle
+    ranks so both engines add in the same order. Output raw doubles:
+    re-rounding identical doubles is the repr-tie trap."""
+    li = load(spark, sf_dir, "lineitem")
+    x = ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pt = li.groupBy(F.col("l_returnflag").alias("flag"), x.alias("x")).agg(
+        F.sum(cents).alias("y")
+    )
+    a = pt.select(F.col("flag"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pt.select(F.col("flag").alias("flag_b"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, (F.col("flag") == F.col("flag_b")) & (F.col("xb") > F.col("xa")))
+        .select("flag", ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("slope"))
+    )
+    wri = Window.partitionBy("flag").orderBy("slope")
+    wall = Window.partitionBy("flag")
+    ranked = slopes.select(
+        "flag",
+        "slope",
+        F.row_number().over(wri).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    odd_mid = (F.col("m") % 2 == 1) & (2 * F.col("i") == F.col("m") + 1)
+    even_mid = (F.col("m") % 2 == 0) & (
+        (2 * F.col("i") == F.col("m")) | (2 * F.col("i") == F.col("m") + 2)
+    )
+    return (
+        ranked.groupBy("flag")
+        .agg(
+            F.max("m").alias("n_pairs"),
+            F.sum(
+                F.when(odd_mid, F.col("slope")).when(even_mid, F.col("slope") / 2)
+            ).alias("sen_slope_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --------------------- 2.4 aggregations: exact DISCRETE percentiles
+
+_PCTDISC_ORACLE = """
+WITH census AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v, count(*) AS t
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT flag, v,
+         sum(t) OVER (PARTITION BY flag ORDER BY v) AS cum,
+         sum(t) OVER (PARTITION BY flag) AS n
+  FROM census
+)
+SELECT flag,
+       min(CASE WHEN 100 * cum >= 25 * n THEN v END) AS p25,
+       min(CASE WHEN 100 * cum >= 50 * n THEN v END) AS p50,
+       min(CASE WHEN 100 * cum >= 75 * n THEN v END) AS p75,
+       min(CASE WHEN 100 * cum >= 99 * n THEN v END) AS p99
+FROM ranked GROUP BY flag ORDER BY flag
+"""
+
+
+@query("agg_percentile_disc", "2.4 aggregations", _PCTDISC_ORACLE)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (type-1 quantiles: the smallest data
+    value whose cumulative count reaches ⌈p·n⌉) of extended price per
+    returnflag — the quantile definition with NO floating point anywhere:
+    the answer is an actual data value and the threshold test
+    `100·cum ≥ k·n` is pure integer arithmetic, so cross-engine equality
+    is by construction (contrast agg_percentile, whose interpolation
+    needs ulp-snapping). Scale: the sort collapses to a DISTINCT-VALUE
+    census (map-side combinable) before the window — the cumulative pass
+    runs over |distinct prices|, not |rows| — and the final min-CASE
+    aggregate is one tiny rollup per flag."""
+    li = load(spark, sf_dir, "lineitem")
+    census = li.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("flag")
+    ranked = census.select(
+        "flag",
+        "v",
+        F.sum("t").over(wcum).alias("cum"),
+        F.sum("t").over(wall).alias("n"),
+    )
+    pick = lambda k: F.min(  # noqa: E731
+        F.when(100 * F.col("cum") >= k * F.col("n"), F.col("v"))
+    ).alias(f"p{k}")
+    return ranked.groupBy("flag").agg(pick(25), pick(50), pick(75), pick(99)).orderBy("flag")
