@@ -744,10 +744,10 @@ _CENTROIDS = [[-20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11,
 _CENTROID_ASSIGN_ORACLE = """
 WITH dots AS (
   SELECT vec_id,
-         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([-20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15])[i])) AS BIGINT) AS d0,
-         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16])[i])) AS BIGINT) AS d1,
-         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6])[i])) AS BIGINT) AS d2,
-         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000, 0) AS BIGINT) * ([-9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4])[i])) AS BIGINT) AS d3
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000) AS BIGINT) * ([-20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15])[i])) AS BIGINT) AS d0,
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000) AS BIGINT) * ([11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16])[i])) AS BIGINT) AS d1,
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000) AS BIGINT) * ([1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6])[i])) AS BIGINT) AS d2,
+         cast(list_sum(list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000) AS BIGINT) * ([-9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4, 13, -11, 6, -18, -1, 16, -8, 9, -15, 2, 19, -5, 12, -12, 5, -19, -2, 15, -9, 8, -16, 1, 18, -6, 11, -13, 4, -20, -3, 14, -10, 7, -17, 0, 17, -7, 10, -14, 3, 20, -4])[i])) AS BIGINT) AS d3
   FROM embeddings
 ),
 long AS (

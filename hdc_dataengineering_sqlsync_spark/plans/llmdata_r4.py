@@ -232,7 +232,7 @@ def _pq_oracle() -> str:
     def dot(s: int, c: int) -> str:
         cent = _pq_cent(s, c)
         terms = " + ".join(
-            f"CAST(round(embedding[{s * _PQ_DIMS + j + 1}] * 1000, 0) AS BIGINT) * ({cent[j]})"
+            f"CAST(round(embedding[{s * _PQ_DIMS + j + 1}] * 1000) AS BIGINT) * ({cent[j]})"
             for j in range(_PQ_DIMS)
         )
         return f"CAST({terms} AS BIGINT)"
@@ -378,7 +378,7 @@ dots AS (
   SELECT vec_id, embedding,
          list_transform(range(0, kk.k), c ->
            cast(list_sum(list_transform(range(1, 65), i ->
-             cast(round(embedding[i] * 1000, 0) AS BIGINT)
+             cast(round(embedding[i] * 1000) AS BIGINT)
              * ((i * (2 * c + 3) * 11) % 41 - 20))) AS BIGINT)) AS ds
   FROM embeddings, kk
 ),
@@ -390,8 +390,8 @@ cells AS (
 pairs AS (
   SELECT a.cell,
          cast(list_sum(list_transform(range(1, 65), i ->
-             cast(round(a.embedding[i] * 1000, 0) AS BIGINT)
-             * cast(round(b.embedding[i] * 1000, 0) AS BIGINT))) AS BIGINT) AS pdot
+             cast(round(a.embedding[i] * 1000) AS BIGINT)
+             * cast(round(b.embedding[i] * 1000) AS BIGINT))) AS BIGINT) AS pdot
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT c.cell, count(DISTINCT c.vec_id) AS n_members,

@@ -254,3 +254,28 @@ def test_decode_image_dispatches_gif():
     pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
     idx = np.array([[0, 1, 1]], dtype=np.uint8)
     assert (decode_image(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+# ---------------------------------------------------- persisted IVF layout
+
+
+def test_ivf_persisted_index_layout(spark, sf_dir):
+    """The index table really lands partitioned by cell (directory-level
+    posting lists), and the query output is exact top-3 per query."""
+    import pathlib
+
+    from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+    from hdc_dataengineering_sqlsync_spark.plans.scans import _rt_base
+
+    rows = CATALOG["simsearch_ivf_persisted"].fn(spark, sf_dir).collect()
+    idx_dir = pathlib.Path(str(_rt_base(sf_dir) / "ivf_index"))
+    cells = [p.name for p in idx_dir.iterdir() if p.name.startswith("cell=")]
+    assert len(cells) >= 2, cells
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["dot"]))
+    for q, rr in per_q.items():
+        ranks = [x[0] for x in sorted(rr)]
+        assert ranks == list(range(1, len(ranks) + 1)), (q, rr)
+        dots = [x[1] for x in sorted(rr)]
+        assert dots == sorted(dots, reverse=True), (q, rr)
