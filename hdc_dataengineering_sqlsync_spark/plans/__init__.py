@@ -105,6 +105,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundfive_ag,
     roundsix,
     roundsix_b,
+    roundsix_c,
 )
 
 _LEDGER = os.path.join(
