@@ -301,3 +301,91 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{_BB_MEAN_EXPR} + {_BB_WIDTH_EXPR}").alias("upper"),
         F.expr(f"{_BB_MEAN_EXPR} - {_BB_WIDTH_EXPR}").alias("lower"),
     ).orderBy("day")
+
+
+# ----------------------- 2.10 time series: Mann-Kendall trend test (exact)
+
+# continuity-corrected z over exact ints s (the MK S statistic) and vars18
+# (18·Var(S), integer by construction) — one shared string
+_MK_Z_EXPR = (
+    "CASE WHEN s > 0 THEN (s - 1) / sqrt(vars18 / CAST(18 AS DOUBLE)) "
+    "WHEN s < 0 THEN (s + 1) / sqrt(vars18 / CAST(18 AS DOUBLE)) "
+    "ELSE CAST(0 AS DOUBLE) END"
+)
+
+_MK_ORACLE = f"""
+WITH pt AS (
+  SELECT l_returnflag AS flag,
+         (CAST(year(l_shipdate) AS BIGINT) - 1995) * 12 + month(l_shipdate) AS x,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS y
+  FROM lineitem GROUP BY 1, 2
+),
+s AS (
+  SELECT a.flag,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS s,
+         count(*) AS n_pairs
+  FROM pt a JOIN pt b ON a.flag = b.flag AND b.x > a.x
+  GROUP BY a.flag
+),
+n AS (SELECT flag, count(*) AS n FROM pt GROUP BY flag),
+ties AS (
+  SELECT flag, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tsum
+  FROM (SELECT flag, y, count(*) AS t FROM pt GROUP BY flag, y)
+  GROUP BY flag
+)
+SELECT s.flag, CAST(n.n AS BIGINT) AS n_months, s.s,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tsum AS BIGINT) AS vars18,
+       {_MK_Z_EXPR} AS z
+FROM s JOIN n ON s.flag = n.flag JOIN ties ON s.flag = ties.flag
+ORDER BY s.flag
+"""
+
+
+@query("ts_mann_kendall_trend", "2.10 streaming/time series", _MK_ORACLE)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on monthly revenue per returnflag
+    — the hypothesis-test companion of ts_theil_sen_slope (the canonical
+    pairing in environmental/SRE trend detection): S = Σ sign(yⱼ−yᵢ) over
+    ordered month pairs is a pure INTEGER statistic, the tie-corrected
+    variance is kept as the integer 18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5),
+    and the continuity-corrected z is ONE shared expression string — the
+    only IEEE math in the query. Scale: same reduce-then-quadratic shape
+    as Theil-Sen — the fact table collapses to the (flag, month) grain
+    before the bounded ~3.5k-pair sign census; ties come from one keyed
+    count over the same grain."""
+    li = load(spark, sf_dir, "lineitem")
+    x = ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pt = li.groupBy(F.col("l_returnflag").alias("flag"), x.alias("x")).agg(
+        F.sum(cents).alias("y")
+    )
+    a = pt.select("flag", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pt.select(F.col("flag").alias("flag_b"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    sgn = F.when(F.col("yb") > F.col("ya"), 1).when(F.col("yb") < F.col("ya"), -1).otherwise(0)
+    s = (
+        a.join(b, (F.col("flag") == F.col("flag_b")) & (F.col("xb") > F.col("xa")))
+        .groupBy("flag")
+        .agg(F.sum(sgn).alias("s"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+    n = pt.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
+    t = pt.groupBy("flag", "y").agg(F.count(F.lit(1)).alias("t"))
+    ties = t.groupBy("flag").agg(
+        F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+        ).alias("tsum")
+    )
+    return (
+        s.join(n, "flag")
+        .join(ties, "flag")
+        .select(
+            "flag",
+            F.col("n").cast("long").alias("n_months"),
+            F.col("s").cast("long").alias("s"),
+            (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tsum"))
+            .cast("long")
+            .alias("vars18"),
+            F.expr(_MK_Z_EXPR).alias("z"),
+        )
+        .orderBy("flag")
+    )
