@@ -62,6 +62,11 @@ PROBE_SET: dict[str, str] = {
     "text_cooccurrence_pmi": "docs",     # doc-keyed pair join fan-out
     "win_sessionize_gap": "events",      # per-user window over Nx histories
     "simsearch_kmeans_train": "docs",    # Nx sample vs fixed-K codebook
+    # round-6 additions: the reworked dedup shapes plus new heavy machinery
+    "simsearch_ivf_persisted": "docs",   # index write + DPP probe over Nx vectors
+    "text_token_count_bpe": "docs",      # vocab-grain BPE — should be ~flat
+    "wl_mannwhitney_u": "volume",        # value-census rank test over Nx rows
+    "ts_theil_sen_slope": "volume",      # reduce-then-quadratic month pairs
 }
 
 TABLES = [

@@ -629,3 +629,54 @@ def test_gini_window_partitions_by_segment(spark, sf_dir):
     assert "SinglePartition" not in plan
     # the window exchange must be hashpartitioning on segment
     assert "hashpartitioning(segment" in plan
+
+
+# ----------------------------------------------------- round-6 plan shapes
+
+
+def test_percentile_disc_windows_over_census_not_rows(spark, sf_dir):
+    """The cumulative window must consume the distinct-value CENSUS (a
+    partial/final HashAggregate pair below the Window), never raw rows."""
+    plan = _plan(spark, sf_dir, "agg_percentile_disc")
+    # map-side partial census directly over the scan (two-phase count)
+    assert "partial_count" in plan
+    assert "Window" in plan
+    # column pruning: the scan reads exactly the value + group columns
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_mannwhitney_census_is_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_mannwhitney_u")
+    assert plan.count("HashAggregate") >= 2  # partial + final census
+
+
+def test_semantic_centroid_has_no_pair_join(spark, sf_dir):
+    """r6 rework: the intra-cell census is an applyInPandas group pass —
+    the former pair self-join (SortMergeJoin over |cell|^2 rows) must be
+    gone, and the Arrow stages must be present."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_centroid")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_ivf_persisted_probe_read_prunes_partitions(spark, sf_dir):
+    """A cell-filtered read of the persisted index must resolve to
+    directory-level partition pruning (PartitionFilters on cell), proving
+    the posting-list layout supports probe-fraction I/O."""
+    from hdc_dataengineering_sqlsync_spark.plans.scans import _rt_base
+
+    CATALOG["simsearch_ivf_persisted"].fn(spark, sf_dir).collect()  # build index
+    idx = spark.read.parquet(str(_rt_base(sf_dir) / "ivf_index"))
+    plan = _explain(idx.where(idx.cell == 3))
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "cell" in seg, seg
+
+
+def test_bpe_runs_on_vocab_grain(spark, sf_dir):
+    """The BPE merge machinery must sit above a DISTINCT (vocab) aggregate,
+    and the count join must broadcast the vocab token table."""
+    plan = _plan(spark, sf_dir, "text_token_count_bpe")
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
