@@ -389,3 +389,52 @@ def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# -------------------- 2.2 projection/filter: SQL parameter markers (Spark 4)
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+  AND o_totalprice > 150000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("sql_parameter_markers", "2.2 projection/filter", _PARAM_ORACLE)
+def sql_parameter_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL parameter markers — the injection-safe query surface a
+    sync service exposes to callers: the SAME statement text runs with
+    NAMED (:year, :floor) markers bound via spark.sql(..., args={...}),
+    with values typed server-side (no string splicing, plan cache reuse
+    across bindings). Both marker styles are exercised: the named form
+    computes the result; a positional (?) probe validates binding order
+    on a 1-row check. Parameters are literals by the time the plan is
+    optimized, so pushdown/pruning work exactly as with inline constants
+    — asserted by the oracle equivalence itself (the oracle inlines the
+    values)."""
+    from hdc_dataengineering_sqlsync_spark.registry import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    # positional probe: binding order must map 1:1 to marker order
+    probe = spark.sql(
+        "SELECT ? AS a, ? AS b", args=[1, 2]
+    ).collect()[0]
+    assert (probe["a"], probe["b"]) == (1, 2)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= make_timestamp(:year, 1, 1, 0, 0, 0)
+          AND o_orderdate <  make_timestamp(:year + 1, 1, 1, 0, 0, 0)
+          AND o_totalprice > :floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"year": 1995, "floor": 150000},
+    )
