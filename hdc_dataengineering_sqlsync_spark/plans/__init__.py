@@ -106,6 +106,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundsix,
     roundsix_b,
     roundsix_c,
+    roundsix_d,
 )
 
 _LEDGER = os.path.join(

@@ -1,0 +1,154 @@
+"""SURVEY.md §2 round-6 batch D: exact-integer HITS and a change-version
+continuity audit.
+
+HITS runs UNNORMALIZED for a fixed two iterations so every hub/authority
+score is an exact integer (normalization is a presentation step — rankings
+are normalization-invariant per iteration); the sequence audit is the
+pre-flight check a change-tracking sync runs before trusting an
+incremental pull.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.registry import load
+
+# ------------------------------ 2.12 workloads: HITS (2 exact iterations)
+
+_HITS_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a1 AS (SELECT c, count(*) AS a1 FROM edges GROUP BY c),
+h1 AS (
+  SELECT e.s, CAST(sum(a1.a1) AS BIGINT) AS h1
+  FROM edges e JOIN a1 ON e.c = a1.c GROUP BY e.s
+),
+a2 AS (
+  SELECT e.c, CAST(sum(h1.h1) AS BIGINT) AS a2
+  FROM edges e JOIN h1 ON e.s = h1.s GROUP BY e.c
+)
+SELECT a2.c AS custkey, a1.a1 AS degree, a2.a2 AS authority2
+FROM a2 JOIN a1 ON a2.c = a1.c
+ORDER BY a2.a2 DESC, a2.c LIMIT 10
+"""
+
+
+@query("graph_hits_authorities", "2.12 composite workloads", _HITS_ORACLE)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the supplier→customer trade graph,
+    TWO exact iterations: a₁ = in-degree, h₁ = Σ a₁ over a supplier's
+    customers, a₂ = Σ h₁ over a customer's suppliers — run UNNORMALIZED so
+    every score is an exact int64 (per-iteration rankings are invariant
+    to the normalization constant, which is the only float in textbook
+    HITS; cross-engine float normalization would be an order-dependent
+    sum per node). Top-10 authorities with full (score DESC, key)
+    tiebreak. Scale: each iteration is one keyed equi-join + one
+    map-side-combinable sum over the distinct edge list — the same
+    relational-Pregel shape as graph_pagerank, fan-out bounded by node
+    degree, no cartesian step; at 100 TB the edge list is the one big
+    table and it shuffles once per iteration on alternating keys."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a1 = edges.groupBy("c").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        edges.join(a1, "c")
+        .groupBy("s")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "s")
+        .groupBy("c")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    return (
+        a2.join(a1, "c")
+        .select(F.col("c").alias("custkey"), F.col("a1").alias("degree"), F.col("a2").alias("authority2"))
+        .orderBy(F.col("authority2").desc(), "custkey")
+        .limit(10)
+    )
+
+
+# --------------------- 2.8 sync core: change-version sequence continuity
+
+_SEQGAP_ORACLE = """
+WITH seq AS (
+  SELECT o_orderkey AS v FROM orders
+),
+stats AS (
+  SELECT count(*) AS n_rows,
+         count(DISTINCT v) AS n_distinct,
+         min(v) AS lo, max(v) AS hi
+  FROM seq
+),
+gaps AS (
+  SELECT count(*) AS n_gaps,
+         CAST(coalesce(sum(nxt - v - 1), 0) AS BIGINT) AS missing_total
+  FROM (
+    SELECT v, lead(v) OVER (ORDER BY v) AS nxt
+    FROM (SELECT DISTINCT v FROM seq)
+  )
+  WHERE nxt IS NOT NULL AND nxt > v + 1
+)
+SELECT CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(s.n_distinct AS BIGINT) AS n_distinct,
+       CAST(s.n_rows - s.n_distinct AS BIGINT) AS n_duplicates,
+       CAST(s.lo AS BIGINT) AS lo, CAST(s.hi AS BIGINT) AS hi,
+       CAST(s.hi - s.lo + 1 - s.n_distinct AS BIGINT) AS missing_in_range,
+       CAST(g.n_gaps AS BIGINT) AS n_gap_runs,
+       g.missing_total
+FROM stats s, gaps g
+"""
+
+
+@query("sync_sequence_gap_audit", "2.8 sync core", _SEQGAP_ORACLE)
+def sync_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-version continuity audit — the pre-flight a change-tracking
+    sync runs before trusting an incremental pull: duplicates (a version
+    must be unique), the missing-in-range total (hi−lo+1−distinct — ONE
+    aggregate, no window needed for the headline number), and the gap-RUN
+    census (count + total width via a lead() over the distinct versions)
+    that distinguishes 'one big truncation hole' from 'scattered single
+    losses'. All exact integers. Scale: the headline stats are one
+    map-side-combinable aggregate; the gap census sorts only DISTINCT
+    versions — and a real deployment windows it per version-epoch
+    partition, so no single-partition global sort grows unbounded (at
+    this grain Spark runs one window partition; the per-epoch key is the
+    documented 100 TB form)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("v"))
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    dv = o.distinct()
+    nxt = F.lead("v").over(Window.orderBy("v"))
+    runs = dv.select("v", nxt.alias("nxt")).where(
+        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("v") + 1)
+    )
+    gaps = runs.agg(
+        F.count(F.lit(1)).alias("n_gap_runs"),
+        F.coalesce(F.sum(F.col("nxt") - F.col("v") - 1), F.lit(0)).alias("missing_total"),
+    )
+    return stats.crossJoin(F.broadcast(gaps)).select(
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicates"),
+        "lo",
+        "hi",
+        (F.col("hi") - F.col("lo") + 1 - F.col("n_distinct")).alias("missing_in_range"),
+        F.col("n_gap_runs").cast("long").alias("n_gap_runs"),
+        F.col("missing_total").cast("long").alias("missing_total"),
+    )
