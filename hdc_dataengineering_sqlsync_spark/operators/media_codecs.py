@@ -259,6 +259,10 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     if indices.ndim != 2:
         raise ValueError(f"expected HxW index matrix, got shape {indices.shape}")
     p = len(palette)
+    if p > 256:
+        # depth 9 would wrap the 3-bit GCT-size field and emit a corrupt
+        # logical-screen descriptor — fail loudly instead
+        raise ValueError(f"GIF palettes hold at most 256 colors, got {p}")
     depth = max(2, (int(p) - 1).bit_length())  # GCT size is a power of two >= 4
     if indices.max(initial=0) >= (1 << depth):
         raise ValueError("index out of palette range")

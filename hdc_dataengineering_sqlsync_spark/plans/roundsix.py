@@ -162,8 +162,13 @@ _BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 # A word of L chars needs at most L-1 merges; the fixture vocabulary tops
-# out at 8 chars ('customer'), so 7 unrolled steps reach the fixpoint for
-# every word (extra steps are identity once no pair ranks).
+# out at 8 chars ('customer'), so 8 unrolled steps reach the fixpoint for
+# every word (extra steps are identity once no pair ranks). The bound is
+# ENFORCED, not assumed: bpe_tokens_spark asserts max(len(word)) <= steps+1
+# on the live vocabulary (one tiny vocab-grain job) and raises instead of
+# silently emitting non-fixpoint tokenizations — the oracle's unroll depth
+# is baked into static SQL, so both engines must share one static depth
+# and a longer-worded corpus must fail LOUDLY (r6 review finding).
 _BPE_STEPS = 8
 
 
@@ -203,6 +208,17 @@ def bpe_tokens_spark(vocab: DataFrame, word_col: str = "word") -> DataFrame:
     rank_expr = _bpe_rank_case(
         "concat(element_at(t,cast(j as int)),'|',element_at(t,cast(j+1 as int)))"
     )
+    # fixpoint guard: a word of L chars needs at most L-1 merges, and the
+    # unroll depth is static on BOTH engines — refuse a vocabulary the
+    # depth cannot cover rather than silently under-merging
+    max_len = vocab.agg(F.max(F.length(word_col)).alias("m")).collect()[0]["m"] or 0
+    if max_len - 1 > _BPE_STEPS:
+        raise ValueError(
+            f"vocabulary has a {max_len}-char word; {_BPE_STEPS} unrolled BPE "
+            f"steps cannot reach its merge fixpoint — raise _BPE_STEPS to "
+            f">= {max_len - 1} (both the Spark unroll and the oracle CTE "
+            "chain derive from it)"
+        )
     df = vocab.select(F.col(word_col).alias("word"), F.split(word_col, "").alias("t"))
     for _ in range(_BPE_STEPS):
         # three projections per step (ranks -> first-best index -> rebuilt

@@ -43,7 +43,7 @@ m AS (
 SELECT segment, priority, CAST(o AS BIGINT) AS o,
        CAST((2000 * r * c + n) // (2 * n) AS BIGINT) AS e_milli,
        CAST(CAST(n * o - r * c AS HUGEINT) * CAST(n * o - r * c AS HUGEINT)
-            AS DOUBLE) / CAST(n * r * c AS DOUBLE) AS chi2_term
+            AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) AS chi2_term
 FROM m ORDER BY segment, priority
 """
 
@@ -54,8 +54,9 @@ def wl_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported as the PER-CELL contribution table — the contingency audit
     behind cohort-balance checks. Per-cell algebra avoids the float
     Σ(o−e)²/e entirely: term = (N·o − r·c)² / (N·r·c) with the numerator
-    squared in exact decimal(38,0)/HUGEINT (fits to N ≈ 3·10⁹ rows; past
-    that, pre-scale counts to thousands — the test statistic is scale-free)
+    squared — and the N·r·c denominator multiplied — in exact
+    decimal(38,0)/HUGEINT (fits to N ≈ 3·10⁹ rows; past that, pre-scale
+    counts to thousands — the test statistic is scale-free)
     and ONE double division per cell, so no cross-cell float sum with an
     engine-dependent order exists anywhere. Expected counts report in
     exact half-up integer milli-units. One keyed count + three window
@@ -83,9 +84,10 @@ def wl_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.col("o").cast("long").alias("o"),
         F.expr("(2000 * r * c + n) div (2 * n)").cast("long").alias("e_milli"),
-        ((num * num).cast("double") / (F.col("n") * F.col("r") * F.col("c")).cast("double")).alias(
-            "chi2_term"
-        ),
+        (
+            (num * num).cast("double")
+            / (F.col("n").cast("decimal(38,0)") * F.col("r") * F.col("c")).cast("double")
+        ).alias("chi2_term"),
     ).orderBy("segment", "priority")
 
 
@@ -123,7 +125,7 @@ agg AS (
          CAST(sum(t - t1) AS BIGINT) AS n2,
          CAST(sum(t1 + t - t1) AS BIGINT) AS n,
          CAST(sum(t1 * midrank2) AS BIGINT) AS r1_2,
-         CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+         CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tsum
   FROM ranked
 )
 SELECT n1, n2,
@@ -146,7 +148,10 @@ def wl_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — identical IEEE trees in both engines, output raw
     (re-rounding identical doubles is the repr-tie trap). Scale: one
     map-side-combinable value census, one 50-row window, one 1-row
-    aggregate; nothing downstream of the census scales with the data."""
+    aggregate; the per-value tie cube t³ is widened to decimal(38,0)/
+    HUGEINT before summing (t grows linearly with the corpus — the
+    widen-before-sum idiom), so nothing downstream of the census can
+    overflow or scale with the data."""
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "A"))
     s = li.select(
         F.col("l_quantity").alias("v"),
@@ -164,7 +169,7 @@ def wl_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") - F.col("t1")).alias("n2"),
         F.sum("t").alias("n"),
         F.sum(F.col("t1") * F.col("midrank2")).alias("r1_2"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
     )
     u2 = agg.select(
         "n1",
@@ -324,8 +329,9 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 2
 _IVF_TOPK = 3
+_IVF_QUERY_STRIDE = 97
 
-_IVF_ORACLE = """
+_IVF_ORACLE = f"""
 WITH kk AS (
   SELECT CAST(greatest(1, (count(*) + 127) // 128) AS BIGINT) AS k FROM embeddings
 ),
@@ -349,7 +355,7 @@ cells AS (
   FROM dots
 ),
 queries AS (SELECT vec_id AS query_id, qv AS query_v, ds AS qds FROM cells
-            WHERE vec_id % 97 = 0),
+            WHERE vec_id % {_IVF_QUERY_STRIDE} = 0),
 probe AS (
   SELECT query_id, query_v, CAST(c.c AS INT) AS cell,
          row_number() OVER (PARTITION BY query_id
@@ -361,7 +367,7 @@ cand AS (
          x.vec_id,
          CAST(list_sum(list_transform(range(1, 65), i ->
            p.query_v[i] * x.qv[i])) AS BIGINT) AS dot
-  FROM (SELECT * FROM probe WHERE pr <= 2) p
+  FROM (SELECT * FROM probe WHERE pr <= {_IVF_NPROBE}) p
   JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.query_id
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot
@@ -370,7 +376,7 @@ FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
   FROM cand
 )
-WHERE rank <= 3 ORDER BY query_id, rank
+WHERE rank <= {_IVF_TOPK} ORDER BY query_id, rank
 """
 
 
@@ -435,7 +441,7 @@ def simsearch_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = spark.read.parquet(out)
 
     # ---- query: tiny probe list joined against the partitioned index
-    queries = quantized.where(F.col("vec_id") % 97 == 0).select(
+    queries = quantized.where(F.col("vec_id") % _IVF_QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("query_v"),
         F.explode(probe2("qv")).alias("cell"),

@@ -105,7 +105,9 @@ _EDGE_WORDS = [
     "rowrow",       # merged token adjacent to itself
     "erer",         # rank-0 pair twice
     "tableer",      # late merge creating a new rankable pair
-    "xcustomerx",   # ranked word embedded in unranked context
+    "xcustomer",    # ranked word embedded after an unranked char (9 chars
+                    #  = the unroll depth bound; 10+ now raises by design)
+    "rowrowrow",    # repeated merged token, 9 chars
 ]
 
 
@@ -279,3 +281,20 @@ def test_ivf_persisted_index_layout(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1)), (q, rr)
         dots = [x[1] for x in sorted(rr)]
         assert dots == sorted(dots, reverse=True), (q, rr)
+
+
+def test_gif_rejects_oversized_palette():
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import encode_gif
+
+    pal = np.zeros((257, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(np.zeros((2, 2), dtype=np.uint8), pal)
+
+
+def test_bpe_rejects_vocab_beyond_unroll_depth(spark):
+    from hdc_dataengineering_sqlsync_spark.plans.roundsix import _BPE_STEPS
+
+    too_long = "er" * (_BPE_STEPS // 2 + 5)  # rankable pairs, > steps+1 chars
+    vocab = spark.createDataFrame([(too_long,)], "word string")
+    with pytest.raises(ValueError, match="unrolled BPE"):
+        bpe_tokens_spark(vocab)
