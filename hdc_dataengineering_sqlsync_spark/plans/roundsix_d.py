@@ -152,3 +152,107 @@ def sync_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_gap_runs").cast("long").alias("n_gap_runs"),
         F.col("missing_total").cast("long").alias("missing_total"),
     )
+
+
+# ---------------- 2.4 aggregations: KMV bottom-k sketch with set algebra
+
+# k chosen small enough that the sketch is broadcastable state and the
+# estimate error (~1/sqrt(k) ≈ 6%) is visible against true_distinct in the
+# output; hash = first 12 md5 nibbles (48 bits) — int64-exact on both
+# engines, and P(collision) over ~1e5 keys is negligible at 2^48.
+_KMV_K = 256
+_KMV_HASH_NIBBLES = 12
+_KMV_SPACE = float(1 << (4 * _KMV_HASH_NIBBLES))
+
+# estimate = (k-1) / (h_k / 2^48) — ONE shared IEEE string over the exact
+# integer k-th minimum hash h_k
+_KMV_EST_EXPR = f"({_KMV_K} - 1) * {_KMV_SPACE} / CAST(hk AS DOUBLE)"
+
+
+def _kmv_oracle() -> str:
+    from hdc_dataengineering_sqlsync_spark.plans.catalog import duck_md5_int
+
+    h = duck_md5_int("CAST(k AS VARCHAR)", _KMV_HASH_NIBBLES)
+    return f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 0),
+ha AS (SELECT {h} AS h FROM a ORDER BY h LIMIT {_KMV_K}),
+hb AS (SELECT {h} AS h FROM b ORDER BY h LIMIT {_KMV_K}),
+hu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+       ORDER BY h LIMIT {_KMV_K}),
+est AS (
+  SELECT (SELECT max(h) FROM ha) AS hk_a,
+         (SELECT max(h) FROM hb) AS hk_b,
+         (SELECT max(h) FROM hu) AS hk_u,
+         (SELECT count(*) FROM hu JOIN ha USING (h) JOIN hb USING (h))
+           AS shared_in_union
+),
+truth AS (
+  SELECT (SELECT count(*) FROM a) AS true_a,
+         (SELECT count(*) FROM b) AS true_b,
+         (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b))
+           AS true_inter
+)
+SELECT CAST(true_a AS BIGINT) AS true_a, CAST(true_b AS BIGINT) AS true_b,
+       CAST(true_inter AS BIGINT) AS true_inter,
+       CAST(hk_u AS BIGINT) AS hk_union,
+       CAST(shared_in_union AS BIGINT) AS shared_in_union,
+       {_KMV_EST_EXPR.replace("hk", "hk_a")} AS est_a,
+       {_KMV_EST_EXPR.replace("hk", "hk_b")} AS est_b,
+       {_KMV_EST_EXPR.replace("hk", "hk_u")} AS est_union,
+       shared_in_union * 10000 // {_KMV_K} AS jaccard_bps
+FROM est, truth
+"""
+
+
+@query("sketch_kmv_set_ops", "2.4 aggregations", _kmv_oracle())
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch with SET ALGEBRA — the second
+    estimate-class operator made hash-verifiable (after
+    agg_hll_exact_registers): the k smallest 48-bit md5 hashes of each key
+    set are a fully deterministic, MERGEABLE summary (union sketch = the
+    bottom-k of the concatenated sketches; intersection via the shared
+    fraction inside the union sketch — the theta-sketch trick), so
+    cardinality AND overlap estimates reproduce bit-for-bit on any engine
+    or cluster. The only IEEE math is one shared (k−1)·2⁴⁸/h_k string per
+    estimate; Jaccard reports in integer basis points. Scale: each sketch
+    is a TakeOrderedAndProject over a distinct-key reduction (no global
+    sort), the merge touches 2k rows, and at 100 TB the sketches are the
+    shuffle-free way to ask 'how much do these two key sets overlap'
+    before committing to a full anti-join sync."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, _KMV_HASH_NIBBLES), 16, 10).cast(
+        "long"
+    )
+    a = o.select(F.col("o_custkey").alias("k")).distinct()
+    b = c.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k")).distinct()
+    ha = a.select(h.alias("h")).orderBy("h").limit(_KMV_K)
+    hb = b.select(h.alias("h")).orderBy("h").limit(_KMV_K)
+    hu = ha.union(hb).distinct().orderBy("h").limit(_KMV_K)
+    est = (
+        hu.agg(F.max("h").alias("hk_u"), F.count(F.lit(1)).alias("ku"))
+        .crossJoin(ha.agg(F.max("h").alias("hk_a")))
+        .crossJoin(hb.agg(F.max("h").alias("hk_b")))
+        .crossJoin(
+            hu.join(ha, "h", "left_semi")
+            .join(hb, "h", "left_semi")
+            .agg(F.count(F.lit(1)).alias("shared_in_union"))
+        )
+    )
+    truth = (
+        a.agg(F.countDistinct("k").alias("true_a"))
+        .crossJoin(b.agg(F.countDistinct("k").alias("true_b")))
+        .crossJoin(a.join(b, "k", "left_semi").agg(F.count(F.lit(1)).alias("true_inter")))
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "true_a",
+        "true_b",
+        "true_inter",
+        F.col("hk_u").alias("hk_union"),
+        "shared_in_union",
+        F.expr(_KMV_EST_EXPR.replace("hk", "hk_a")).alias("est_a"),
+        F.expr(_KMV_EST_EXPR.replace("hk", "hk_b")).alias("est_b"),
+        F.expr(_KMV_EST_EXPR.replace("hk", "hk_u")).alias("est_union"),
+        F.expr(f"shared_in_union * 10000 div {_KMV_K}").alias("jaccard_bps"),
+    )
