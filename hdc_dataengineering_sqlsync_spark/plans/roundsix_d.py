@@ -256,3 +256,151 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KMV_EST_EXPR.replace("hk", "hk_u")).alias("est_union"),
         F.expr(f"shared_in_union * 10000 div {_KMV_K}").alias("jaccard_bps"),
     )
+
+
+# ------------------- 2.10 time series: Wald-Wolfowitz runs test (exact)
+
+# z over exact ints n1, n2, runs — one shared string; mu and sigma^2 are
+# rationals over n, kept inside the double expression with CAST-typed
+# literals only (bare decimal literals bind DECIMAL in Spark — FIXTURES 7)
+_RUNS_Z_EXPR = (
+    "(runs - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))"
+    " / sqrt(CAST(2 AS DOUBLE) * n1 * n2 * (2 * n1 * n2 - n1 - n2)"
+    "        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - CAST(1 AS DOUBLE))))"
+)
+
+_RUNS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT day, cents,
+         sum(1) OVER (ORDER BY cents, day) AS r,
+         count(*) OVER () AS n
+  FROM daily
+),
+signs AS (
+  SELECT day, CASE WHEN 2 * r > n THEN 1 ELSE 0 END AS s
+  FROM ranked
+),
+runs AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN s <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM signs)
+)
+SELECT n1, n2, runs, {_RUNS_Z_EXPR} AS z
+FROM (SELECT n1, n2, runs FROM runs)
+"""
+
+
+@query("ts_runs_test", "2.10 streaming/time series", _RUNS_ORACLE)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    sequence: each day signs above/below the MEDIAN-RANK split (rank
+    doubling 2r>n — a tie-free integer test, no float median), runs =
+    1 + sign changes via one lag window, and the normal z is ONE shared
+    expression over exact ints (CAST-typed literals only — the bare
+    decimal literal trap is FIXTURES hazard 7). The nonparametric
+    autocorrelation screen: too few runs = trending, too many =
+    oscillating. Scale: the fact table reduces to the daily grain
+    map-side; both windows run over |days| (per-series partitions at
+    100 TB, same semantics)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(F.sum(cents).alias("cents"))
+    ranked = daily.select(
+        "day",
+        F.sum(F.lit(1)).over(
+            Window.orderBy("cents", "day").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    signs = ranked.select("day", F.when(2 * F.col("r") > F.col("n"), 1).otherwise(0).alias("s"))
+    lagged = signs.select("s", F.lag("s").over(Window.orderBy("day")).alias("prev"))
+    agg = lagged.agg(
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+        (1 + F.sum((F.col("s") != F.col("prev")).cast("long"))).alias("runs"),
+    )
+    return agg.select("n1", "n2", "runs", F.expr(_RUNS_Z_EXPR).alias("z"))
+
+
+# ---------------- 2.8 sync core: dynamic partition overwrite semantics
+
+_DPO_ORACLE = """
+WITH final AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderstatus = 'F'
+              THEN (CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11) // 10
+              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("sync_dynamic_partition_overwrite", "2.8 sync core", _DPO_ORACLE)
+def sync_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the storage semantics an incremental
+    sync depends on: with partitionOverwriteMode=dynamic, an overwrite
+    write replaces ONLY the partitions present in the incoming batch and
+    leaves every other partition's files untouched (static mode would
+    truncate the whole table — the classic data-loss footgun). The qid
+    stages orders partitioned by o_orderstatus, then overwrites just the
+    'F' partition with +10%% repriced rows (exact integer cents — money
+    mutations never round floats, FIXTURES hazard 3), ASSERTS in-process
+    that the untouched partitions' files were not rewritten (mtime check
+    — the same proof style as sync_targeted_erasure), and reads the table
+    back for the relational census the oracle recomputes. At 100 TB this
+    is the difference between rewriting one day's partition and
+    rewriting the lake."""
+    import os
+    import time as _time
+
+    from hdc_dataengineering_sqlsync_spark.plans.scans import _rt_base
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.select("o_orderstatus", cents.alias("cents"))
+    out = str(_rt_base(sf_dir) / "orders_dpo")
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    untouched = {}
+    for d in os.listdir(out):
+        if d.startswith("o_orderstatus=") and "=F" not in d:
+            p = os.path.join(out, d)
+            untouched[d] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+    _time.sleep(0.05)  # mtime resolution guard
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        repriced = base.where(F.col("o_orderstatus") == "F").select(
+            "o_orderstatus", F.expr("cents * 11 div 10").alias("cents")
+        )
+        repriced.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    for d, mt in untouched.items():
+        p = os.path.join(out, d)
+        now = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+        if now != mt:
+            raise AssertionError(
+                f"dynamic overwrite rewrote untouched partition {d} "
+                f"(mtime {mt} -> {now}) — static-mode truncation semantics leaked"
+            )
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("o_orderstatus")
+    )
