@@ -107,6 +107,8 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundsix_b,
     roundsix_c,
     roundsix_d,
+    roundseven,
+    roundseven_b,
 )
 
 _LEDGER = os.path.join(
