@@ -109,6 +109,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundsix_d,
     roundseven,
     roundseven_b,
+    roundseven_c,
 )
 
 _LEDGER = os.path.join(

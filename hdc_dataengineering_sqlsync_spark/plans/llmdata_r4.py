@@ -9,6 +9,8 @@ image tiles, audio segments, binaryFile scan).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -357,6 +359,21 @@ def _sem_k(n: int) -> int:
     return max(1, (n + _SEM_TARGET_CELL - 1) // _SEM_TARGET_CELL)
 
 
+def _sem_b(k: int) -> int:
+    """Two-level codebook branch factor: ceil(sqrt(K)).
+
+    With K data-driven (K ~ n/128) a FLAT argmax assignment is O(n·K) =
+    O(n²/128) — the r7 factor-30 trend probe measured the per-row cost
+    RISING (0.26x at 10x -> 0.71x at 30x data). The IMI/two-level fix:
+    assign to ceil(K/B) parents first (parent p's centroid = its first
+    child's, closed-form), then argmax only over that parent's ≤B
+    children — O(n·2√K) total, sublinear growth per row in n. Matches
+    IEEE ceil(sqrt) in SQL: sqrt is correctly rounded, exact on perfect
+    squares."""
+    b = math.isqrt(k)
+    return b if b * b == k else b + 1
+
+
 def _sem_cent(c: int) -> list[int]:
     return [((j + 1) * (2 * c + 3) * 11) % 41 - 20 for j in range(64)]
 
@@ -371,21 +388,40 @@ def _semantic_dedup_oracle() -> str:
     return f"""
 WITH kk AS (
   SELECT CAST(greatest(1, (count(*) + {_SEM_TARGET_CELL - 1}) // {_SEM_TARGET_CELL}) AS BIGINT)
-           AS k
+           AS k,
+         CAST(ceil(sqrt(greatest(1, (count(*) + {_SEM_TARGET_CELL - 1}) // {_SEM_TARGET_CELL})))
+           AS BIGINT) AS b
   FROM embeddings
 ),
-dots AS (
-  SELECT vec_id, embedding,
-         list_transform(range(0, kk.k), c ->
-           cast(list_sum(list_transform(range(1, 65), i ->
-             cast(round(embedding[i] * 1000) AS BIGINT)
-             * ((i * (2 * c + 3) * 11) % 41 - 20))) AS BIGINT)) AS ds
+qv AS (
+  SELECT vec_id, embedding, kk.k, kk.b,
+         list_transform(range(1, 65), i -> cast(round(embedding[i] * 1000) AS BIGINT)) AS q
   FROM embeddings, kk
+),
+pdots AS (
+  SELECT vec_id, embedding, k, b, q,
+         list_transform(range(0, (k + b - 1) // b), p ->
+           cast(list_sum(list_transform(range(1, 65), i ->
+             q[i] * ((i * (2 * (p * b) + 3) * 11) % 41 - 20))) AS BIGINT)) AS pds
+  FROM qv
+),
+par AS (
+  SELECT vec_id, embedding, k, b, q,
+         CAST(len(pds) - list_indexof(list_reverse(pds), list_max(pds)) AS BIGINT) AS parent
+  FROM pdots
+),
+cdots AS (
+  SELECT vec_id, embedding, b, parent,
+         list_transform(range(parent * b, least(parent * b + b, k)), c ->
+           cast(list_sum(list_transform(range(1, 65), i ->
+             q[i] * ((i * (2 * c + 3) * 11) % 41 - 20))) AS BIGINT)) AS cds
+  FROM par
 ),
 cells AS (
   SELECT vec_id, embedding,
-         CAST(len(ds) - list_indexof(list_reverse(ds), list_max(ds)) AS INT) AS cell
-  FROM dots
+         CAST(parent * b + len(cds) - list_indexof(list_reverse(cds), list_max(cds)) AS INT)
+           AS cell
+  FROM cdots
 ),
 pairs AS (
   SELECT a.cell,
@@ -436,23 +472,34 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow batch feeding _assign) and is computed once per row either way;
     # _spread un-pins the scan from a single landing file.
     quantized = _spread(e).select("vec_id", q.alias("q"))
-    # Assignment is a dense int64 matmul (n×64 @ 64×K) + argmax — with K
-    # data-driven this is the dominant term, and Spark higher-order
-    # functions are CodegenFallback (interpreted per element), so the r5
-    # transform/aggregate fold paid K·64 interpreted ops per row. An
-    # Arrow-batched pandas UDF runs the same exact integer math through
-    # numpy BLAS-style batch matmul instead: identical results (int64
-    # end-to-end, no floats), ~an order of magnitude faster per batch.
-    # Ties go to the GREATEST cell (the oracle's d_c >= d_o convention):
-    # argmax over the column-REVERSED dot matrix returns the first max of
-    # the reversed order, i.e. the last maximal cell.
+    # Assignment is TWO-LEVEL since r7 (the IMI/hierarchical coarse
+    # quantizer): a flat argmax over the data-driven K is O(n·K) =
+    # O(n²/128) — the factor-30 trend probe measured per-row cost RISING
+    # (0.26x at 10x -> 0.71x at 30x data). Rows assign to ceil(K/B)
+    # parents first (parent p's centroid = its first child's, closed-form
+    # like every cell), then argmax only over that parent's ≤B=ceil(√K)
+    # children — O(n·2√K) int64 matmul work, executed as numpy batch
+    # matmuls inside an Arrow pandas UDF (int64 end-to-end, no floats).
+    # Ties go to the GREATEST parent/cell (the oracle's >= convention):
+    # argmax over the column-REVERSED dot matrix returns the last maximal
+    # index of the original order.
+    b = _sem_b(k)
+    p_count = (k + b - 1) // b
     codebook_np = np.array([_sem_cent(c) for c in range(k)], dtype=np.int64)
+    parents_np = np.array([_sem_cent(p * b) for p in range(p_count)], dtype=np.int64)
 
     def _assign_batch(qs):
         qm = np.array(qs.tolist(), dtype=np.int64)
-        dots = qm @ codebook_np.T
-        idx = (dots.shape[1] - 1) - np.argmax(dots[:, ::-1], axis=1)
-        return pd.Series(idx.astype("int32"))
+        pdots = qm @ parents_np.T
+        par = (pdots.shape[1] - 1) - np.argmax(pdots[:, ::-1], axis=1)
+        out = np.empty(len(qm), dtype=np.int64)
+        for p in np.unique(par):
+            rows = par == p
+            lo, hi = p * b, min(p * b + b, k)
+            cdots = qm[rows] @ codebook_np[lo:hi].T
+            idx = (cdots.shape[1] - 1) - np.argmax(cdots[:, ::-1], axis=1)
+            out[rows] = lo + idx
+        return pd.Series(out.astype("int32"))
 
     # no type hints: the module-wide `from __future__ import annotations`
     # turns them into strings pyspark can't resolve against fn-local imports

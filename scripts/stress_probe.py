@@ -67,6 +67,10 @@ PROBE_SET: dict[str, str] = {
     "text_token_count_bpe": "docs",      # vocab-grain BPE — should be ~flat
     "wl_mannwhitney_u": "volume",        # value-census rank test over Nx rows
     "ts_theil_sen_slope": "volume",      # reduce-then-quadratic month pairs
+    # round-7 additions: new heavy shapes
+    "dedup_substring_coverage": "docs",  # window explode + dup-mass re-explode
+    "simsearch_mutual_knn": "docs",      # label-blocked pair scan + rank window
+    "graph_resource_allocation": "graph",  # incidence self-join fan-out
 }
 
 TABLES = [
@@ -156,7 +160,7 @@ def build_replica(spark, mode: str, factor: int, out_dir: str) -> None:
 
 
 def main() -> int:
-    rnd, factor, runs = 0, 10, 1
+    rnd, factor, runs, only, tag = 0, 10, 1, None, ""
     for a in sys.argv[1:]:
         if a.startswith("--round="):
             rnd = int(a.split("=")[1])
@@ -164,6 +168,10 @@ def main() -> int:
             factor = int(a.split("=")[1])
         elif a.startswith("--runs="):
             runs = int(a.split("=")[1])
+        elif a.startswith("--only="):
+            only = set(a.split("=")[1].split(","))
+        elif a.startswith("--tag="):
+            tag = "_" + a.split("=")[1]
         else:
             sys.exit(f"unknown arg {a}")
 
@@ -173,7 +181,10 @@ def main() -> int:
     spark = get_session(app_name="stress_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    modes = sorted({m for m in PROBE_SET.values()})
+    probe_set = {q: m for q, m in PROBE_SET.items() if only is None or q in only}
+    if only and set(probe_set) != only:
+        sys.exit(f"unknown qids in --only: {sorted(only - set(probe_set))}")
+    modes = sorted({m for m in probe_set.values()})
     dirs = {}
     for m in modes:
         d = f"/tmp/hdc_stress_x{factor}_{m}"
@@ -193,20 +204,29 @@ def main() -> int:
         return round(best, 3)
 
     out = {}
-    for qid, mode in PROBE_SET.items():
+    for qid, mode in probe_set.items():
         fn = CATALOG[qid].fn
         t_base = timed(fn, BASE_SF)
         t_stress = timed(fn, dirs[mode])
+        ratio = round(t_stress / t_base, 2) if t_base else None
         out[qid] = {
             "mode": mode,
             "t_base": t_base,
             "t_stress": t_stress,
-            "ratio": round(t_stress / t_base, 2) if t_base else None,
+            "ratio": ratio,
+            # cost-per-row multiple at Nx data: ratio/factor. < 1.0 means the
+            # per-row cost FELL with scale (sublinear per row — the verdict
+            # that matters for 100 TB); ~1.0 is linear; > 1.0 is a cliff.
+            "per_row_ratio": round(ratio / factor, 3) if ratio else None,
         }
-        print(f"  {qid:28s} {t_base:7.2f}s -> {t_stress:7.2f}s  ({out[qid]['ratio']}x on {factor}x data)", file=sys.stderr)
+        print(
+            f"  {qid:28s} {t_base:7.2f}s -> {t_stress:7.2f}s  "
+            f"({ratio}x wall on {factor}x data = {out[qid]['per_row_ratio']}x per row)",
+            file=sys.stderr,
+        )
 
     payload = {"factor": factor, "base_sf_dir": BASE_SF, "runs": runs, "queries": out}
-    path = os.path.join(REPO, f"STRESS_r{rnd:02d}.json" if rnd else "STRESS.json")
+    path = os.path.join(REPO, f"STRESS_r{rnd:02d}{tag}.json" if rnd else f"STRESS{tag}.json")
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
         f.write("\n")
