@@ -110,6 +110,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven,
     roundseven_b,
     roundseven_c,
+    roundseven_d,
 )
 
 _LEDGER = os.path.join(
