@@ -30,6 +30,7 @@ import numpy as np
 
 __all__ = [
     "encode_bmp",
+    "encode_bmp_rle8",
     "decode_bmp",
     "resize_nearest",
     "encode_wav",
@@ -63,16 +64,83 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + data
 
 
+def encode_bmp_rle8(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an HxW uint8 index array as a REAL RLE8-compressed 8-bit BMP
+    (biCompression = BI_RLE8) with a 256-entry BGRA palette.
+
+    The encoder emits maximal (count ≤ 255, index) run pairs, the 0x00 0x00
+    end-of-line marker after every row, and the 0x00 0x01 end-of-bitmap
+    marker — the actual Windows RLE8 wire format, decodable by any image
+    viewer. Rows are written bottom-up per BMP convention."""
+    if indices.ndim != 2:
+        raise ValueError(f"expected HxW index array, got shape {indices.shape}")
+    if palette.shape != (256, 3):
+        raise ValueError(f"palette must be 256x3 RGB, got {palette.shape}")
+    h, w = indices.shape
+    out = bytearray()
+    for row in indices[::-1]:  # bottom-up
+        i = 0
+        while i < w:
+            j = i
+            while j < w and row[j] == row[i] and j - i < 255:
+                j += 1
+            out += bytes((j - i, int(row[i])))
+            i = j
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    data = bytes(out)
+    # palette stored as BGRA quads
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, 0] = palette[:, 2]
+    pal[:, 1] = palette[:, 1]
+    pal[:, 2] = palette[:, 0]
+    offset = 54 + 256 * 4
+    header = _BMP_FILE_HEADER.pack(b"BM", offset + len(data), 0, 0, offset)
+    info = _BMP_INFO_HEADER.pack(40, w, h, 1, 8, 1, len(data), 2835, 2835, 256, 0)
+    return header + info + pal.tobytes() + data
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP to an HxWx3 uint8 RGB array."""
+    """Decode a BMP to an HxWx3 uint8 RGB array.
+
+    Handles uncompressed 24-bit (the r4 baseline) and — since r7 — 8-bit
+    RLE8-compressed palettized BMPs: run pairs, end-of-line (0,0),
+    end-of-bitmap (0,1), absolute mode (0, n≥3, word-aligned literals),
+    and the delta escape (0,2) rejected explicitly (encoders in the wild
+    virtually never emit it; supporting silent pixel skips would mask
+    corruption)."""
     magic, _, _, _, offset = _BMP_FILE_HEADER.unpack_from(payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     _, w, h, _, bpp, compression, *_ = _BMP_INFO_HEADER.unpack_from(payload, 14)
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={compression})")
     flip = h > 0  # positive height = bottom-up rows
     h = abs(h)
+    if bpp == 8 and compression == 1:  # BI_RLE8
+        pal = np.frombuffer(payload, dtype=np.uint8, count=256 * 4, offset=54).reshape(256, 4)
+        rgb_pal = pal[:, [2, 1, 0]]  # BGRA -> RGB
+        idx = np.zeros((h, w), dtype=np.uint8)
+        pos, row, col = offset, 0, 0
+        while pos + 1 < len(payload):
+            n, v = payload[pos], payload[pos + 1]
+            pos += 2
+            if n > 0:  # run
+                idx[row, col : col + n] = v
+                col += n
+            elif v == 0:  # end of line
+                row, col = row + 1, 0
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:
+                raise ValueError("RLE8 delta escape not supported")
+            else:  # absolute mode: v literal indices, word-aligned
+                lit = np.frombuffer(payload, dtype=np.uint8, count=v, offset=pos)
+                idx[row, col : col + v] = lit
+                col += v
+                pos += v + (v & 1)
+        rgb = rgb_pal[idx]
+        return (rgb[::-1] if flip else rgb).copy()
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset)
     bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)

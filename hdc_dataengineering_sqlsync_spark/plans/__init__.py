@@ -111,6 +111,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_b,
     roundseven_c,
     roundseven_d,
+    roundseven_e,
 )
 
 _LEDGER = os.path.join(
