@@ -56,7 +56,7 @@ FROM perdoc GROUP BY lang ORDER BY lang
 """
 
 
-@query("dedup_substring_coverage", "2.9 llm-data", _SUBSTR_ORACLE)
+@query("dedup_substring_coverage", "2.9 llm-data", _SUBSTR_ORACLE, bench=True)
 def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span coverage (Lee et al. 2022's
     substring dedup, the step AFTER document-level dedup): every sliding

@@ -180,7 +180,7 @@ FROM knn k GROUP BY k.label ORDER BY k.label
 """
 
 
-@query("simsearch_mutual_knn", "2.9 llm-data", _MKNN_ORACLE)
+@query("simsearch_mutual_knn", "2.9 llm-data", _MKNN_ORACLE, bench=True)
 def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph construction (label-blocked): directed top-3
     cosine edges per vector within its label block, then the MUTUAL edge
