@@ -112,6 +112,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_c,
     roundseven_d,
     roundseven_e,
+    roundseven_f,
 )
 
 _LEDGER = os.path.join(
