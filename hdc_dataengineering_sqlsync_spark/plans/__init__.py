@@ -113,6 +113,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_d,
     roundseven_e,
     roundseven_f,
+    roundseven_g,
 )
 
 _LEDGER = os.path.join(

@@ -12,7 +12,7 @@ division) so no cross-engine float can flap a value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdc_dataengineering_sqlsync_spark.plans.catalog import query
@@ -146,23 +146,39 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MKNN_K = 3
 
+# Unit-normalize on the 1e-3-quantized integer grid, then re-quantize to
+# 1e-4: every float op (sqrt of an exact int64, one division, +0.5, floor)
+# is a correctly-rounded IEEE op over EXACT integer inputs, so qn is
+# bit-identical across engines and the kNN ranking is a pure int64 dot
+# with an id tiebreak — no order-dependent float sum anywhere, which is
+# what lets the Spark side run the whole block census as numpy matmuls.
+_MKNN_QN = """
+SELECT vec_id, label, qn FROM (
+  SELECT vec_id, label,
+         list_transform(q, v -> CAST(floor(v * 10000 / sqrt(nn2) + 0.5) AS BIGINT)) AS qn
+  FROM (
+    SELECT vec_id, label,
+           list_transform(range(1, 65), i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS q,
+           list_sum(list_transform(range(1, 65), i ->
+             CAST(round(embedding[i] * 1000) AS BIGINT)
+             * CAST(round(embedding[i] * 1000) AS BIGINT))) AS nn2
+    FROM embeddings
+  ) WHERE nn2 > 0
+)
+"""
+
 _MKNN_ORACLE = f"""
-WITH comp AS (
+WITH qv AS ({_MKNN_QN}),
+comp AS (
   SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
-         round(
-           sum(CAST(a.embedding[i.range] AS DOUBLE) * CAST(b.embedding[i.range] AS DOUBLE))
-           / (sqrt(sum(CAST(a.embedding[i.range] AS DOUBLE) * CAST(a.embedding[i.range] AS DOUBLE)))
-              * sqrt(sum(CAST(b.embedding[i.range] AS DOUBLE) * CAST(b.embedding[i.range] AS DOUBLE)))),
-           4) AS c
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
-  CROSS JOIN range(1, 65) i
-  GROUP BY a.label, a.vec_id, b.vec_id
+         CAST(list_sum(list_transform(range(1, 65), i ->
+           a.qn[i] * b.qn[i])) AS BIGINT) AS d
+  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id <> b.vec_id
 ),
 knn AS (
   SELECT label, ia, ib FROM (
     SELECT label, ia, ib,
-           row_number() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS r
+           row_number() OVER (PARTITION BY ia ORDER BY d DESC, ib) AS r
     FROM comp
   ) WHERE r <= {_MKNN_K}
 ),
@@ -183,75 +199,85 @@ FROM knn k GROUP BY k.label ORDER BY k.label
 @query("simsearch_mutual_knn", "2.9 llm-data", _MKNN_ORACLE, bench=True)
 def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph construction (label-blocked): directed top-3
-    cosine edges per vector within its label block, then the MUTUAL edge
-    set (a in b's top-k AND b in a's top-k) — the symmetrization step
-    every kNN-graph clustering / graph-ANN index build runs, and the
-    quality census (mutual/directed ratio) that flags hubness. Cosine
-    rounds to 4dp with a vec_id tiebreak; census is exact integers.
+    neighbor edges per vector within its label block, then the MUTUAL
+    edge set (a in b's top-k AND b in a's top-k) — the symmetrization
+    step every kNN-graph clustering / graph-ANN index build runs, and
+    the quality census (mutual/directed ratio) that flags hubness.
 
-    Scale shape: pair enumeration is blocked by label (the
-    dedup_embedding_cosine argument — sum |block|², sharded across
-    executors, never corpus-quadratic; IVF cells replace labels when no
-    natural key exists); the top-k is a per-vector ranked window over the
-    block-local pairs, and mutualization is a self-equi-join of two slim
-    k·n edge lists on the reversed key."""
-    from hdc_dataengineering_sqlsync_spark.functions.vectors import dot, l2_norm
+    Ranking metric (r7 rework): integer dot over UNIT-NORMALIZED
+    1e-4-quantized vectors — quantize to 1e-3 ints, norm from the exact
+    int sum of squares (order-free), re-quantize x·1e4/‖x‖ with
+    floor(+0.5). Every float op is a correctly-rounded IEEE op over
+    exact integer inputs, so the grid is bit-identical across engines
+    and the ranking has NO order-dependent float sum — which is what
+    lets the whole per-block census run as numpy int64 matmuls inside
+    ONE applyInPandas (the dedup_semantic_centroid technique; the
+    r7-first float-cosine pair join spent 4.2s at sf0.1 in interpreted
+    per-pair HOF dots). Ties break toward the smaller neighbor id.
+
+    Scale shape: pair work is blocked by label (Σ|block|², sharded —
+    IVF cells replace labels when no natural key exists); each block
+    arrives once as an Arrow group, the dot matrix is one |block|²·64
+    int64 matmul, and only 4 counters per label leave Python."""
+    import numpy as np
+    import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
-    xd = F.transform("embedding", lambda v: v.cast("double"))
-    # norms hoist to ONE computation per vector BEFORE the pair join (the
-    # naive per-pair cosine recomputes both norms |block| times each —
-    # measured 14.4s -> ~5s at sf0.1); sqrt(sum(x*x)) is the same double
-    # either way, so the 4dp-rounded cosine is unchanged.
-    base = e.select("label", "vec_id", xd.alias("x")).withColumn("nrm", l2_norm("x"))
-    a = base.select(
-        "label", F.col("vec_id").alias("ia"), F.col("x").alias("xa"), F.col("nrm").alias("na")
+    q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
+    nn2 = F.aggregate(
+        "q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
     )
-    b = base.select(
-        F.col("label").alias("_lb"),
-        F.col("vec_id").alias("ib"),
-        F.col("x").alias("xb"),
-        F.col("nrm").alias("nb"),
+    qn = F.transform(
+        "q",
+        lambda v: F.floor(v * F.lit(10000.0) / F.sqrt(F.col("nn2").cast("double")) + F.lit(0.5)).cast(
+            "long"
+        ),
     )
-    comp = (
-        a.join(b, (F.col("label") == F.col("_lb")) & (F.col("ia") != F.col("ib")))
-        .select(
-            "label",
-            "ia",
-            "ib",
-            F.round(dot("xa", "xb") / (F.col("na") * F.col("nb")), 4).alias("c"),
+    base = (
+        e.select("label", "vec_id", q.alias("q"))
+        .withColumn("nn2", nn2)
+        .where(F.col("nn2") > 0)
+        .select("label", "vec_id", qn.alias("qn"))
+    )
+
+    def _block_census(pdf):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        qm = np.array(pdf["qn"].tolist(), dtype=np.int64)
+        n = len(ids)
+        k = min(_MKNN_K, n - 1)
+        if k <= 0:
+            # a single-vector block has no knn rows — the oracle emits no
+            # row for such a label, so neither do we
+            return pd.DataFrame(
+                {"label": [], "n_vectors": [], "n_directed": [], "n_mutual": []}
+            )
+        dots = qm @ qm.T
+        # exclude self with a sentinel that survives the -dots negation
+        # (negating int64 MIN overflows back to itself and would rank
+        # self-edges FIRST — caught by the oracle mismatch in r7)
+        np.fill_diagonal(dots, -(1 << 62))
+        # top-k by (dot DESC, neighbor id ASC): ids are sorted ascending,
+        # so a stable argsort on -dot realizes the tiebreak
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :k]
+        adj = np.zeros((n, n), dtype=bool)
+        rows = np.repeat(np.arange(n), k)
+        adj[rows, order.ravel()] = True
+        mutual = adj & adj.T
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [n],
+                "n_directed": [n * k],
+                "n_mutual": [int(np.triu(mutual, 1).sum())],
+            }
         )
-    )
-    knn = (
-        comp.withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("ia").orderBy(F.desc("c"), F.asc("ib"))
-            ),
-        )
-        .where(F.col("r") <= _MKNN_K)
-        .select("label", "ia", "ib")
-        .localCheckpoint()
-    )
-    rev = knn.select(F.col("ia").alias("ib"), F.col("ib").alias("ia"))
-    mutual = (
-        knn.join(rev, ["ia", "ib"], "left_semi")
-        .where(F.col("ia") < F.col("ib"))
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_mutual"))
-    )
+
     return (
-        knn.groupBy("label")
-        .agg(
-            F.countDistinct("ia").alias("n_vectors"),
-            F.count(F.lit(1)).alias("n_directed"),
-        )
-        .join(mutual, "label", "left")
-        .select(
-            "label",
-            "n_vectors",
-            "n_directed",
-            F.coalesce(F.col("n_mutual"), F.lit(0)).cast("long").alias("n_mutual"),
+        base.repartition(32, "label")
+        .groupBy("label")
+        .applyInPandas(
+            _block_census, "label int, n_vectors long, n_directed long, n_mutual long"
         )
         .orderBy("label")
     )
