@@ -114,6 +114,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_e,
     roundseven_f,
     roundseven_g,
+    roundseven_h,
 )
 
 _LEDGER = os.path.join(
