@@ -115,6 +115,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_f,
     roundseven_g,
     roundseven_h,
+    roundseven_i,
 )
 
 _LEDGER = os.path.join(
