@@ -116,6 +116,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_g,
     roundseven_h,
     roundseven_i,
+    roundseven_j,
 )
 
 _LEDGER = os.path.join(
