@@ -117,6 +117,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_h,
     roundseven_i,
     roundseven_j,
+    roundseven_k,
 )
 
 _LEDGER = os.path.join(
