@@ -118,6 +118,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_i,
     roundseven_j,
     roundseven_k,
+    roundseven_l,
 )
 
 _LEDGER = os.path.join(
