@@ -167,13 +167,33 @@ SELECT vec_id, label, qn FROM (
 )
 """
 
-_MKNN_ORACLE = f"""
-WITH qv AS ({_MKNN_QN}),
+def _mknn_oracle() -> str:
+    from hdc_dataengineering_sqlsync_spark.plans.llmdata_r4 import _SEM_TARGET_CELL
+
+    return f"""
+WITH qv0 AS ({_MKNN_QN}),
+kk AS (
+  SELECT CAST(greatest(1, (count(*) + {_SEM_TARGET_CELL - 1}) // {_SEM_TARGET_CELL}) AS BIGINT)
+           AS k
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, label, qn,
+         CAST(len(ds) - list_indexof(list_reverse(ds), list_max(ds)) AS BIGINT) AS cell
+  FROM (
+    SELECT vec_id, label, qn,
+           list_transform(range(0, kk.k), c ->
+             cast(list_sum(list_transform(range(1, 65), i ->
+               qn[i] * ((i * (2 * c + 3) * 11) % 41 - 20))) AS BIGINT)) AS ds
+    FROM qv0, kk
+  )
+),
 comp AS (
   SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
          CAST(list_sum(list_transform(range(1, 65), i ->
            a.qn[i] * b.qn[i])) AS BIGINT) AS d
-  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM qv a JOIN qv b
+    ON a.label = b.label AND a.cell = b.cell AND a.vec_id <> b.vec_id
 ),
 knn AS (
   SELECT label, ia, ib FROM (
@@ -196,24 +216,34 @@ FROM knn k GROUP BY k.label ORDER BY k.label
 """
 
 
-@query("simsearch_mutual_knn", "2.9 llm-data", _MKNN_ORACLE, bench=True)
+@query("simsearch_mutual_knn", "2.9 llm-data", _mknn_oracle(), bench=True)
 def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual-kNN graph construction (label-blocked): directed top-3
-    neighbor edges per vector within its label block, then the MUTUAL
-    edge set (a in b's top-k AND b in a's top-k) — the symmetrization
-    step every kNN-graph clustering / graph-ANN index build runs, and
-    the quality census (mutual/directed ratio) that flags hubness.
+    """Mutual-kNN graph construction, (label, cell)-blocked: directed
+    top-3 neighbor edges per vector within its label × coarse-codebook
+    cell, then the MUTUAL edge set (a in b's top-k AND b in a's top-k) —
+    the symmetrization step every kNN-graph clustering / graph-ANN index
+    build runs, and the per-label mutual/directed hubness census.
 
-    Ranking metric (r7 rework): integer dot over UNIT-NORMALIZED
-    1e-4-quantized vectors — quantize to 1e-3 ints, norm from the exact
-    int sum of squares (order-free), re-quantize x·1e4/‖x‖ with
-    floor(+0.5). Every float op is a correctly-rounded IEEE op over
-    exact integer inputs, so the grid is bit-identical across engines
-    and the ranking has NO order-dependent float sum — which is what
-    lets the whole per-block census run as numpy int64 matmuls inside
-    ONE applyInPandas (the dedup_semantic_centroid technique; the
-    r7-first float-cosine pair join spent 4.2s at sf0.1 in interpreted
-    per-pair HOF dots). Ties break toward the smaller neighbor id.
+    Blocking (r7 final form): label alone is NOT a scale-safe block — the
+    factor-30 probe measured 0.99x PER-ROW cost (38s at 150k vectors)
+    because block population grows with the corpus while label count
+    doesn't, so Σ|block|² is quadratic. Blocks therefore refine by the
+    data-driven closed-form codebook cell (K = ceil(n/128) — the
+    dedup_semantic_centroid machinery, assignment on the same qn grid the
+    ranking uses), holding blocks at ~target size at ANY corpus size;
+    kNN-within-cell is exactly how production graph-ANN builds bound the
+    exact-kNN stage (coarse partition, local kNN, optional cross-cell
+    merge rounds — documented, not declared).
+
+    Ranking metric: integer dot over UNIT-NORMALIZED 1e-4-quantized
+    vectors — quantize to 1e-3 ints, norm from the exact int sum of
+    squares (order-free), re-quantize x·1e4/‖x‖ with floor(+0.5). Every
+    float op is a correctly-rounded IEEE op over exact integer inputs, so
+    the grid is bit-identical across engines and the ranking has NO
+    order-dependent float sum — which lets the whole per-block census run
+    as numpy int64 matmuls inside ONE applyInPandas (the float-cosine
+    pair join this replaced spent 4.2s at sf0.1 in interpreted per-pair
+    HOF dots). Ties break toward the smaller neighbor id.
 
     Scale shape: pair work is blocked by label (Σ|block|², sharded —
     IVF cells replace labels when no natural key exists); each block
@@ -221,8 +251,14 @@ def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 matmul, and only 4 counters per label leave Python."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    from hdc_dataengineering_sqlsync_spark.plans.llmdata_r4 import _sem_cent, _sem_k
+    from hdc_dataengineering_sqlsync_spark.registry import rowcount
 
     e = load(spark, sf_dir, "embeddings")
+    kcells = _sem_k(rowcount(sf_dir, "embeddings"))
+    codebook = np.array([_sem_cent(c) for c in range(kcells)], dtype=np.int64)
     q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
     nn2 = F.aggregate(
         "q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
@@ -233,11 +269,20 @@ def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
+
+    def _assign_batch(qs):
+        qm = np.array(qs.tolist(), dtype=np.int64)
+        dots = qm @ codebook.T
+        idx = (dots.shape[1] - 1) - np.argmax(dots[:, ::-1], axis=1)
+        return pd.Series(idx.astype("int32"))
+
+    _assign = F.pandas_udf(_assign_batch, IntegerType())
     base = (
         e.select("label", "vec_id", q.alias("q"))
         .withColumn("nn2", nn2)
         .where(F.col("nn2") > 0)
         .select("label", "vec_id", qn.alias("qn"))
+        .withColumn("cell", _assign("qn"))
     )
 
     def _block_census(pdf):
@@ -248,7 +293,7 @@ def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = min(_MKNN_K, n - 1)
         if k <= 0:
             # a single-vector block has no knn rows — the oracle emits no
-            # row for such a label, so neither do we
+            # row for such a block, so neither do we
             return pd.DataFrame(
                 {"label": [], "n_vectors": [], "n_directed": [], "n_mutual": []}
             )
@@ -273,11 +318,19 @@ def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        base.repartition(32, "label")
-        .groupBy("label")
+    per_block = (
+        base.repartition(32, "label", "cell")
+        .groupBy("label", "cell")
         .applyInPandas(
             _block_census, "label int, n_vectors long, n_directed long, n_mutual long"
+        )
+    )
+    return (
+        per_block.groupBy("label")
+        .agg(
+            F.sum("n_vectors").cast("long").alias("n_vectors"),
+            F.sum("n_directed").cast("long").alias("n_directed"),
+            F.sum("n_mutual").cast("long").alias("n_mutual"),
         )
         .orderBy("label")
     )
