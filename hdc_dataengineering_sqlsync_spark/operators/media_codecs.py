@@ -124,15 +124,21 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             n, v = payload[pos], payload[pos + 1]
             pos += 2
             if n > 0:  # run
+                if row >= h or col + n > w:
+                    raise ValueError("corrupt RLE8 data")
                 idx[row, col : col + n] = v
                 col += n
             elif v == 0:  # end of line
                 row, col = row + 1, 0
+                if row > h:
+                    raise ValueError("corrupt RLE8 data")
             elif v == 1:  # end of bitmap
                 break
             elif v == 2:
                 raise ValueError("RLE8 delta escape not supported")
             else:  # absolute mode: v literal indices, word-aligned
+                if row >= h or col + v > w or pos + v > len(payload):
+                    raise ValueError("corrupt RLE8 data")
                 lit = np.frombuffer(payload, dtype=np.uint8, count=v, offset=pos)
                 idx[row, col : col + v] = lit
                 col += v

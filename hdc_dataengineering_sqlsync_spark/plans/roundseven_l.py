@@ -49,12 +49,15 @@ def wl_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-log demand elasticity: OLS slope of ln(monthly quantity) on
     ln(monthly average unit price) — the pricing-analytics regression
     where the slope IS the elasticity. The cross-engine trick: both ln
-    coordinates quantize to 1e-6 integer units immediately (ln of an
-    exact integer ratio is the same IEEE double in both engines;
-    floor(+0.5) pins the grid), so the OLS moments are EXACT int64/
-    HUGEINT sums — order-free — and the closed-form normal-equation slope
-    performs ONE float division at the very end (the wl_price_trend_slope
-    discipline extended to transformed coordinates).
+    coordinates quantize to 1e-6 integer units immediately (DuckDB's
+    libm log and Java's Math.log are NOT both correctly rounded, so a
+    1-ulp divergence landing exactly on a .5 grid boundary could flip
+    one int64 moment unit — the hazard is REDUCED by the grid, not
+    eliminated; the final 4dp rounding of the slope absorbs any single
+    flipped grid point), so the OLS moments are int64/HUGEINT sums —
+    order-free — and the closed-form normal-equation slope performs ONE
+    float division at the very end (the wl_price_trend_slope discipline
+    extended to transformed coordinates).
 
     Scale shape: the fact stream reduces to the monthly grain map-side
     FIRST; the regression runs over ~84 points; at 100 TB this is one

@@ -217,11 +217,14 @@ def main() -> int:
             # cost-per-row multiple at Nx data: ratio/factor. < 1.0 means the
             # per-row cost FELL with scale (sublinear per row — the verdict
             # that matters for 100 TB); ~1.0 is linear; > 1.0 is a cliff.
-            "per_row_ratio": round(ratio / factor, 3) if ratio else None,
+            "per_row_ratio": round(ratio / factor, 3) if ratio is not None else None,
         }
+        ratio_s = f"{ratio}x" if ratio is not None else "n/a"
+        prr = out[qid]["per_row_ratio"]
+        prr_s = f"{prr}x" if prr is not None else "n/a"
         print(
             f"  {qid:28s} {t_base:7.2f}s -> {t_stress:7.2f}s  "
-            f"({ratio}x wall on {factor}x data = {out[qid]['per_row_ratio']}x per row)",
+            f"({ratio_s} wall on {factor}x data = {prr_s} per row)",
             file=sys.stderr,
         )
 
