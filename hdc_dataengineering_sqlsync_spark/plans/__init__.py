@@ -119,6 +119,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_j,
     roundseven_k,
     roundseven_l,
+    roundeight,
 )
 
 _LEDGER = os.path.join(

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Mechanical sweep for the benford-class cross-engine rounding hazard.
+
+Round 5's one red row (`dq_benford_firstdigit`) was a `round()` applied to
+a double that was itself DERIVED FROM another rounded double: the chained
+float rounding manufactured exact .5 ties, and the driver's DuckDB build
+tie-broke them differently than Spark. The fix class is the integer-bps
+idiom (quantize to an integer FIRST, via CAST(round(x) AS BIGINT) or
+floor-division, then do exact integer arithmetic).
+
+This script flags, in every declared oracle:
+  round( <arg containing another round(...) > , n )
+where the inner round's value escapes as a DOUBLE — i.e. it is NOT
+immediately re-anchored to an exact integer by CAST(... AS
+BIGINT/INT/INTEGER/HUGEINT) or by `// 1`-style floor division. Such inner
+integer anchors are exact in both engines and therefore safe.
+
+Exit 0 when nothing is flagged; exit 1 with a per-site report otherwise.
+Run: python scripts/oracle_hazard_sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_CAST_INT = re.compile(
+    r"^\s*CAST\s*\(\s*$", re.IGNORECASE
+)  # matched against text immediately before an inner round(
+
+
+def _match_paren(text: str, open_idx: int) -> int:
+    """Index of the ')' matching text[open_idx] == '('; -1 if unbalanced."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _round_calls(sql: str) -> list[tuple[int, int]]:
+    """(arg_start, arg_end) spans of every round( ... ) argument list."""
+    out = []
+    for m in re.finditer(r"\bround\s*\(", sql, re.IGNORECASE):
+        open_idx = sql.index("(", m.start())
+        close = _match_paren(sql, open_idx)
+        if close > 0:
+            out.append((open_idx + 1, close))
+    return out
+
+
+def _is_integer_anchored(sql: str, inner_start: int, inner_end: int) -> bool:
+    """True if the round() spanning [inner_start, inner_end) is wrapped as
+    CAST(round(...) AS BIGINT/INT/INTEGER/HUGEINT) — an exact integer
+    anchor that kills the hazard."""
+    # walk left over whitespace to find 'CAST ('
+    before = sql[:inner_start]
+    m = re.search(r"CAST\s*\(\s*$", before, re.IGNORECASE)
+    if not m:
+        return False
+    after = sql[inner_end:]
+    return bool(re.match(r"\s*AS\s+(BIGINT|INT|INTEGER|HUGEINT|LONG)\b", after, re.IGNORECASE))
+
+
+def sweep() -> int:
+    from __spark_entry__ import oracle_sql
+
+    flagged: list[tuple[str, str]] = []
+    for qid, sql in sorted(oracle_sql().items()):
+        spans = _round_calls(sql)
+        for a, b in spans:
+            arg = sql[a:b]
+            # inner round( occurrences inside this argument list
+            for im in re.finditer(r"\bround\s*\(", arg, re.IGNORECASE):
+                inner_open = arg.index("(", im.start())
+                inner_close = _match_paren(arg, inner_open)
+                if inner_close < 0:
+                    continue
+                abs_start = a + im.start()
+                abs_end = a + inner_close + 1
+                if _is_integer_anchored(sql, abs_start, abs_end):
+                    continue
+                snippet = " ".join(sql[max(0, abs_start - 60) : abs_end + 20].split())
+                flagged.append((qid, snippet))
+    if not flagged:
+        print(f"oracle_hazard_sweep: 0 flagged sites across {len(oracle_sql())} oracles")
+        return 0
+    print(f"oracle_hazard_sweep: {len(flagged)} FLAGGED site(s):")
+    for qid, snippet in flagged:
+        print(f"  {qid}: ...{snippet}...")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(sweep())

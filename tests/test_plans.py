@@ -680,3 +680,30 @@ def test_bpe_runs_on_vocab_grain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_token_count_bpe")
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan
+
+
+def test_mutual_knn_is_blocked_group_pass_no_pair_join(spark, sf_dir):
+    """r8 pin for the r7 stress finding: mutual-kNN must stay a
+    (label x cell)-blocked applyInPandas census — quantize/assign via
+    Arrow stages, ONE grouping exchange, and NO pair join of any kind.
+    A refactor that reintroduces label-only blocking via a self-join
+    (the quadratic cliff the factor-30 probe caught) trips this."""
+    plan = _plan(spark, sf_dir, "simsearch_mutual_knn")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_coverage_reduces_before_rejoin(spark, sf_dir):
+    """dedup_substring_coverage: the window census must reduce by key in
+    a two-phase (map-combinable) aggregate BEFORE anything re-joins, and
+    the duplicated-window re-join must broadcast the slim dup side —
+    never a shuffle join of exploded windows, never a cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_substring_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

@@ -102,6 +102,113 @@ class TestSpread:
         assert _spread(df) is df
 
 
+class TestJpegCodec:
+    """Baseline JPEG codec (operators/jpeg.py).
+
+    The entropy layer is lossless — coefficient-exact roundtrips with
+    nonzero ACs pin the Huffman/zigzag/DC-prediction/stuffing path that
+    the constant-block oracle qid (multimodal_decode_jpeg) cannot reach.
+    """
+
+    def test_coefficient_roundtrip_random(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_from_coeffs,
+        )
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            by=st.integers(1, 3),
+            bx=st.integers(1, 3),
+            seed=st.integers(0, 2**31 - 1),
+            density=st.floats(0.02, 0.6),
+        )
+        def check(by, bx, seed, density):
+            rng = np.random.default_rng(seed)
+            coeffs = {}
+            for nm in ("y", "cb", "cr"):
+                c = rng.integers(-1023, 1024, (by, bx, 8, 8))  # AC size <= 10
+                c = np.where(rng.random((by, bx, 8, 8)) < density, c, 0)
+                c[..., 0, 0] = rng.integers(-1023, 1024, (by, bx))
+                coeffs[nm] = c
+            payload = encode_jpeg_from_coeffs(coeffs, bx * 8, by * 8)
+            dec, (w, h, quant) = decode_jpeg(payload, return_coeffs=True)
+            assert (w, h) == (bx * 8, by * 8)
+            for nm in coeffs:
+                assert (dec[nm] == coeffs[nm]).all()
+
+        check()
+
+    def test_long_zero_runs_exercise_zrl(self):
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_from_coeffs,
+        )
+
+        # one AC at the very end of the zigzag forces 3 ZRL emissions
+        c = {nm: np.zeros((1, 1, 8, 8), dtype=np.int64) for nm in ("y", "cb", "cr")}
+        c["y"][0, 0, 7, 7] = 5  # zigzag index 63: run of 62 zeros
+        dec, _ = decode_jpeg(encode_jpeg_from_coeffs(c, 8, 8), return_coeffs=True)
+        assert dec["y"][0, 0, 7, 7] == 5
+        assert dec["y"].sum() == 5
+
+    def test_constant_gray_blocks_integer_closed_form(self):
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        import math
+
+        for v in [0, 2, 50, 118, 135, 254, 255]:
+            px = np.full((16, 16, 3), v, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(px))
+            k = math.floor((16 * (v - 128) + 17) / 34)
+            expect = min(255, max(0, (17 * k + 1028) // 8))
+            if ((k % 8) + 8) % 8 != 4:  # safe residue class only
+                assert (out == expect).all(), (v, expect, np.unique(out))
+
+    def test_lossy_error_bounded_on_random_images(self):
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px))
+        assert out.shape == px.shape
+        rms = float(np.sqrt(((out.astype(float) - px.astype(float)) ** 2).mean()))
+        assert rms < 30.0
+
+    def test_non_multiple_of_8_dims_crop_back(self):
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (10, 13, 3)).astype(np.uint8)
+        assert decode_jpeg(encode_jpeg(px)).shape == (10, 13, 3)
+
+    def test_corrupt_inputs_raise(self):
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x00\x01\x02")
+        good = encode_jpeg(np.full((8, 8, 3), 90, dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:40])  # truncated mid-segment
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:-20])  # truncated entropy stream / missing EOI
+
+
 class TestSyntheticArrowReaderValidation:
     def test_negative_rows_raises(self):
         from hdc_dataengineering_sqlsync_spark.sources.pydatasource import (
