@@ -120,6 +120,8 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundseven_k,
     roundseven_l,
     roundeight,
+    roundeight_b,
+    roundeight_c,
 )
 
 _LEDGER = os.path.join(

@@ -71,6 +71,16 @@ PROBE_SET: dict[str, str] = {
     "dedup_substring_coverage": "docs",  # window explode + dup-mass re-explode
     "simsearch_mutual_knn": "docs",      # label-blocked pair scan + rank window
     "graph_resource_allocation": "graph",  # incidence self-join fan-out
+    # round-8 additions (VERDICT r7 #4): the sync-core and join heavies get
+    # the same scrutiny that caught the mutual-kNN quadratic — plus the new
+    # JPEG codec qid (per-image Python entropy work must stay linear)
+    "sync_merge_apply": "volume",        # diff+merge round-trip over Nx orders
+    "sync_snapshot_diff": "volume",      # full-outer digest diff over Nx orders
+    "sync_partition_digest": "volume",   # partition-XOR digest fold over Nx orders
+    "join_skew_salted": "volume",        # salted skew join: Nx fact vs same dims
+    "win_range_frame": "volume",         # distinct-cell band join over Nx rows
+    "agg_heavy_hitters_exact": "volume", # exact heavy-hitter census over Nx rows
+    "multimodal_decode_jpeg": "docs",    # real JPEG roundtrip over Nx images
 }
 
 TABLES = [

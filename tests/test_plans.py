@@ -707,3 +707,37 @@ def test_substring_coverage_reduces_before_rejoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vshape_pattern_uses_single_window_partitioning(spark, sf_dir):
+    """win_match_recognize_vshape: the whole D/U/F pattern pass must run
+    over ONE (l_partkey) window partitioning — the ignore-nulls carry
+    keeps run starts without a (partkey, step, island) re-partitioning.
+    A refactor reintroducing the islands windows would add per-step
+    exchanges; the brand join must broadcast."""
+    plan = _plan(spark, sf_dir, "win_match_recognize_vshape")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    hash_lines = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert hash_lines, "expected a window exchange"
+    for ln in hash_lines:
+        assert "step" not in ln, f"per-step re-partitioning crept back in: {ln}"
+
+
+def test_bitemporal_asof_pick_is_group_limited(spark, sf_dir):
+    """sync_bitemporal_2d_asof: the per-customer top-1 pick must compile to
+    WindowGroupLimit (rank pushdown), not a full window materialization."""
+    plan = _plan(spark, sf_dir, "sync_bitemporal_2d_asof")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jpeg_qid_scan_prunes_to_doc_id(spark, sf_dir):
+    """multimodal_decode_jpeg: the documents scan must read ONLY doc_id
+    (payloads are synthesized in the partition, never from the text
+    column), and the codec stage must be an Arrow MapInPandas."""
+    plan = _plan(spark, sf_dir, "multimodal_decode_jpeg")
+    assert "MapInPandas" in plan
+    seg = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in seg and "text" not in seg, seg

@@ -235,3 +235,79 @@ class TestSyntheticArrowReaderValidation:
         parts = r.partitions()
         assert len(parts) == 2
         assert list(r.read(parts[0])) == []
+
+
+class TestRoundEightQidSemantics:
+    """Property pins for the round-8 batch B/C qids, beyond the oracle
+    value-match the parametrized catalog test already enforces."""
+
+    def test_shapley_efficiency_axiom(self, spark, sf_dir, oracle):
+        """Sum of channel credits (in 1/24 units) must equal
+        24 * (v(full) - v(empty)): all conversion credit not explained by
+        the empty coalition is distributed, none invented."""
+        from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+
+        rows = CATALOG["wl_shapley_attribution_exact"].fn(spark, sf_dir).collect()
+        total = sum(r.shapley_24ths for r in rows)
+        v_full, v_empty = oracle.execute(
+            """
+            WITH fp AS (SELECT user_id, min(ts) AS t0 FROM events
+                        WHERE event_type = 'purchase' GROUP BY user_id),
+            m AS (
+              SELECT fp.user_id, count(e.user_id) AS touches
+              FROM fp LEFT JOIN events e
+                ON e.user_id = fp.user_id AND e.ts < fp.t0
+                   AND e.event_type <> 'purchase'
+              GROUP BY fp.user_id
+            )
+            SELECT count(*), sum(CASE WHEN touches = 0 THEN 1 ELSE 0 END) FROM m
+            """
+        ).fetchone()
+        assert total == 24 * (v_full - (v_empty or 0))
+
+    def test_cms_never_underestimates(self, spark, sf_dir):
+        from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+
+        rows = CATALOG["sketch_cms_exact_counters"].fn(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r.over_by >= 0, r
+            assert r.cms_est == r.true_cnt + r.over_by
+
+    def test_vshape_depths_strictly_positive(self, spark, sf_dir):
+        """Every V-bottom sits below its run start by construction — a
+        zero or negative depth would mean the run-start carry broke."""
+        from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+
+        rows = CATALOG["win_match_recognize_vshape"].fn(spark, sf_dir).collect()
+        for r in rows:
+            assert r.n_vbottoms > 0
+            assert r.depth_cents >= r.n_vbottoms  # each depth >= 1 cent
+            assert r.max_depth_cents >= 1
+
+    def test_rowgroup_stats_exact_thousand_splits(self, spark, sf_dir):
+        from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+
+        rows = CATALOG["scan_parquet_rowgroup_stats"].fn(spark, sf_dir).collect()
+        assert rows, "no row groups"
+        for r in rows[:-1]:
+            assert r.n_rows == 1000
+        assert 0 < rows[-1].n_rows <= 1000
+        # zone maps of a sorted file must be non-overlapping and ordered
+        for a, b in zip(rows, rows[1:]):
+            assert a.max_key <= b.min_key
+
+    def test_bitemporal_counts_match_eligible_customers(self, spark, sf_dir, oracle):
+        from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+
+        rows = CATALOG["sync_bitemporal_2d_asof"].fn(spark, sf_dir).collect()
+        n = sum(r.n_customers for r in rows)
+        (expect,) = oracle.execute(
+            """
+            SELECT count(DISTINCT o_custkey) FROM orders
+            WHERE CAST(o_orderdate AS DATE) <= DATE '1996-07-01'
+              AND CAST(o_orderdate AS DATE)
+                  + (o_orderkey % 7) * INTERVAL 1 DAY <= DATE '1996-09-01'
+            """
+        ).fetchone()
+        assert n == expect
