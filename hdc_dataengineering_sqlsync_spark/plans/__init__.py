@@ -122,6 +122,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundeight,
     roundeight_b,
     roundeight_c,
+    roundeight_d,
 )
 
 _LEDGER = os.path.join(
