@@ -246,6 +246,18 @@ def encode_jpeg_from_coeffs(
     by, bx = cy.shape[:2]
     if by * 8 < h or bx * 8 < w:
         raise ValueError("coefficient grid smaller than declared image size")
+    if quant.min() < 1 or quant.max() > 255:
+        # the DQT field is uint8 — out-of-range steps would silently wrap
+        # and break the "decoder reads back what was written" invariant
+        raise ValueError(f"quant table values must be in 1..255, got {quant.min()}..{quant.max()}")
+    for nm, comp in (("y", cy), ("cb", ccb), ("cr", ccr)):
+        dc = comp[:, :, 0, 0].reshape(-1)
+        diffs = np.diff(np.concatenate([[0], dc]))
+        if np.abs(diffs).max(initial=0) > 2047:
+            raise ValueError(f"{nm} DC diff exceeds baseline Huffman range (|diff| <= 2047)")
+        ac = comp.reshape(-1, 64)[:, 1:]
+        if np.abs(ac).max(initial=0) > 1023:
+            raise ValueError(f"{nm} AC coefficient exceeds baseline Huffman range (|ac| <= 1023)")
     dc_codes = _DC_CODES
     ac_codes = _AC_CODES
 
@@ -387,6 +399,12 @@ def decode_jpeg(payload: bytes, return_coeffs: bool = False):
             raise ValueError("truncated JPEG marker stream")
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them so FF FF DB parses as DQT, not garbage
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG marker stream")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -114,7 +114,11 @@ def _synth_images(docs: DataFrame) -> DataFrame:
                 raw, plen = blob.tobytes(), 54 + data_len
                 for k, i in enumerate(sel):
                     payloads[i] = raw[k * plen : (k + 1) * plen]
-                assert payloads[sel[0]] == encode_bmp(_image_pixels(int(mids[sel[0]])))
+                if payloads[sel[0]] != encode_bmp(_image_pixels(int(mids[sel[0]]))):
+                    # explicit raise (not assert): must survive python -O —
+                    # this parity check IS the guard against batched-writer
+                    # drift from the unit-pinned scalar codec
+                    raise ValueError("vectorized BMP synth diverged from scalar encode_bmp")
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(enc, schema=_MEDIA_SCHEMA)
@@ -203,7 +207,9 @@ def _decode_image_stats(media: DataFrame) -> DataFrame:
                 rgb_out[sel, 0] = sums[:, 2] / denom
                 rgb_out[sel, 1] = sums[:, 1] / denom
                 rgb_out[sel, 2] = sums[:, 0] / denom
-                assert (w, h, *rgb_out[sel[0]]) == _scalar_stats(first)
+                if (w, h, *rgb_out[sel[0]]) != _scalar_stats(first):
+                    # explicit raise (not assert): must survive python -O
+                    raise ValueError("vectorized BMP decode diverged from scalar decode_image")
             yield pd.DataFrame(
                 dict(
                     zip(

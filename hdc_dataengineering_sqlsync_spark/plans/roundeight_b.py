@@ -373,7 +373,14 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the staged write is one sorted single-shard stream (a
     100 TB layout job shards this per partition, identical per-shard
     logic); the audit itself reads FOOTERS only — metadata-scale I/O,
-    data-volume-independent."""
+    data-volume-independent.
+
+    Deployment note: the task-side write and the driver-side footer read
+    share a filesystem in this harness (local[32]); on a real cluster the
+    staged path must be shared storage — same assumption every staging
+    qid in plans/scans.py makes. The write lands via write-to-temp +
+    os.replace so a concurrent same-sf_dir session can never observe a
+    half-written footer (pq.write_table alone is not atomic)."""
     import os
 
     import pyarrow as pa
@@ -386,7 +393,9 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pd.concat(list(batches), ignore_index=True)
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(tbl, out, row_group_size=1000)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp, row_group_size=1000)
+        os.replace(tmp, out)  # atomic on POSIX: readers see old or new, never partial
         yield pd.DataFrame({"written": [len(pdf)]})
 
     keys = (

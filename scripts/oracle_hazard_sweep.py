@@ -27,11 +27,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_CAST_INT = re.compile(
-    r"^\s*CAST\s*\(\s*$", re.IGNORECASE
-)  # matched against text immediately before an inner round(
-
-
 def _match_paren(text: str, open_idx: int) -> int:
     """Index of the ')' matching text[open_idx] == '('; -1 if unbalanced."""
     depth = 0
@@ -57,15 +52,17 @@ def _round_calls(sql: str) -> list[tuple[int, int]]:
 
 
 def _is_integer_anchored(sql: str, inner_start: int, inner_end: int) -> bool:
-    """True if the round() spanning [inner_start, inner_end) is wrapped as
-    CAST(round(...) AS BIGINT/INT/INTEGER/HUGEINT) — an exact integer
-    anchor that kills the hazard."""
-    # walk left over whitespace to find 'CAST ('
+    """True if the round() spanning [inner_start, inner_end) is re-anchored
+    to an exact integer, which kills the hazard:
+    - CAST(round(...) AS BIGINT/INT/INTEGER/HUGEINT/LONG), or
+    - round(...) // <divisor> (integer floor division of the rounded value)."""
+    after = sql[inner_end:]
+    if re.match(r"\s*//", after):
+        return True
     before = sql[:inner_start]
     m = re.search(r"CAST\s*\(\s*$", before, re.IGNORECASE)
     if not m:
         return False
-    after = sql[inner_end:]
     return bool(re.match(r"\s*AS\s+(BIGINT|INT|INTEGER|HUGEINT|LONG)\b", after, re.IGNORECASE))
 
 

@@ -311,3 +311,72 @@ class TestRoundEightQidSemantics:
             """
         ).fetchone()
         assert n == expect
+
+
+class TestCodeReviewR8Fixes:
+    """Pins for the round-8 /code-review findings."""
+
+    def test_jpeg_fill_bytes_before_marker_are_skipped(self):
+        """ITU T.81 B.1.1.2 allows 0xFF fill bytes before a marker code;
+        some encoders emit them. FF FF DB must parse as DQT."""
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = np.full((8, 8, 3), 135, dtype=np.uint8)
+        good = encode_jpeg(px)
+        # inject a fill byte before the first DQT marker (FF DB)
+        i = good.index(b"\xff\xdb")
+        padded = good[:i] + b"\xff" + good[i:]
+        assert (decode_jpeg(padded) == decode_jpeg(good)).all()
+
+    def test_jpeg_quant_out_of_range_raises(self):
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import encode_jpeg
+
+        px = np.full((8, 8, 3), 50, dtype=np.uint8)
+        with pytest.raises(ValueError, match="quant table"):
+            encode_jpeg(px, quant=np.full((8, 8), 300, dtype=np.int64))
+        with pytest.raises(ValueError, match="quant table"):
+            encode_jpeg(px, quant=np.zeros((8, 8), dtype=np.int64))
+
+    def test_jpeg_coefficient_out_of_huffman_range_raises(self):
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            encode_jpeg_from_coeffs,
+        )
+
+        c = {nm: np.zeros((1, 1, 8, 8), dtype=np.int64) for nm in ("y", "cb", "cr")}
+        c["y"][0, 0, 0, 1] = 1024  # AC size 11 > alphabet max 10
+        with pytest.raises(ValueError, match="AC coefficient"):
+            encode_jpeg_from_coeffs(c, 8, 8)
+        c["y"][0, 0, 0, 1] = 0
+        c["y"][0, 0, 0, 0] = 2048  # DC diff size 12 > 11
+        with pytest.raises(ValueError, match="DC diff"):
+            encode_jpeg_from_coeffs(c, 8, 8)
+
+    def test_hazard_sweep_floor_div_anchor_not_flagged(self):
+        import importlib.util
+        import re
+
+        spec = importlib.util.spec_from_file_location(
+            "ohs", "scripts/oracle_hazard_sweep.py"
+        )
+        ohs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ohs)
+
+        def n_flags(sql):
+            out = 0
+            for a, b in ohs._round_calls(sql):
+                arg = sql[a:b]
+                for im in re.finditer(r"\bround\s*\(", arg, re.IGNORECASE):
+                    io_ = arg.index("(", im.start())
+                    ic = ohs._match_paren(arg, io_)
+                    if ic < 0:
+                        continue
+                    if not ohs._is_integer_anchored(sql, a + im.start(), a + ic + 1):
+                        out += 1
+            return out
+
+        assert n_flags("SELECT round(round(x*100)/100.0, 2) FROM t") == 1
+        assert n_flags("SELECT round(CAST(round(x*100) AS BIGINT)/100.0, 2) FROM t") == 0
+        assert n_flags("SELECT round((round(x*100) // 1) / 7.0, 4) FROM t") == 0
