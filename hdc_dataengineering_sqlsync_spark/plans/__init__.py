@@ -123,6 +123,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundeight_b,
     roundeight_c,
     roundeight_d,
+    roundeight_e,
 )
 
 _LEDGER = os.path.join(
