@@ -124,6 +124,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundeight_c,
     roundeight_d,
     roundeight_e,
+    roundeight_f,
 )
 
 _LEDGER = os.path.join(
