@@ -28,11 +28,11 @@ p AS (
   SELECT user_id, event_id, ts,
          (SELECT c.cents FROM ev c
           WHERE c.user_id = p0.user_id AND c.event_type = 'click'
-            AND c.ts < p0.ts
+            AND c.ts < p0.ts AND c.cents IS NOT NULL
           ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_cents,
          (SELECT v.cents FROM ev v
           WHERE v.user_id = p0.user_id AND v.event_type = 'view'
-            AND v.ts < p0.ts
+            AND v.ts < p0.ts AND v.cents IS NOT NULL
           ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_cents
   FROM ev p0 WHERE p0.event_type = 'purchase'
 )
@@ -75,7 +75,14 @@ def join_pit_multi_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    tagged = ev.where(F.col("event_type").isin("purchase", "click", "view")).select(
+    # feature rows must carry a value: a NULL-valued click would be
+    # SKIPPED by the ignore-nulls carry but RETURNED by the oracle's
+    # ORDER BY/LIMIT-1 idiom — pin the semantics to "latest prior
+    # non-null feature value" on both sides
+    tagged = ev.where(
+        (F.col("event_type") == "purchase")
+        | (F.col("event_type").isin("click", "view") & F.col("cents").isNotNull())
+    ).select(
         "user_id",
         "event_id",
         "ts",
@@ -167,9 +174,16 @@ def mix_budget_apportion_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "tokens",
         # SQL DIV: true integer division — a double `/` could round UP
-        # across an integer boundary and break sum(allocation) == budget
-        F.expr(f"({_APPORTION_BUDGET}L * tokens) DIV w").alias("floor_q"),
-        ((F.lit(_APPORTION_BUDGET) * F.col("tokens")) % F.col("w")).alias("rem"),
+        # across an integer boundary and break sum(allocation) == budget.
+        # The product widens to decimal(38,0): at real corpus sizes
+        # (>9.2e12 tokens in one source) B * tokens overflows int64; the
+        # DIV result itself is <= the budget, so it always fits a long.
+        F.expr(
+            f"(CAST({_APPORTION_BUDGET} AS DECIMAL(38,0)) * tokens) DIV CAST(w AS DECIMAL(38,0))"
+        ).alias("floor_q"),
+        F.expr(
+            f"CAST((CAST({_APPORTION_BUDGET} AS DECIMAL(38,0)) * tokens) % CAST(w AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("rem"),
     )
     wr = Window.orderBy(F.desc("rem"), F.asc("source"))
     wall = Window.partitionBy()

@@ -32,6 +32,7 @@ FROM (
   SELECT '_clean' AS rescued_key, count(*) AS n FROM src
   WHERE NOT has_prio AND NOT has_clerk
 )
+WHERE n > 0  -- mirror groupBy: no row for an unobserved key
 ORDER BY rescued_key
 """
 
