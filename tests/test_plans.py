@@ -741,3 +741,39 @@ def test_jpeg_qid_scan_prunes_to_doc_id(spark, sf_dir):
     assert "MapInPandas" in plan
     seg = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "doc_id" in seg and "text" not in seg, seg
+
+
+def test_pit_multi_asof_is_one_window_no_join(spark, sf_dir):
+    """join_pit_multi_asof: K feature streams must collapse into ONE
+    per-user window pass — no join operator of any kind in the plan.
+    A refactor back to per-stream as-of joins trips this."""
+    plan = _plan(spark, sf_dir, "join_pit_multi_asof")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_three_way_merge_is_pk_equi_joins(spark, sf_dir):
+    """sync_three_way_merge: the reconcile is hash/merge PK equi-joins +
+    one census aggregate — never a cartesian or nested loop."""
+    plan = _plan(spark, sf_dir, "sync_three_way_merge")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_segment_dedup_shuffles_digests_not_text(spark, sf_dir):
+    """text_dedup_segment_lines: the text column must die in the scan-side
+    projection — every exchanged row carries the md5 digest, never the
+    segment text (the 100 TB posture the docstring declares)."""
+    plan = _plan(spark, sf_dir, "text_dedup_segment_lines")
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    ex_args = []
+    for i, ln in enumerate(lines):
+        if ") Exchange" in ln or ") BroadcastExchange" in ln:
+            ex_args.extend(
+                nxt for nxt in lines[i + 1 : i + 6] if nxt.strip().startswith("Arguments")
+            )
+    assert ex_args, "expected at least one exchange"
+    assert not any("text#" in ln for ln in ex_args), ex_args
