@@ -1,0 +1,174 @@
+"""Pure-numpy/struct baseline TIFF codec (uncompressed RGB, little-endian).
+
+TIFF is the fourth real container format in the codec matrix (BMP, PNG,
+GIF, JPEG — media_codecs.py / jpeg.py): no compression to implement, but
+a REAL metadata structure — the IFD (Image File Directory) tag walk every
+TIFF reader performs. The encoder emits a spec-conforming single-strip
+baseline RGB file (II byte order, magic 42, the 8 required tags in
+ascending order); the decoder walks the IFD generically: it resolves tag
+values whether they are inlined in the 4-byte value slot or stored at an
+offset, validates the baseline-RGB contract, and reassembles pixel rows
+from ANY strip layout (RowsPerStrip need not divide the height).
+
+Correctness posture mirrors the other codecs: the multimodal qid
+synthesizes closed-form pixels, round-trips the actual bytes, and a
+DuckDB oracle recomputes the statistics from the closed form alone — a
+wrong tag id/type/count, byte-order slip, strip-offset bug, or row-stride
+error mismatches the hash. (No reference file:line exists —
+/root/reference/ is empty; SURVEY.md §0.)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_tiff", "decode_tiff"]
+
+# tag ids (TIFF 6.0 baseline)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_BYTES = 279
+
+_TYPE_SHORT = 3  # uint16
+_TYPE_LONG = 4  # uint32
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def encode_tiff(pixels: np.ndarray, rows_per_strip: int = 4) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an uncompressed baseline TIFF
+    (little-endian, chunky RGB, multiple strips)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 RGB array, got shape {pixels.shape}")
+    h, w = pixels.shape[:2]
+    rps = max(1, min(rows_per_strip, h))
+    n_strips = -(-h // rps)
+    strips = [
+        np.ascontiguousarray(pixels[i * rps : (i + 1) * rps]).tobytes()
+        for i in range(n_strips)
+    ]
+
+    # layout: header(8) | strip data | [offsets array][counts array] | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    strip_bytes = [len(s) for s in strips]
+
+    def _arr_or_inline(values: list[int]) -> tuple[int, bytes | None]:
+        """LONG-typed tag payload: inline when count==1, else appended."""
+        if len(values) == 1:
+            return values[0], None
+        return -1, struct.pack(f"<{len(values)}I", *values)
+
+    off_val, off_blob = _arr_or_inline(strip_offsets)
+    cnt_val, cnt_blob = _arr_or_inline(strip_bytes)
+    if off_blob is not None:
+        off_val = pos
+        pos += len(off_blob)
+    if cnt_blob is not None:
+        cnt_val = pos
+        pos += len(cnt_blob)
+    ifd_offset = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    # BitsPerSample needs a 3-element SHORT array -> stored after the IFD
+    bits_off = ifd_offset + 2 + 9 * 12 + 4
+    entries = [
+        entry(_T_WIDTH, _TYPE_LONG, 1, w),
+        entry(_T_HEIGHT, _TYPE_LONG, 1, h),
+        entry(_T_BITS, _TYPE_SHORT, 3, bits_off),
+        entry(_T_COMPRESSION, _TYPE_SHORT, 1, 1),  # none
+        entry(_T_PHOTOMETRIC, _TYPE_SHORT, 1, 2),  # RGB
+        entry(_T_STRIP_OFFSETS, _TYPE_LONG, len(strips), off_val),
+        entry(_T_SAMPLES, _TYPE_SHORT, 1, 3),
+        entry(_T_ROWS_PER_STRIP, _TYPE_LONG, 1, rps),
+        entry(_T_STRIP_BYTES, _TYPE_LONG, len(strips), cnt_val),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    bits = struct.pack("<3H", 8, 8, 8)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_offset))
+    for s in strips:
+        out += s
+    if off_blob is not None:
+        out += off_blob
+    if cnt_blob is not None:
+        out += cnt_blob
+    out += ifd + bits
+    return bytes(out)
+
+
+def _read_values(payload: bytes, typ: int, count: int, slot: bytes) -> list[int]:
+    """Resolve a tag's values: inline in the 4-byte slot when they fit,
+    else at the offset the slot holds."""
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        raise ValueError(f"unsupported TIFF tag type {typ}")
+    fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I"}.get(typ)
+    if fmt is None:
+        raise ValueError(f"unsupported TIFF tag type {typ}")
+    total = size * count
+    if total <= 4:
+        return list(struct.unpack_from(f"<{count}{fmt}", slot, 0))
+    (offset,) = struct.unpack("<I", slot)
+    if offset + total > len(payload):
+        raise ValueError("truncated TIFF tag payload")
+    return list(struct.unpack_from(f"<{count}{fmt}", payload, offset))
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed baseline RGB TIFF to an HxWx3 uint8 array."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    order, magic, ifd_offset = struct.unpack_from("<2sHI", payload, 0)
+    if order != b"II" or magic != 42:
+        raise ValueError("not a little-endian TIFF payload")
+    if ifd_offset + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from("<H", payload, ifd_offset)
+    if ifd_offset + 2 + n_entries * 12 + 4 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_offset + 2 + i * 12
+        tag, typ, count = struct.unpack_from("<HHI", payload, base)
+        tags[tag] = _read_values(payload, typ, count, payload[base + 8 : base + 12])
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return tags[tag][0]
+
+    w, h = one(_T_WIDTH), one(_T_HEIGHT)
+    if one(_T_COMPRESSION, 1) != 1:
+        raise ValueError("only uncompressed TIFF supported")
+    if one(_T_PHOTOMETRIC) != 2 or one(_T_SAMPLES, 1) != 3:
+        raise ValueError("only baseline RGB TIFF supported")
+    if tags.get(_T_BITS, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only 8-bit samples supported")
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags[_T_STRIP_BYTES]
+    if len(offsets) != len(counts):
+        raise ValueError("corrupt TIFF strip tables")
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("truncated TIFF strip")
+        data += payload[off : off + cnt]
+    if len(data) != h * w * 3:
+        raise ValueError(f"TIFF pixel data size mismatch: {len(data)} != {h * w * 3}")
+    return np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, 3).copy()

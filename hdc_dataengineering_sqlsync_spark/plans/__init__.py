@@ -125,6 +125,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundeight_d,
     roundeight_e,
     roundeight_f,
+    roundeight_g,
 )
 
 _LEDGER = os.path.join(

@@ -380,3 +380,55 @@ class TestCodeReviewR8Fixes:
         assert n_flags("SELECT round(round(x*100)/100.0, 2) FROM t") == 1
         assert n_flags("SELECT round(CAST(round(x*100) AS BIGINT)/100.0, 2) FROM t") == 0
         assert n_flags("SELECT round((round(x*100) // 1) / 7.0, 4) FROM t") == 0
+
+
+class TestTiffCodec:
+    """Baseline TIFF codec (operators/tiff.py) — IFD walk corners the
+    multimodal_decode_tiff fixture never hits."""
+
+    def test_roundtrip_various_dims_and_strip_sizes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(1, 20),
+            w=st.integers(1, 30),
+            rps=st.integers(1, 25),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, rps, seed):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            assert (decode_tiff(encode_tiff(px, rows_per_strip=rps)) == px).all()
+
+        check()
+
+    def test_single_strip_inline_offset(self):
+        # one strip -> offsets/counts inline in the 4-byte value slot
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        assert (decode_tiff(encode_tiff(px, rows_per_strip=10)) == px).all()
+
+    def test_corrupt_inputs_raise(self):
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        with pytest.raises(ValueError, match="little-endian TIFF"):
+            decode_tiff(b"MM\x00\x2a" + bytes(8))
+        good = encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_tiff(good[:20])  # truncated before IFD
+        with pytest.raises(ValueError):
+            decode_tiff(good[:6])  # truncated header
