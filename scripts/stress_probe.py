@@ -81,6 +81,12 @@ PROBE_SET: dict[str, str] = {
     "win_range_frame": "volume",         # distinct-cell band join over Nx rows
     "agg_heavy_hitters_exact": "volume", # exact heavy-hitter census over Nx rows
     "multimodal_decode_jpeg": "docs",    # real JPEG roundtrip over Nx images
+    # round-8 batch E/F/G shapes with scale-sensitive paths
+    "text_dedup_segment_lines": "docs",  # segment explode + digest census join
+    "join_pit_multi_asof": "events",     # 3-stream union window over Nx users
+    "win_match_recognize_vshape": "volume",  # pattern windows over Nx rows
+    "graph_katz_2step": "graph",         # edges x degree join over Nx nodes
+    "multimodal_decode_tiff": "docs",    # IFD walk + strip stitch over Nx images
 }
 
 TABLES = [
