@@ -432,3 +432,76 @@ class TestTiffCodec:
             decode_tiff(good[:20])  # truncated before IFD
         with pytest.raises(ValueError):
             decode_tiff(good[:6])  # truncated header
+
+
+class TestCodecEdgePaths:
+    """Paths only external files would normally reach."""
+
+    def test_jpeg_grayscale_single_component_decode(self):
+        """decode_jpeg supports 1-component (grayscale) baseline JPEGs —
+        build one from the module's own entropy primitives and check the
+        constant-block closed form on the replicated-channel output."""
+        import struct
+
+        from hdc_dataengineering_sqlsync_spark.operators import jpeg as J
+
+        v, q = 135, 17
+        k = int(np.floor((16 * (v - 128) + 17) / 34))
+        out = bytearray(b"\xff\xd8")
+        zz = np.full(64, q, dtype=np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz.tobytes()
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += struct.pack("BBB", 1, 0x11, 0)
+        for tc_th, bits, vals in ((0x00, J._DC_BITS, J._DC_VALS), (0x10, J._AC_BITS, J._AC_VALS)):
+            out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc_th)
+            out += bytes(bits) + bytes(vals)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack("BB", 1, 0x00)
+        out += struct.pack("BBB", 0, 63, 0)
+        w = J._BitWriter()
+        size, bits_v = J._magnitude(k)  # DC diff from pred 0
+        code, length = J._DC_CODES[size]
+        w.write(code, length)
+        w.write(bits_v, size)
+        ec, el = J._AC_CODES[0x00]
+        w.write(ec, el)  # EOB
+        out += w.flush() + b"\xff\xd9"
+        px = J.decode_jpeg(bytes(out))
+        expect = min(255, max(0, (17 * k + 1028) // 8))
+        assert px.shape == (8, 8, 3)
+        assert (px == expect).all()
+        # all three output channels replicate the gray plane
+        assert (px[:, :, 0] == px[:, :, 1]).all() and (px[:, :, 1] == px[:, :, 2]).all()
+
+    def test_tiff_unknown_tags_ignored(self):
+        """A TIFF with extra (unknown) IFD tags must still decode — real
+        files carry Software/DateTime/etc. tags everywhere."""
+        import struct
+
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        payload = bytearray(encode_tiff(px, rows_per_strip=2))
+        # parse the IFD, append a fake Software (305, SHORT, 1, 7) entry
+        ifd_off = struct.unpack_from("<I", payload, 4)[0]
+        n = struct.unpack_from("<H", payload, ifd_off)[0]
+        entries = bytearray(payload[ifd_off + 2 : ifd_off + 2 + n * 12])
+        rest = bytes(payload[ifd_off + 2 + n * 12 :])
+        # the BitsPerSample array lives AFTER the IFD; inserting an entry
+        # shifts it by 12 — patch that tag's stored offset accordingly
+        for i in range(n):
+            tag, typ, count = struct.unpack_from("<HHI", entries, i * 12)
+            if tag == 258:
+                (off,) = struct.unpack_from("<I", entries, i * 12 + 8)
+                struct.pack_into("<I", entries, i * 12 + 8, off + 12)
+        extra = struct.pack("<HHII", 305, 3, 1, 7)
+        rebuilt = (
+            bytes(payload[:ifd_off])
+            + struct.pack("<H", n + 1)
+            + bytes(entries)
+            + extra
+            + rest
+        )
+        assert (decode_tiff(rebuilt) == px).all()
