@@ -222,6 +222,15 @@ def _rgb_from_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
+def _check_quant(quant: np.ndarray) -> None:
+    if quant.min() < 1 or quant.max() > 255:
+        # the DQT field is uint8 — out-of-range steps would silently wrap
+        # and break the "decoder reads back what was written" invariant;
+        # a zero step would also divide-by-zero the quantize pass, so this
+        # must run BEFORE any FDCT work
+        raise ValueError(f"quant table values must be in 1..255, got {quant.min()}..{quant.max()}")
+
+
 def _block_coeffs(channel: np.ndarray, quant: np.ndarray) -> np.ndarray:
     """Pad a channel to 8x8 multiples (edge replication), FDCT every
     block, quantize with floor(f/q + 0.5). Returns (by, bx, 8, 8) int64."""
@@ -246,10 +255,7 @@ def encode_jpeg_from_coeffs(
     by, bx = cy.shape[:2]
     if by * 8 < h or bx * 8 < w:
         raise ValueError("coefficient grid smaller than declared image size")
-    if quant.min() < 1 or quant.max() > 255:
-        # the DQT field is uint8 — out-of-range steps would silently wrap
-        # and break the "decoder reads back what was written" invariant
-        raise ValueError(f"quant table values must be in 1..255, got {quant.min()}..{quant.max()}")
+    _check_quant(quant)
     for nm, comp in (("y", cy), ("cb", ccb), ("cr", ccr)):
         dc = comp[:, :, 0, 0].reshape(-1)
         diffs = np.diff(np.concatenate([[0], dc]))
@@ -321,6 +327,7 @@ def encode_jpeg(pixels: np.ndarray, quant: np.ndarray = DEFAULT_QUANT) -> bytes:
     """Encode an HxWx3 uint8 RGB array as a baseline 4:4:4 JFIF-style JPEG."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected HxWx3 RGB array, got shape {pixels.shape}")
+    _check_quant(quant)
     h, w = pixels.shape[:2]
     ycc = _ycbcr_from_rgb(pixels)
     coeffs = {

@@ -110,15 +110,20 @@ def encode_tiff(pixels: np.ndarray, rows_per_strip: int = 4) -> bytes:
     return bytes(out)
 
 
-def _read_values(payload: bytes, typ: int, count: int, slot: bytes) -> list[int]:
+def _read_values(payload: bytes, typ: int, count: int, slot: bytes) -> list[int] | None:
     """Resolve a tag's values: inline in the 4-byte slot when they fit,
-    else at the offset the slot holds."""
-    size = _TYPE_SIZE.get(typ)
-    if size is None:
-        raise ValueError(f"unsupported TIFF tag type {typ}")
+    else at the offset the slot holds.
+
+    Returns ``None`` for tag types the decoder cannot interpret as plain
+    integers (BYTE/ASCII/RATIONAL/...). Real-world TIFFs routinely carry
+    Software (ASCII) or XResolution (RATIONAL) tags a baseline-RGB decoder
+    has no use for; a generic IFD walk must skip those, not fail — only a
+    *required* tag arriving with an unsupported type is an error, and that
+    is raised at the lookup site (``one()`` / ``many()``)."""
     fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I"}.get(typ)
     if fmt is None:
-        raise ValueError(f"unsupported TIFF tag type {typ}")
+        return None
+    size = _TYPE_SIZE[typ]
     total = size * count
     if total <= 4:
         return list(struct.unpack_from(f"<{count}{fmt}", slot, 0))
@@ -128,8 +133,14 @@ def _read_values(payload: bytes, typ: int, count: int, slot: bytes) -> list[int]
     return list(struct.unpack_from(f"<{count}{fmt}", payload, offset))
 
 
-def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed baseline RGB TIFF to an HxWx3 uint8 array."""
+def decode_tiff(payload: bytes, return_meta: bool = False):
+    """Decode an uncompressed baseline RGB TIFF to an HxWx3 uint8 array.
+
+    With ``return_meta=True`` returns ``(pixels, meta)`` where ``meta``
+    carries the payload-derived IFD facts a caller may want to audit —
+    ``n_strips`` (length of the decoded StripOffsets table), ``rows_per_strip``
+    and ``n_tags`` — so reports can cite what the file *declared* rather than
+    a closed form recomputed from the decoded shape."""
     if len(payload) < 8:
         raise ValueError("truncated TIFF header")
     order, magic, ifd_offset = struct.unpack_from("<2sHI", payload, 0)
@@ -141,13 +152,32 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if ifd_offset + 2 + n_entries * 12 + 4 > len(payload):
         raise ValueError("truncated TIFF IFD")
     tags: dict[int, list[int]] = {}
+    skipped_types: dict[int, int] = {}  # tag -> unhandled type (BYTE/ASCII/...)
     for i in range(n_entries):
         base = ifd_offset + 2 + i * 12
         tag, typ, count = struct.unpack_from("<HHI", payload, base)
-        tags[tag] = _read_values(payload, typ, count, payload[base + 8 : base + 12])
+        values = _read_values(payload, typ, count, payload[base + 8 : base + 12])
+        if values is None:
+            skipped_types[tag] = typ  # ignorable unless the tag is required
+        else:
+            tags[tag] = values
+
+    def many(tag: int, what: str) -> list[int]:
+        if tag in tags:
+            return tags[tag]
+        if tag in skipped_types:
+            raise ValueError(
+                f"required TIFF tag {tag} ({what}) has unsupported type "
+                f"{skipped_types[tag]}"
+            )
+        raise ValueError(f"TIFF missing required tag {tag} ({what})")
 
     def one(tag: int, default: int | None = None) -> int:
         if tag not in tags:
+            if tag in skipped_types:
+                raise ValueError(
+                    f"required TIFF tag {tag} has unsupported type {skipped_types[tag]}"
+                )
             if default is None:
                 raise ValueError(f"TIFF missing required tag {tag}")
             return default
@@ -160,8 +190,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("only baseline RGB TIFF supported")
     if tags.get(_T_BITS, [8, 8, 8]) != [8, 8, 8]:
         raise ValueError("only 8-bit samples supported")
-    offsets = tags[_T_STRIP_OFFSETS]
-    counts = tags[_T_STRIP_BYTES]
+    offsets = many(_T_STRIP_OFFSETS, "StripOffsets")
+    counts = many(_T_STRIP_BYTES, "StripByteCounts")
     if len(offsets) != len(counts):
         raise ValueError("corrupt TIFF strip tables")
     data = bytearray()
@@ -171,4 +201,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         data += payload[off : off + cnt]
     if len(data) != h * w * 3:
         raise ValueError(f"TIFF pixel data size mismatch: {len(data)} != {h * w * 3}")
-    return np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, 3).copy()
+    pixels = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, 3).copy()
+    if return_meta:
+        meta = {
+            "n_strips": len(offsets),
+            "rows_per_strip": one(_T_ROWS_PER_STRIP, h),
+            "n_tags": n_entries,
+        }
+        return pixels, meta
+    return pixels

@@ -558,8 +558,10 @@ def sync_partition_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECIMAL_EXACT_ORACLE = """
 SELECT l_returnflag,
-       sum(cast(floor(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS gross,
-       sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS net,
+       CAST(sum(cast(floor(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
+            AS DECIMAL(28,2)) AS gross,
+       CAST(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+                     AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS net,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

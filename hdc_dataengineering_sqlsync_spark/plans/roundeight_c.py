@@ -102,7 +102,7 @@ est AS (
   JOIN cms ON cms.j = pb.j AND cms.bucket = pb.bucket
   GROUP BY p.pkey
 )
-SELECT est.pkey AS probe_key,
+SELECT CAST(est.pkey AS BIGINT) AS probe_key,
        CAST(coalesce(occ.cnt, 0) AS BIGINT) AS true_cnt,
        CAST(est.cms_est AS BIGINT) AS cms_est,
        CAST(est.cms_est - coalesce(occ.cnt, 0) AS BIGINT) AS over_by

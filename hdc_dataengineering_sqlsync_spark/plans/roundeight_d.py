@@ -89,9 +89,12 @@ def text_dedup_segment_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_segs").alias("n_segments"),
             F.sum("n_dup").alias("n_dup_segments"),
-            F.floor(
-                (F.sum("n_dup") * 20000 + F.sum("n_segs")) / (2 * F.sum("n_segs"))
-            ).cast("long").alias("dup_bps"),
+            # integral DIV, not float '/'+floor: double division can round UP
+            # across an integer boundary at large counts, diverging from the
+            # oracle's exact '//' (repo integer-anchor discipline)
+            F.expr(
+                "(sum(n_dup) * 20000 + sum(n_segs)) DIV (2 * sum(n_segs))"
+            ).alias("dup_bps"),
         )
         .orderBy("source")
     )

@@ -92,14 +92,18 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m = int(mid)
                 px = _image_pixels(m)
                 payload = encode_tiff(px, rows_per_strip=4)
-                out = decode_tiff(payload).astype(np.int64)
+                decoded, meta = decode_tiff(payload, return_meta=True)
+                out = decoded.astype(np.int64)
                 h, w = out.shape[:2]
                 rows.append(
                     (
                         m,
                         w,
                         h,
-                        -(-h // 4),
+                        # the strip count the payload's IFD actually declared
+                        # (len of the decoded StripOffsets table) — a genuine
+                        # payload-derived check against the oracle's (h+3)//4
+                        meta["n_strips"],
                         int(out[:, :, 0].sum()),
                         int(out[:, :, 1].sum()),
                         int(out[:, :, 2].sum()),

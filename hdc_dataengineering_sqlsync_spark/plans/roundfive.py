@@ -1508,7 +1508,7 @@ cell AS (
   GROUP BY cohort.m0, age
 ),
 sized AS (SELECT m0, count(*) AS cohort_n FROM cohort GROUP BY m0)
-SELECT cell.m0 AS cohort_month, CAST(cell.age AS INT) AS age_months,
+SELECT CAST(cell.m0 AS INT) AS cohort_month, CAST(cell.age AS INT) AS age_months,
        CAST(sized.cohort_n AS BIGINT) AS cohort_customers,
        CAST(sum(cell.rev) OVER (PARTITION BY cell.m0 ORDER BY cell.age) AS BIGINT)
          AS cum_revenue_cents

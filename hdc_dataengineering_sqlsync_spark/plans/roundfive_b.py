@@ -331,7 +331,7 @@ SELECT p_brand,
          AS n_full,
        CAST(SUM(CASE WHEN alloc = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_stockout,
-       SUM(alloc) * 10000 // SUM(qty) AS fill_rate_bps
+       CAST(SUM(alloc) * 10000 // SUM(qty) AS BIGINT) AS fill_rate_bps
 FROM alloc GROUP BY p_brand ORDER BY p_brand
 """
 

@@ -38,8 +38,8 @@ firsts AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-       SUM(CASE WHEN novel THEN 1 ELSE 0 END) * 10000 // COUNT(*)
-         AS novelty_bps
+       CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+         AS BIGINT) AS novelty_bps
 FROM firsts GROUP BY source ORDER BY source
 """
 
@@ -492,8 +492,8 @@ trail6 AS (
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(errors AS BIGINT) AS errors_1h,
        CAST(total AS BIGINT) AS total_1h,
-       errors * 10000 // total AS burn_1h_bps,
-       errors6 * 10000 // total6 AS burn_6h_bps
+       CAST(errors * 10000 // total AS BIGINT) AS burn_1h_bps,
+       CAST(errors6 * 10000 // total6 AS BIGINT) AS burn_6h_bps
 FROM trail6
 WHERE errors * 10000 // total > 2500 AND errors6 * 10000 // total6 > 2200
 ORDER BY bucket

@@ -477,8 +477,8 @@ SELECT day,
             AS BIGINT) AS n_converted,
        CAST(SUM(CASE WHEN engaged = 1 AND purchased = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_abandoned,
-       SUM(CASE WHEN engaged = 1 AND purchased = 0 THEN 1 ELSE 0 END)
-         * 10000 // NULLIF(SUM(engaged), 0) AS abandon_bps
+       CAST(SUM(CASE WHEN engaged = 1 AND purchased = 0 THEN 1 ELSE 0 END)
+         * 10000 // NULLIF(SUM(engaged), 0) AS BIGINT) AS abandon_bps
 FROM per_user_day
 GROUP BY day HAVING SUM(engaged) > 0 ORDER BY day
 """
@@ -557,8 +557,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
          AS n_keys_violating,
        CAST(SUM(n_regressions) AS BIGINT) AS n_regressions,
        CAST(SUM(n_commits) AS BIGINT) AS n_commits,
-       SUM(CASE WHEN n_regressions > 0 THEN 1 ELSE 0 END) * 10000
-         // COUNT(*) AS violating_key_bps
+       CAST(SUM(CASE WHEN n_regressions > 0 THEN 1 ELSE 0 END) * 10000
+         // COUNT(*) AS BIGINT) AS violating_key_bps
 FROM per_key
 """
 

@@ -558,7 +558,9 @@ def sync_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yr", F.year("o_orderdate").cast("long")
         )
         step.write.mode("append").partitionBy("yr").parquet(new_path)
-    migrated = spark.read.parquet(new_path)
+    # partition-column inference types the yr directory values as int; pin
+    # long to match the oracle's BIGINT independent of inference behavior
+    migrated = spark.read.parquet(new_path).withColumn("yr", F.col("yr").cast("long"))
     return (
         migrated.groupBy("yr")
         .agg(

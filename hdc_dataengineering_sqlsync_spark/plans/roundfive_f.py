@@ -39,7 +39,7 @@ per_session AS (
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(n_events) AS BIGINT) AS n_events,
-       SUM(n_events) * 10000 // COUNT(*) AS events_per_session_bps,
+       CAST(SUM(n_events) * 10000 // COUNT(*) AS BIGINT) AS events_per_session_bps,
        CAST(2 * median(duration_us) AS BIGINT) AS med2_duration_us
 FROM per_session
 """
@@ -111,7 +111,7 @@ SELECT CAST(mo AS BIGINT) AS mo,
        CAST(COUNT(*) AS BIGINT) AS n_base_customers,
        CAST(SUM(prev_cents) AS BIGINT) AS base_cents,
        CAST(SUM(ret_cents) AS BIGINT) AS retained_cents,
-       SUM(ret_cents) * 10000 // SUM(prev_cents) AS nrr_bps
+       CAST(SUM(ret_cents) * 10000 // SUM(prev_cents) AS BIGINT) AS nrr_bps
 FROM paired GROUP BY mo ORDER BY mo
 """
 

@@ -115,7 +115,7 @@ SELECT l_returnflag,
        CAST(SUM(b) AS BIGINT) AS sum_bdays,
        CAST(MIN(b) AS BIGINT) AS min_bdays,
        CAST(MAX(b) AS BIGINT) AS max_bdays,
-       SUM(b) * 10000 // COUNT(*) AS avg_bdays_bps
+       CAST(SUM(b) * 10000 // COUNT(*) AS BIGINT) AS avg_bdays_bps
 FROM bd GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -247,7 +247,7 @@ SELECT CAST(SUM(n_rows) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_shards,
        CAST(MIN(n_rows) AS BIGINT) AS min_rows,
        CAST(MAX(n_rows) AS BIGINT) AS max_rows,
-       MAX(n_rows) * COUNT(*) * 10000 // SUM(n_rows) AS max_skew_bps,
+       CAST(MAX(n_rows) * COUNT(*) * 10000 // SUM(n_rows) AS BIGINT) AS max_skew_bps,
        CAST(MAX(bytes) AS BIGINT) AS max_shard_bytes
 FROM per_shard
 """

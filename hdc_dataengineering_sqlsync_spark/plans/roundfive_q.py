@@ -52,8 +52,8 @@ SELECT CAST(n_t AS BIGINT) AS n_t,
        CAST(conv_t AS BIGINT) AS conv_t,
        CAST(n_c AS BIGINT) AS n_c,
        CAST(conv_c AS BIGINT) AS conv_c,
-       conv_t * 10000 // n_t AS rate_t_bps,
-       conv_c * 10000 // n_c AS rate_c_bps,
+       CAST(conv_t * 10000 // n_t AS BIGINT) AS rate_t_bps,
+       CAST(conv_c * 10000 // n_c AS BIGINT) AS rate_c_bps,
        {_Z_EXPR} AS z_score
 FROM cells
 """

@@ -37,7 +37,7 @@ pairs AS (
   FROM customer a JOIN v2 b ON a.c_custkey = b.c_custkey
 )
 SELECT col, CAST(n_changed AS BIGINT) AS n_changed,
-       n_changed * 10000 // n_rows AS churn_bps
+       CAST(n_changed * 10000 // n_rows AS BIGINT) AS churn_bps
 FROM (
   SELECT 'c_acctbal' AS col, SUM(d_bal) AS n_changed, COUNT(*) AS n_rows
   FROM pairs

@@ -91,7 +91,7 @@ cdeg AS (SELECT c, count(*) AS d FROM sc GROUP BY c),
 pairs AS (
   SELECT a.s AS s1, b.s AS s2,
          count(*) AS n_common,
-         sum(CAST(1000000 // cdeg.d AS BIGINT)) AS ra_micro
+         CAST(sum(CAST(1000000 // cdeg.d AS BIGINT)) AS BIGINT) AS ra_micro
   FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
   JOIN cdeg ON cdeg.c = a.c
   GROUP BY 1, 2

@@ -276,8 +276,8 @@ ntok AS (SELECT word, len(t) AS n_tokens FROM bpe_final)
 SELECT wc.lang,
        CAST(sum(wc.cnt) AS BIGINT) AS n_words,
        CAST(sum(wc.cnt * ntok.n_tokens) AS BIGINT) AS n_bpe_tokens,
-       (2 * sum(wc.cnt * ntok.n_tokens) * 10000 + sum(wc.cnt))
-         // (2 * sum(wc.cnt)) AS bpe_per_word_bps
+       CAST((2 * sum(wc.cnt * ntok.n_tokens) * 10000 + sum(wc.cnt))
+         // (2 * sum(wc.cnt)) AS BIGINT) AS bpe_per_word_bps
 FROM wc JOIN ntok ON wc.word = ntok.word
 GROUP BY wc.lang ORDER BY wc.lang
 """

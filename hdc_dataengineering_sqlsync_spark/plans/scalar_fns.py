@@ -284,7 +284,8 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            round(avg(levenshtein(substr(text, 1, 20), substr(text, 21, 20))), 2) AS avg_lev,
-           max(levenshtein(substr(text, 1, 20), substr(text, 21, 20))) AS max_lev
+           CAST(max(levenshtein(substr(text, 1, 20), substr(text, 21, 20))) AS INT)
+             AS max_lev
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )

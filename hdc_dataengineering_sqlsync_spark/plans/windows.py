@@ -18,10 +18,10 @@ from hdc_dataengineering_sqlsync_spark.registry import load
     "2.5 windows",
     """
     SELECT c_mktsegment, c_custkey,
-           row_number()  OVER w AS rn,
-           rank()        OVER w AS rk,
-           dense_rank()  OVER w AS drk,
-           ntile(4)      OVER w AS nt
+           CAST(row_number()  OVER w AS INT) AS rn,
+           CAST(rank()        OVER w AS INT) AS rk,
+           CAST(dense_rank()  OVER w AS INT) AS drk,
+           CAST(ntile(4)      OVER w AS INT) AS nt
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     ORDER BY c_mktsegment, rn
@@ -225,7 +225,7 @@ def win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_topk_per_group",
     "2.5 windows",
     """
-    SELECT c_nationkey, c_custkey, rn FROM (
+    SELECT c_nationkey, c_custkey, CAST(rn AS INT) AS rn FROM (
       SELECT c_nationkey, c_custkey,
              row_number() OVER (PARTITION BY c_nationkey
                                 ORDER BY c_acctbal DESC, c_custkey) AS rn

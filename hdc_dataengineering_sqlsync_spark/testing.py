@@ -25,6 +25,8 @@ __all__ = [
     "duckdb_connect",
     "spark_result",
     "duckdb_result",
+    "type_mismatches",
+    "DUCK_TO_SPARK",
     "canonicalize",
     "compare_results",
     "assert_query_matches",
@@ -72,10 +74,110 @@ def spark_result(df: DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
-def duckdb_result(con: duckdb.DuckDBPyConnection, sql: str) -> tuple[list[str], list[tuple]]:
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, [tuple(r) for r in cur.fetchall()]
+def duckdb_result(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[list[str], list[tuple], list[str]]:
+    """Execute an oracle and return (columns, rows, duckdb type names).
+
+    The type names are part of the result on purpose: the driver hashes at
+    *typed* fidelity, while ``fetchall()`` erases DuckDB's integer widths
+    (HUGEINT degrades to a plain Python int). Round 8 shipped 13 oracles whose
+    ``SUM(BIGINT) * 10000 // …`` columns were HUGEINT — value-identical to
+    Spark's BIGINT, so every fetchall-based local sweep said MATCH while the
+    driver hash-failed. Callers must run :func:`type_mismatches` against the
+    Spark schema so the local gate fails exactly where the driver would.
+    """
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t).upper() for t in rel.types]
+    return cols, [tuple(r) for r in rel.fetchall()], types
+
+
+# The driver's observed fidelity (calibrated against hard signals, r8/r9):
+# it materializes both sides to Python values (Arrow conversion) and hashes
+# those. Integer WIDTHS therefore fold together (BIGINT vs Spark int both
+# arrive as Python int — win_ranking et al. were driver-green for 7 rounds
+# with exactly that skew), but DuckDB HUGEINT arrives as decimal128 →
+# `Decimal`, which hash-differs from int even when numerically equal (the 13
+# r8 failures). The check below models that VALUE DOMAIN, not lexical types:
+# a domain mismatch is a guaranteed driver hash-fail; a width-only skew is
+# driver-tolerated (though house convention §2.6 still says cast exactly).
+_DUCK_DOMAIN: dict[str, str] = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "DOUBLE": "float",
+    "FLOAT": "float",
+    "REAL": "float",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    # duckdb TIMESTAMP is zoneless; Spark's TIMESTAMP (LTZ) collects to the
+    # same naive wall time under the driver's TZ=UTC, so both map onto it
+    "TIMESTAMP": "datetime",
+    "TIMESTAMP WITH TIME ZONE": "datetime",
+    "BLOB": "bytes",
+}
+_SPARK_DOMAIN: dict[str, str] = {
+    "byte": "int",
+    "short": "int",
+    "integer": "int",
+    "long": "int",
+    "float": "float",
+    "double": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "datetime",
+    "timestamp_ntz": "datetime",
+    "binary": "bytes",
+}
+# kept for the dry oracle type audit (tests/test_oracle_types.py): every
+# duckdb type a driver-mappable oracle may emit
+DUCK_TO_SPARK = _DUCK_DOMAIN
+
+
+def _duck_domain(duck_t: str) -> str | None:
+    if duck_t.startswith("DECIMAL"):
+        # Decimal values hash by numeric value; precision is invisible but
+        # SCALE is part of the rendered value only when it changes the
+        # numeric value — Decimal('1.50') == Decimal('1.5') and they hash
+        # equal in Python, so scale folds too. Domain: decimal.
+        return "decimal"
+    return _DUCK_DOMAIN.get(duck_t)
+
+
+def _spark_domain(spark_t) -> str | None:
+    name = spark_t.typeName()
+    if name == "decimal":
+        return "decimal"
+    return _SPARK_DOMAIN.get(name)
+
+
+def type_mismatches(
+    spark_schema, duck_cols: list[str], duck_types: list[str]
+) -> list[str]:
+    """Columns whose DuckDB output lands in a different Python value domain
+    than the Spark output — a guaranteed driver hash-fail even when the
+    values are numerically identical (the r8 HUGEINT class). Column-set
+    differences are reported by :func:`compare_results`; unknown columns
+    are skipped here."""
+    spark_by_col = {f.name: f.dataType for f in spark_schema.fields}
+    problems: list[str] = []
+    for col, duck_t in zip(duck_cols, duck_types):
+        spark_t = spark_by_col.get(col)
+        if spark_t is None:
+            continue
+        dd, sd = _duck_domain(duck_t), _spark_domain(spark_t)
+        if dd is None or dd != sd:
+            problems.append(
+                f"type mismatch on {col}: duckdb={duck_t} "
+                f"spark={spark_t.simpleString()} (driver hashes Arrow-"
+                f"materialized values — these land in different Python "
+                f"domains, so equal values cannot save it)"
+            )
+    return problems
 
 
 def _norm(v: Any) -> Any:
@@ -134,6 +236,6 @@ def assert_query_matches(
 ) -> None:
     df = fn(spark, sf_dir)
     sc, sr = spark_result(df)
-    dc, dr = duckdb_result(con, oracle)
-    problems = compare_results(sc, sr, dc, dr)
+    dc, dr, dtypes = duckdb_result(con, oracle)
+    problems = type_mismatches(df.schema, dc, dtypes) + compare_results(sc, sr, dc, dr)
     assert not problems, "; ".join(problems)

@@ -54,6 +54,7 @@ from hdc_dataengineering_sqlsync_spark.testing import (
     duckdb_connect,
     duckdb_result,
     spark_result,
+    type_mismatches,
 )
 
 
@@ -94,8 +95,10 @@ def main() -> int:
                 status = f"ran ({len(sr)} rows)"
                 problems = []
             elif qid in oracles:
-                dc, dr = duckdb_result(con, oracles[qid])
-                problems = compare_results(sc, sr, dc, dr)
+                dc, dr, dtypes = duckdb_result(con, oracles[qid])
+                problems = type_mismatches(df.schema, dc, dtypes) + compare_results(
+                    sc, sr, dc, dr
+                )
                 status = "MATCH" if not problems else "MISMATCH: " + "; ".join(problems)
             else:
                 status = f"rows-only ({len(sr)} rows)"

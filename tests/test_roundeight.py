@@ -505,3 +505,96 @@ class TestCodecEdgePaths:
             + rest
         )
         assert (decode_tiff(rebuilt) == px).all()
+
+    @staticmethod
+    def _with_extra_tag(payload: bytes, entry12: bytes) -> bytes:
+        """Append one 12-byte IFD entry to an encode_tiff payload by
+        relocating the IFD to the end (strip/array offsets untouched)."""
+        import struct
+
+        ifd_off = struct.unpack_from("<I", payload, 4)[0]
+        n = struct.unpack_from("<H", payload, ifd_off)[0]
+        entries = payload[ifd_off + 2 : ifd_off + 2 + n * 12]
+        new_ifd = struct.pack("<H", n + 1) + entries + entry12 + struct.pack("<I", 0)
+        out = bytearray(payload) + new_ifd
+        struct.pack_into("<I", out, 4, len(payload))
+        return bytes(out)
+
+    def test_tiff_ascii_and_rational_tags_ignored(self):
+        """Unhandled tag TYPES (ASCII=2, RATIONAL=5) on ignorable tags must
+        be skipped, not raise — real TIFFs carry Software (ASCII) and
+        XResolution (RATIONAL) everywhere (r8 ADVICE)."""
+        import struct
+
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        payload = encode_tiff(px, rows_per_strip=2)
+        ascii_tag = struct.pack("<HHI4s", 305, 2, 4, b"hi\x00\x00")  # Software
+        rational = struct.pack("<HHII", 282, 5, 1, len(payload))  # XResolution
+        for extra in (ascii_tag, rational):
+            out, meta = decode_tiff(
+                self._with_extra_tag(payload, extra), return_meta=True
+            )
+            assert (out == px).all()
+            assert meta["n_strips"] == 2  # 4 rows / RowsPerStrip 2
+            assert meta["n_tags"] == 10  # 9 baseline + the skipped extra
+
+    def test_tiff_required_tag_unsupported_type_raises(self):
+        """An unsupported type on a REQUIRED tag is still an error — and a
+        ValueError, not a KeyError (decoder convention, r8 ADVICE)."""
+        import struct
+
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        payload = encode_tiff(px, rows_per_strip=2)
+        ifd_off = struct.unpack_from("<I", payload, 4)[0]
+        n = struct.unpack_from("<H", payload, ifd_off)[0]
+        entries = bytearray(payload[ifd_off + 2 : ifd_off + 2 + n * 12])
+        kept, mangled = [], []
+        for i in range(n):
+            tag, typ, count = struct.unpack_from("<HHI", entries, i * 12)
+            if tag == 273:  # StripOffsets: flip its type to RATIONAL
+                e = bytearray(entries[i * 12 : (i + 1) * 12])
+                struct.pack_into("<H", e, 2, 5)
+                mangled.append(bytes(e))
+            else:
+                kept.append(bytes(entries[i * 12 : (i + 1) * 12]))
+        new_ifd = (
+            struct.pack("<H", n) + b"".join(kept + mangled) + struct.pack("<I", 0)
+        )
+        out = bytearray(payload) + new_ifd
+        struct.pack_into("<I", out, 4, len(payload))
+        with pytest.raises(ValueError, match="unsupported type 5"):
+            decode_tiff(bytes(out))
+        # and a MISSING strip table is also a ValueError, not a KeyError
+        no_strip = struct.pack("<H", n - 1) + b"".join(kept) + struct.pack("<I", 0)
+        out2 = bytearray(payload) + no_strip
+        struct.pack_into("<I", out2, 4, len(payload))
+        with pytest.raises(ValueError, match="StripOffsets"):
+            decode_tiff(bytes(out2))
+
+    def test_jpeg_zero_quant_rejected_before_fdct(self):
+        """A 0 quant step must raise BEFORE the FDCT/quantize pass — no
+        numpy divide/cast warnings (r8 ADVICE + VERDICT #7)."""
+        import warnings
+
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import (
+            DEFAULT_QUANT,
+            encode_jpeg,
+        )
+
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        bad = DEFAULT_QUANT.copy()
+        bad[0, 0] = 0
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any RuntimeWarning -> failure
+            with pytest.raises(ValueError, match="1..255"):
+                encode_jpeg(px, quant=bad)
