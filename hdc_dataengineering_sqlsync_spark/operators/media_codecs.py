@@ -37,6 +37,8 @@ __all__ = [
     "decode_wav",
     "encode_png",
     "decode_png",
+    "encode_png_batch",
+    "decode_png_batch",
     "encode_gif",
     "decode_gif",
 ]
@@ -259,31 +261,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit truecolor (color type 2) PNG to an HxWx3 uint8 RGB
     array: chunk walk -> concatenated-IDAT zlib inflate -> per-scanline
     unfilter (all five predictor types)."""
-    if bytes(payload[: len(_PNG_SIG)]) != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, w = len(_PNG_SIG), 0
-    h = bitdepth = ctype = interlace = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        name = bytes(payload[pos + 4 : pos + 8])
-        body = bytes(payload[pos + 8 : pos + 8 + length])
-        pos += 12 + length  # length + type + payload + crc
-        if name == b"IHDR":
-            w, h, bitdepth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
-        elif name == b"IDAT":
-            idat.extend(body)
-        elif name == b"IEND":
-            break
-    if bitdepth != 8 or ctype != 2 or interlace != 0:
-        raise ValueError(
-            f"only 8-bit non-interlaced truecolor PNG supported "
-            f"(depth={bitdepth}, color={ctype}, interlace={interlace})"
-        )
+    w, h, data = _png_parse(payload)
     stride = w * 3
-    data = zlib.decompress(bytes(idat))
-    if len(data) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
     rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
     zero = np.zeros(stride, dtype=np.uint8)
@@ -310,6 +289,141 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     return out.reshape(h, w, 3).copy()
+
+
+def encode_png_batch(pixel_stack: np.ndarray) -> list[bytes]:
+    """Encode n same-size HxWx3 images at once (filter rotation y % 5, as
+    ``encode_png``). Filter arithmetic is one numpy pass vectorized across
+    the whole stack; only the per-image DEFLATE (C-speed zlib) loops.
+
+    This is the corpus-scale path: per-image cost in ``encode_png`` is h
+    numpy row expressions — pure Python-dispatch overhead at thumbnail
+    sizes. Bit-identical to the scalar encoder (parity unit-tested)."""
+    if pixel_stack.ndim != 4 or pixel_stack.shape[3] != 3:
+        raise ValueError(f"expected NxHxWx3 stack, got shape {pixel_stack.shape}")
+    n, h, w, _ = pixel_stack.shape
+    stride = w * 3
+    raw = np.ascontiguousarray(pixel_stack, dtype=np.uint8).reshape(n, h, stride)
+    left = np.zeros_like(raw)
+    left[:, :, 3:] = raw[:, :, :-3]
+    prev = np.zeros_like(raw)
+    prev[:, 1:, :] = raw[:, :-1, :]
+    upleft = np.zeros_like(raw)
+    upleft[:, 1:, 3:] = raw[:, :-1, :-3]
+    scan = np.empty((n, h, stride + 1), dtype=np.uint8)
+    for y in range(h):
+        ftype = y % 5
+        scan[:, y, 0] = ftype
+        cur = raw[:, y]
+        if ftype == 0:
+            f = cur
+        elif ftype == 1:  # Sub
+            f = cur - left[:, y]
+        elif ftype == 2:  # Up
+            f = cur - prev[:, y]
+        elif ftype == 3:  # Average
+            f = cur - (
+                (left[:, y].astype(np.uint16) + prev[:, y].astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            f = cur - _paeth(left[:, y], prev[:, y], upleft[:, y])
+        scan[:, y, 1:] = f
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    iend = _png_chunk(b"IEND", b"")
+    return [
+        _PNG_SIG + ihdr + _png_chunk(b"IDAT", zlib.compress(scan[i].tobytes(), 6)) + iend
+        for i in range(n)
+    ]
+
+
+def _png_parse(payload: bytes) -> tuple[int, int, bytes]:
+    """Chunk walk shared by the scalar and batch decoders: returns
+    (w, h, inflated scanline bytes) after validating the 8-bit truecolor
+    non-interlaced contract."""
+    if bytes(payload[: len(_PNG_SIG)]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), 0
+    h = bitdepth = ctype = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        name = bytes(payload[pos + 4 : pos + 8])
+        body = bytes(payload[pos + 8 : pos + 8 + length])
+        pos += 12 + length  # length + type + payload + crc
+        if name == b"IHDR":
+            w, h, bitdepth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif name == b"IDAT":
+            idat.extend(body)
+        elif name == b"IEND":
+            break
+    if bitdepth != 8 or ctype != 2 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced truecolor PNG supported "
+            f"(depth={bitdepth}, color={ctype}, interlace={interlace})"
+        )
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (w * 3 + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    return w, h, data
+
+
+def decode_png_batch(payloads: list[bytes]) -> list[np.ndarray]:
+    """Decode many truecolor PNGs, vectorizing the unfilter across every
+    group of images that shares (w, h, per-row filter-type vector) — the
+    shape a corpus encoded by one producer overwhelmingly has.
+
+    The sequential predictors (Sub/Average/Paeth) still walk x, but each
+    step now processes the whole group at once: Python-op count drops from
+    O(images × h × w) to O(classes × h × w). Sub additionally collapses to
+    one per-lane cumsum (mod-256 prefix sum). Returns arrays in input
+    order; bit-identical to ``decode_png`` (parity unit-tested)."""
+    parsed = [_png_parse(p) for p in payloads]
+    groups: dict[tuple, list[int]] = {}
+    scans: list[np.ndarray] = []
+    for i, (w, h, data) in enumerate(parsed):
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(h, w * 3 + 1)
+        scans.append(rows)
+        groups.setdefault((w, h, rows[:, 0].tobytes()), []).append(i)
+
+    out: list[np.ndarray | None] = [None] * len(payloads)
+    for (w, h, ftypes_b), idxs in groups.items():
+        stride = w * 3
+        stack = np.stack([scans[i] for i in idxs])  # (m, h, stride+1)
+        m = len(idxs)
+        dec = np.zeros((m, h, stride), dtype=np.uint8)
+        zero_row = np.zeros((m, stride), dtype=np.uint8)
+        zero_px = np.zeros((m, 3), dtype=np.uint8)
+        for y in range(h):
+            ftype = ftypes_b[y]
+            filt = stack[:, y, 1:]
+            prev = dec[:, y - 1] if y else zero_row
+            if ftype == 0:
+                dec[:, y] = filt
+            elif ftype == 2:  # Up
+                dec[:, y] = filt + prev
+            elif ftype == 1:  # Sub: per-lane mod-256 prefix sum
+                lanes = filt.reshape(m, w, 3).astype(np.int64)
+                dec[:, y] = (
+                    (lanes.cumsum(axis=1) % 256).astype(np.uint8).reshape(m, stride)
+                )
+            elif ftype in (3, 4):  # Average / Paeth: sequential in x only
+                cur = dec[:, y]
+                for x in range(0, stride, 3):
+                    left = cur[:, x - 3 : x] if x else zero_px
+                    up = prev[:, x : x + 3]
+                    if ftype == 3:
+                        pred = (
+                            (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+                        ).astype(np.uint8)
+                    else:
+                        upleft = prev[:, x - 3 : x] if x else zero_px
+                        pred = _paeth(left, up, upleft)
+                    cur[:, x : x + 3] = filt[:, x : x + 3] + pred
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+        for j, i in enumerate(idxs):
+            out[i] = dec[j].reshape(h, w, 3).copy()
+    return out  # type: ignore[return-value]
 
 
 # --------------------------------------------------------------------- GIF

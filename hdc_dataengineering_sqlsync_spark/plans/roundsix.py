@@ -105,23 +105,37 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere. Scale: encode and decode run inside the SAME partition
     (mapInPandas, zero shuffle); only 7 scalar stats per image reach the
     final sort — payload bytes never cross a stage boundary."""
-    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import encode_png
-    from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_png_batch,
+        encode_png_batch,
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch the filter+DEFLATE per (w,h) size class (m % 12): one numpy
+        # pass over the whole class instead of h row expressions per image
+        # (the BMP vectorization lesson — per-image numpy is dispatch-bound
+        # at thumbnail sizes)
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "payload": [encode_png(_png_pixels(int(m))) for m in pdf["doc_id"]],
-                }
-            )
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                yield pd.DataFrame({"media_id": ids, "payload": []})
+                continue
+            payloads: list[bytes | None] = [None] * len(ids)
+            order = np.argsort(ids % 12, kind="stable")
+            for cls_ids in np.split(
+                order, np.unique((ids % 12)[order], return_index=True)[1][1:]
+            ):
+                stack = np.stack([_png_pixels(int(ids[i])) for i in cls_ids])
+                for i, blob in zip(cls_ids, encode_png_batch(stack)):
+                    payloads[int(i)] = blob
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            decoded = decode_png_batch([bytes(p) for p in pdf["payload"]])
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image(payload).astype(np.int64)
+            for mid, px in zip(pdf["media_id"], decoded):
+                px = px.astype(np.int64)
                 r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
                 rows.append(
                     (

@@ -36,6 +36,29 @@ def test_png_roundtrip_all_filters(h, w):
     assert (out == px).all()
 
 
+def test_png_batch_parity_with_scalar():
+    """The corpus-scale batch codec (r9: unfilter vectorized across every
+    same-(w,h,filter-vector) class) must be BIT-identical to the scalar
+    reference — encode bytes and decode pixels both, over a mixed-class
+    input whose order must be preserved."""
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+        decode_png_batch,
+        encode_png_batch,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (3, 4), (5, 8), (12, 14)]:
+        stack = rng.integers(0, 256, (7, h, w, 3), dtype=np.uint8)
+        assert encode_png_batch(stack) == [encode_png(stack[i]) for i in range(7)]
+    imgs = [
+        rng.integers(0, 256, (3 + (k % 4) * 3, 4 + (k % 6) * 2, 3), dtype=np.uint8)
+        for k in range(25)
+    ]
+    outs = decode_png_batch([encode_png(im) for im in imgs])
+    for im, out in zip(imgs, outs):
+        assert (out == im).all()
+
+
 def test_png_container_layout():
     """Signature, IHDR fields, chunk CRCs, IEND terminator."""
     px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
