@@ -41,6 +41,8 @@ __all__ = [
     "decode_png_batch",
     "encode_gif",
     "decode_gif",
+    "encode_gif_animation",
+    "decode_gif_animation",
 ]
 
 _BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, filesize, res, res, data offset
@@ -462,9 +464,17 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     out += gct.tobytes()
     out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor, no LCT
 
-    min_code = depth
+    out += _gif_image_data(indices, depth)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _gif_image_data(indices: np.ndarray, min_code: int) -> bytes:
+    """LZW-code one frame's index stream: min-code byte + sub-blocked
+    codestream + block terminator (the bytes that follow an image
+    descriptor). Shared by the still and animation encoders."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
-    out.append(min_code)
+    out = bytearray([min_code])
 
     bits = bytearray()
     acc = nbits = 0
@@ -507,7 +517,7 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
         chunk = bits[i : i + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out.append(0)  # block terminator
     return bytes(out)
 
 
@@ -548,13 +558,26 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pos += n * 3
     if ct is None:
         raise ValueError("GIF has no color table")
-    min_code = payload[pos]
-    pos += 1
+    idx, pos = _gif_decode_frame(payload, pos, w, h)
+    return ct[idx].copy()
+
+
+def _gif_read_subblocks(payload: bytes, pos: int) -> tuple[bytearray, int]:
+    """Concatenate a sub-block chain starting at ``pos``; returns the data
+    and the position just past the 0 terminator."""
     data = bytearray()
     while payload[pos]:
         ln = payload[pos]
         data += payload[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
+    return data, pos + 1
+
+
+def _gif_decode_frame(payload: bytes, pos: int, w: int, h: int) -> tuple[np.ndarray, int]:
+    """LZW-inflate one frame's image data (min-code byte at ``pos``);
+    returns the HxW index matrix and the position past the terminator."""
+    min_code = payload[pos]
+    data, end = _gif_read_subblocks(payload, pos + 1)
 
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     width = min_code + 1
@@ -594,4 +617,101 @@ def decode_gif(payload: bytes) -> np.ndarray:
         if len(table) == (1 << width) and width < 12:
             width += 1
     idx = np.frombuffer(bytes(out), np.uint8, w * h).reshape(h, w)
-    return ct[idx].copy()
+    return idx, end
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], palette: np.ndarray, delays_cs: list[int]
+) -> bytes:
+    """Encode same-size index frames as an animated GIF89a: NETSCAPE2.0
+    loop extension, then per frame a Graphic Control Extension carrying its
+    delay (centiseconds) + image descriptor + real LZW image data. Every
+    frame is full-size with no transparency/disposal tricks — the archival
+    shape a training corpus stores."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    if len(frames) != len(delays_cs):
+        raise ValueError("one delay per frame required")
+    h, w = frames[0].shape
+    p = len(palette)
+    if p > 256:
+        raise ValueError(f"GIF palettes hold at most 256 colors, got {p}")
+    depth = max(2, (int(p) - 1).bit_length())
+    gct = np.zeros((1 << depth, 3), dtype=np.uint8)
+    gct[:p] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += gct.tobytes()
+    # NETSCAPE2.0 application extension: loop forever (the de-facto marker
+    # every animated GIF carries)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for frame, delay in zip(frames, delays_cs):
+        if frame.shape != (h, w):
+            raise ValueError("all animation frames must share the canvas size")
+        if frame.max(initial=0) >= (1 << depth):
+            raise ValueError("index out of palette range")
+        if not 0 <= int(delay) <= 0xFFFF:
+            raise ValueError(f"GIF frame delay out of uint16 range: {delay}")
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, int(delay), 0, 0)  # GCE
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+        out += _gif_image_data(frame, depth)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Decode an animated GIF to (RGB frames, per-frame delays in
+    centiseconds). Walks the block stream generically: application/comment
+    extensions are skipped, each GCE's delay attaches to the following
+    image, local color tables override the global one per frame."""
+    if bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _, _, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 7) + 1)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    pending_delay = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:
+            label = payload[pos + 1]
+            if label == 0xF9:  # Graphic Control Extension
+                size = payload[pos + 2]
+                (pending_delay,) = struct.unpack_from("<H", payload, pos + 4)
+                pos += 3 + size
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:  # application / comment / plain-text: skip sub-blocks
+                pos += 2
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+        elif block == 0x2C:
+            _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            ct = gct
+            if iflags & 0x80:
+                n = 1 << ((iflags & 7) + 1)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF has no color table")
+            idx, pos = _gif_decode_frame(payload, pos, w, h)
+            frames.append(ct[idx].copy())
+            delays.append(pending_delay)
+            pending_delay = 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames, delays

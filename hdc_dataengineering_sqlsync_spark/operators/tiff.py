@@ -33,6 +33,7 @@ _T_BITS = 258
 _T_COMPRESSION = 259
 _T_PHOTOMETRIC = 262
 _T_STRIP_OFFSETS = 273
+_T_ORIENTATION = 274
 _T_SAMPLES = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTES = 279
@@ -43,11 +44,19 @@ _TYPE_LONG = 4  # uint32
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
-def encode_tiff(pixels: np.ndarray, rows_per_strip: int = 4) -> bytes:
+def encode_tiff(
+    pixels: np.ndarray, rows_per_strip: int = 4, orientation: int | None = None
+) -> bytes:
     """Encode an HxWx3 uint8 RGB array as an uncompressed baseline TIFF
-    (little-endian, chunky RGB, multiple strips)."""
+    (little-endian, chunky RGB, multiple strips).
+
+    ``orientation`` (TIFF tag 274, the EXIF-style value 1/3/6/8 cameras
+    write) is stored as metadata only — pixel data stays in file order, as
+    real cameras do; honoring the tag is the READER's job."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected HxWx3 RGB array, got shape {pixels.shape}")
+    if orientation is not None and orientation not in (1, 3, 6, 8):
+        raise ValueError(f"unsupported TIFF orientation {orientation}")
     h, w = pixels.shape[:2]
     rps = max(1, min(rows_per_strip, h))
     n_strips = -(-h // rps)
@@ -84,7 +93,8 @@ def encode_tiff(pixels: np.ndarray, rows_per_strip: int = 4) -> bytes:
         return struct.pack("<HHII", tag, typ, count, value)
 
     # BitsPerSample needs a 3-element SHORT array -> stored after the IFD
-    bits_off = ifd_offset + 2 + 9 * 12 + 4
+    n_entries = 9 + (orientation is not None)
+    bits_off = ifd_offset + 2 + n_entries * 12 + 4
     entries = [
         entry(_T_WIDTH, _TYPE_LONG, 1, w),
         entry(_T_HEIGHT, _TYPE_LONG, 1, h),
@@ -92,6 +102,11 @@ def encode_tiff(pixels: np.ndarray, rows_per_strip: int = 4) -> bytes:
         entry(_T_COMPRESSION, _TYPE_SHORT, 1, 1),  # none
         entry(_T_PHOTOMETRIC, _TYPE_SHORT, 1, 2),  # RGB
         entry(_T_STRIP_OFFSETS, _TYPE_LONG, len(strips), off_val),
+    ]
+    if orientation is not None:
+        # tags must stay in ascending id order (273 < 274 < 277)
+        entries.append(entry(_T_ORIENTATION, _TYPE_SHORT, 1, orientation))
+    entries += [
         entry(_T_SAMPLES, _TYPE_SHORT, 1, 3),
         entry(_T_ROWS_PER_STRIP, _TYPE_LONG, 1, rps),
         entry(_T_STRIP_BYTES, _TYPE_LONG, len(strips), cnt_val),
@@ -207,6 +222,7 @@ def decode_tiff(payload: bytes, return_meta: bool = False):
             "n_strips": len(offsets),
             "rows_per_strip": one(_T_ROWS_PER_STRIP, h),
             "n_tags": n_entries,
+            "orientation": one(_T_ORIENTATION, 1),
         }
         return pixels, meta
     return pixels

@@ -126,6 +126,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundeight_e,
     roundeight_f,
     roundeight_g,
+    roundnine,
 )
 
 _LEDGER = os.path.join(

