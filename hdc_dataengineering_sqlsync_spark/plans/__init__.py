@@ -127,6 +127,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundeight_f,
     roundeight_g,
     roundnine,
+    roundnine_b,
 )
 
 _LEDGER = os.path.join(
