@@ -219,14 +219,15 @@ def fn_ipv4_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure map-side scalar expressions + one tiny census agg;
     whole-stage codegen end to end, no UDF."""
     o = load(spark, sf_dir, "orders")
-    ipn = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    # integral DIV for the octets — double '/'+cast can round up across an
+    # integer boundary (repo integer-anchor discipline)
     formatted = o.select(
-        F.concat_ws(
-            ".",
-            (ipn / 16777216).cast("long").cast("string"),
-            ((ipn / 65536).cast("long") % 256).cast("string"),
-            ((ipn / 256).cast("long") % 256).cast("string"),
-            (ipn % 256).cast("string"),
+        F.expr(
+            "concat_ws('.', "
+            " cast(((o_orderkey * 2654435761) % 4294967296) DIV 16777216 as string),"
+            " cast((((o_orderkey * 2654435761) % 4294967296) DIV 65536) % 256 as string),"
+            " cast((((o_orderkey * 2654435761) % 4294967296) DIV 256) % 256 as string),"
+            " cast(((o_orderkey * 2654435761) % 4294967296) % 256 as string))"
         ).alias("ip")
     )
     oct_ = F.split(F.col("ip"), "\\.")

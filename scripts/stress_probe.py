@@ -87,6 +87,12 @@ PROBE_SET: dict[str, str] = {
     "win_match_recognize_vshape": "volume",  # pattern windows over Nx rows
     "graph_katz_2step": "graph",         # edges x degree join over Nx nodes
     "multimodal_decode_tiff": "docs",    # IFD walk + strip stitch over Nx images
+    # round-9 additions: the new scale-sensitive shapes
+    "graph_jaccard_linkpred": "graph",   # customer-blocked pair self-join fan-out
+    "multimodal_gif_animation": "docs",  # multi-frame LZW roundtrip per image
+    "multimodal_histogram_eq": "docs",   # per-image bincount+remap over Nx images
+    "wl_entity_resolution_tokenset": "customers",  # canonical-key join over Nx names
+    "ts_twap_irregular": "events",       # per-user lead window over Nx histories
 }
 
 TABLES = [

@@ -777,3 +777,61 @@ def test_segment_dedup_shuffles_digests_not_text(spark, sf_dir):
             )
     assert ex_args, "expected at least one exchange"
     assert not any("text#" in ln for ln in ex_args), ex_args
+
+
+def test_vwap_reduces_to_month_grain_before_window(spark, sf_dir):
+    """ts_vwap_anchored: the part dim must broadcast and the cumulative
+    window must sit ABOVE the month-grain aggregate (window input is the
+    agg output, never line-item rows) — the declared 100 TB shape."""
+    plan = _plan(spark, sf_dir, "ts_vwap_anchored")
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    agg_ids = [int(l.split(")")[0].strip("(* ")) for l in lines
+               if ") HashAggregate" in l]
+    win_ids = [int(l.split(")")[0].strip("(* ")) for l in lines if ") Window" in l]
+    assert agg_ids and win_ids
+    # formatted-plan node ids increase from scan to result: every Window
+    # node must come after (higher id than) the first HashAggregate
+    assert min(win_ids) > min(agg_ids)
+
+
+def test_welch_is_single_two_phase_agg_with_broadcast_dim(spark, sf_dir):
+    """wl_ttest_welch: one keyed aggregate (two-phase: partial + final),
+    customer dim broadcast, no window, no second shuffle round."""
+    plan = _plan(spark, sf_dir, "wl_ttest_welch")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("partial_") >= 1  # map-side combine exists
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_linkpred_broadcasts_degrees_and_takeordered(spark, sf_dir):
+    """graph_jaccard_linkpred: degree joins broadcast (supplier-count-sized),
+    top-k is TakeOrdered (never a global Sort), and the only non-broadcast
+    join is the customer-blocked pair self-join."""
+    plan = _plan(spark, sf_dir, "graph_jaccard_linkpred")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_resolution_is_codegen_no_udf(spark, sf_dir):
+    """wl_entity_resolution_tokenset: canonicalization must stay JVM-side
+    (no BatchEvalPython / ArrowEvalPython) and the resolution is hash
+    equi-joins only."""
+    plan = _plan(spark, sf_dir, "wl_entity_resolution_tokenset")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ipv4_census_is_pure_jvm_two_phase(spark, sf_dir):
+    """fn_ipv4_cidr_match: format/parse/classify as JVM expressions — no
+    UDF, no join, a two-phase (partial + final) census, and no float
+    division anywhere in the octet math (integral div only)."""
+    plan = _plan(spark, sf_dir, "fn_ipv4_cidr_match")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("partial_") >= 1
+    assert "as double" not in plan  # octets must stay integral
