@@ -448,25 +448,33 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """
     if indices.ndim != 2:
         raise ValueError(f"expected HxW index matrix, got shape {indices.shape}")
+    h, w = indices.shape
+    header, depth = _gif_header(w, h, palette)
+    if indices.max(initial=0) >= (1 << depth):
+        raise ValueError("index out of palette range")
+    out = bytearray(header)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor, no LCT
+
+    out += _gif_image_data(indices, depth)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _gif_header(w: int, h: int, palette: np.ndarray) -> tuple[bytes, int]:
+    """GIF89a signature + logical screen descriptor + global color table —
+    shared by the still and animation encoders. Returns (bytes, depth)."""
     p = len(palette)
     if p > 256:
         # depth 9 would wrap the 3-bit GCT-size field and emit a corrupt
         # logical-screen descriptor — fail loudly instead
         raise ValueError(f"GIF palettes hold at most 256 colors, got {p}")
     depth = max(2, (int(p) - 1).bit_length())  # GCT size is a power of two >= 4
-    if indices.max(initial=0) >= (1 << depth):
-        raise ValueError("index out of palette range")
-    h, w = indices.shape
     gct = np.zeros((1 << depth, 3), dtype=np.uint8)
     gct[:p] = palette
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
     out += gct.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor, no LCT
-
-    out += _gif_image_data(indices, depth)
-    out += b"\x3b"  # trailer
-    return bytes(out)
+    return bytes(out), depth
 
 
 def _gif_image_data(indices: np.ndarray, min_code: int) -> bytes:
@@ -632,16 +640,11 @@ def encode_gif_animation(
         raise ValueError("animation needs at least one frame")
     if len(frames) != len(delays_cs):
         raise ValueError("one delay per frame required")
+    if frames[0].ndim != 2:
+        raise ValueError(f"expected HxW index matrices, got shape {frames[0].shape}")
     h, w = frames[0].shape
-    p = len(palette)
-    if p > 256:
-        raise ValueError(f"GIF palettes hold at most 256 colors, got {p}")
-    depth = max(2, (int(p) - 1).bit_length())
-    gct = np.zeros((1 << depth, 3), dtype=np.uint8)
-    gct[:p] = palette
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
-    out += gct.tobytes()
+    header, depth = _gif_header(w, h, palette)
+    out = bytearray(header)
     # NETSCAPE2.0 application extension: loop forever (the de-facto marker
     # every animated GIF carries)
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
@@ -666,7 +669,7 @@ def decode_gif_animation(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
     image, local color tables override the global one per frame."""
     if bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    _, _, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -681,22 +684,25 @@ def decode_gif_animation(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
         if block == 0x21:
             label = payload[pos + 1]
             if label == 0xF9:  # Graphic Control Extension
-                size = payload[pos + 2]
+                gce_flags = payload[pos + 3]
                 (pending_delay,) = struct.unpack_from("<H", payload, pos + 4)
-                pos += 3 + size
-                while payload[pos]:
-                    pos += 1 + payload[pos]
-                pos += 1
+                if gce_flags & 0x01:
+                    # transparency needs the previous composited frame —
+                    # outside this decoder's full-frame contract
+                    raise ValueError("GIF transparency not supported")
+                _, pos = _gif_read_subblocks(payload, pos + 3 + payload[pos + 2])
             else:  # application / comment / plain-text: skip sub-blocks
-                pos += 2
-                while payload[pos]:
-                    pos += 1 + payload[pos]
-                pos += 1
+                _, pos = _gif_read_subblocks(payload, pos + 2)
         elif block == 0x2C:
-            _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
+            _, left, top, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
             pos += 10
             if iflags & 0x40:
                 raise ValueError("interlaced GIF not supported")
+            if left or top or (w, h) != (sw, sh):
+                # sub-rectangle frames (inter-frame optimization) need
+                # canvas compositing — refuse rather than return misaligned
+                # crops as if they were full frames
+                raise ValueError("GIF sub-rectangle frames not supported")
             ct = gct
             if iflags & 0x80:
                 n = 1 << ((iflags & 7) + 1)

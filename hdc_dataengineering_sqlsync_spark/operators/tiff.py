@@ -189,13 +189,18 @@ def decode_tiff(payload: bytes, return_meta: bool = False):
 
     def one(tag: int, default: int | None = None) -> int:
         if tag not in tags:
+            # a defaulted (optional) tag whose type we cannot read is
+            # treated as absent — the ADVICE-r8 contract: only a REQUIRED
+            # tag with an unsupported type is an error. Misreads of the
+            # value-affecting optionals (Compression, RowsPerStrip) are
+            # caught downstream by the pixel-data size check.
+            if default is not None:
+                return default
             if tag in skipped_types:
                 raise ValueError(
                     f"required TIFF tag {tag} has unsupported type {skipped_types[tag]}"
                 )
-            if default is None:
-                raise ValueError(f"TIFF missing required tag {tag}")
-            return default
+            raise ValueError(f"TIFF missing required tag {tag}")
         return tags[tag][0]
 
     w, h = one(_T_WIDTH), one(_T_HEIGHT)
@@ -203,6 +208,13 @@ def decode_tiff(payload: bytes, return_meta: bool = False):
         raise ValueError("only uncompressed TIFF supported")
     if one(_T_PHOTOMETRIC) != 2 or one(_T_SAMPLES, 1) != 3:
         raise ValueError("only baseline RGB TIFF supported")
+    if _T_BITS in skipped_types:
+        # BitsPerSample changes how the pixel BUFFER is interpreted — an
+        # unreadable entry cannot default to 8-bit (unlike orientation or
+        # compression, no downstream check reliably catches the misread)
+        raise ValueError(
+            f"TIFF BitsPerSample tag has unsupported type {skipped_types[_T_BITS]}"
+        )
     if tags.get(_T_BITS, [8, 8, 8]) != [8, 8, 8]:
         raise ValueError("only 8-bit samples supported")
     offsets = many(_T_STRIP_OFFSETS, "StripOffsets")

@@ -114,9 +114,13 @@ _DUCK_DOMAIN: dict[str, str] = {
     "BOOLEAN": "bool",
     "DATE": "date",
     # duckdb TIMESTAMP is zoneless; Spark's TIMESTAMP (LTZ) collects to the
-    # same naive wall time under the driver's TZ=UTC, so both map onto it
+    # same naive wall time under the driver's TZ=UTC, so both map onto it.
+    # TIMESTAMP WITH TIME ZONE is deliberately ABSENT: duckdb materializes
+    # it as tz-AWARE datetimes while Spark collects naive ones — aware vs
+    # naive hash-differ at the driver even at the same instant (the r8
+    # HUGEINT class, timestamp edition) — so a TIMESTAMPTZ oracle column
+    # must fail the gate and be CAST to plain TIMESTAMP.
     "TIMESTAMP": "datetime",
-    "TIMESTAMP WITH TIME ZONE": "datetime",
     "BLOB": "bytes",
 }
 _SPARK_DOMAIN: dict[str, str] = {

@@ -126,3 +126,64 @@ def test_tiff_orientation_tag_order_ascending():
     tags = [struct.unpack_from("<H", blob, ifd_off + 2 + i * 12)[0] for i in range(n)]
     assert tags == sorted(tags)
     assert 274 in tags
+
+
+def test_gif_animation_rejects_unsupported_real_world_shapes():
+    """r9 review: transparency and sub-rectangle (inter-frame-optimized)
+    GIFs must raise loudly, never decode misaligned crops; RGB frames get
+    the explicit index-matrix message."""
+    pal = _pal()
+    frames = [np.zeros((3, 4), dtype=np.uint8)] * 2
+    blob = bytearray(encode_gif_animation(frames, pal, [1, 2]))
+    with pytest.raises(ValueError, match="index matri"):
+        encode_gif_animation([np.zeros((3, 4, 3), dtype=np.uint8)], pal, [1])
+    i = bytes(blob).index(b"\x21\xf9\x04")
+    t = bytearray(blob)
+    t[i + 3] |= 0x01  # transparency flag in the first GCE
+    with pytest.raises(ValueError, match="transparency"):
+        decode_gif_animation(bytes(t))
+    s = bytearray(blob)
+    j = s.index(0x2C, 6)
+    struct.pack_into("<H", s, j + 1, 2)  # first frame left=2
+    with pytest.raises(ValueError, match="sub-rectangle"):
+        decode_gif_animation(bytes(s))
+
+
+def test_tiff_optional_unreadable_tag_defaults_required_bits_raises():
+    """r9 review: an OPTIONAL tag (Orientation) whose type the walk cannot
+    read is treated as absent (default wins — the ADVICE-r8 contract),
+    while BitsPerSample, which changes buffer interpretation, raises an
+    accurate unsupported-type error instead of assuming 8-bit."""
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    blob = encode_tiff(px, rows_per_strip=4, orientation=6)
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+
+    def retype(tag_id: int, new_type: int) -> bytes:
+        raw = bytearray(blob)
+        for i in range(n):
+            base = ifd_off + 2 + i * 12
+            tag, _ = struct.unpack_from("<HH", raw, base)
+            if tag == tag_id:
+                struct.pack_into("<H", raw, base + 2, new_type)
+        return bytes(raw)
+
+    out, meta = decode_tiff(retype(274, 1), return_meta=True)  # BYTE
+    assert (out == px).all()
+    assert meta["orientation"] == 1  # unreadable optional -> TIFF default
+    with pytest.raises(ValueError, match="BitsPerSample.*type 5"):
+        decode_tiff(retype(258, 5))  # RATIONAL
+
+
+def test_timestamptz_oracle_column_fails_typed_gate():
+    """r9 review: duckdb TIMESTAMPTZ materializes tz-AWARE datetimes while
+    Spark collects naive ones — the typed gate must flag it (the HUGEINT
+    class, timestamp edition)."""
+    from pyspark.sql import types as T
+
+    from hdc_dataengineering_sqlsync_spark.testing import type_mismatches
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    assert type_mismatches(schema, ["ts"], ["TIMESTAMP WITH TIME ZONE"])
+    assert not type_mismatches(schema, ["ts"], ["TIMESTAMP"])
