@@ -189,6 +189,38 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def encode_wav_stereo(
+    left: np.ndarray, right: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Encode two 1-D int16 arrays as stereo 16-bit PCM WAV (frames are
+    L/R interleaved per the RIFF spec — the interleave IS what a stereo
+    decoder must undo)."""
+    left = np.asarray(left, dtype="<i2")
+    right = np.asarray(right, dtype="<i2")
+    if left.shape != right.shape or left.ndim != 1:
+        raise ValueError("left/right must be equal-length 1-D int16 arrays")
+    frames = np.empty(left.size * 2, dtype="<i2")
+    frames[0::2] = left
+    frames[1::2] = right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(frames.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_stereo(payload: bytes) -> tuple[int, np.ndarray, np.ndarray]:
+    """Decode stereo 16-bit PCM WAV -> (sample_rate, left, right)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 2:
+            raise ValueError("only stereo 16-bit PCM supported")
+        rate = wf.getframerate()
+        frames = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    return rate, frames[0::2].copy(), frames[1::2].copy()
+
+
 # --------------------------------------------------------------------- PNG
 #
 # PNG is "compressed" only in the DEFLATE sense — zlib ships with CPython —

@@ -128,6 +128,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundeight_g,
     roundnine,
     roundnine_b,
+    roundnine_c,
 )
 
 _LEDGER = os.path.join(

@@ -93,6 +93,9 @@ PROBE_SET: dict[str, str] = {
     "multimodal_histogram_eq": "docs",   # per-image bincount+remap over Nx images
     "wl_entity_resolution_tokenset": "customers",  # canonical-key join over Nx names
     "ts_twap_irregular": "events",       # per-user lead window over Nx histories
+    "wl_segment_migration_matrix": "volume",  # two period aggs + FO join over Nx orders
+    "multimodal_audio_stereo_balance": "docs",  # stereo interleave roundtrip per clip
+    "ts_peak_prominence": "volume",      # daily-grain reduce + shared-sort windows
 }
 
 TABLES = [
