@@ -58,30 +58,30 @@ def wl_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the intersection. All arithmetic exact integer cents with fixed
     thresholds.
 
-    Scale shape: ONE keyed agg per period (map-side combinable) over the
-    same scan, then a customer-keyed full outer join and a 16-cell
-    census. The join carries (custkey, seg) pairs only — at 100 TB the
-    matrix cost is the two aggregates, not the fact scan twice (single
-    scan, conditional aggregation)."""
+    Scale shape: ONE fact scan, ONE customer-keyed conditional aggregate
+    (per-period sums as map-side-combinable CASE sums; a customer with no
+    orders in a period gets a NULL sum → 'none'), then the 16-cell
+    census. No join, no second scan — the plan-assertion test pins both.
+    The full-outer-join formulation (two filtered aggregates re-joined)
+    reads the fact table twice; this conditional-agg form is the one that
+    survives a petabyte fact table."""
     o = load(spark, sf_dir, "orders")
-    p = (
+    per_cust = (
         o.select(
             "o_custkey",
             F.when(F.year("o_orderdate") < 1998, "early").otherwise("late").alias("per"),
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
         )
-        .groupBy("o_custkey", "per")
-        .agg(F.sum("cents").alias("cents"))
-        .withColumn("seg", F.expr(_SEG_SQL.format(c="cents")))
-    )
-    e = p.where(F.col("per") == "early").select(F.col("o_custkey").alias("k"), F.col("seg").alias("seg_e"))
-    late = p.where(F.col("per") == "late").select(F.col("o_custkey").alias("k"), F.col("seg").alias("seg_l"))
-    return (
-        e.join(late, "k", "full_outer")
-        .select(
-            F.coalesce("seg_e", F.lit("none")).alias("seg_from"),
-            F.coalesce("seg_l", F.lit("none")).alias("seg_to"),
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("per") == "early", F.col("cents"))).alias("ce"),
+            F.sum(F.when(F.col("per") == "late", F.col("cents"))).alias("cl"),
         )
+    )
+    seg_e = F.when(F.col("ce").isNull(), "none").otherwise(F.expr(_SEG_SQL.format(c="ce")))
+    seg_l = F.when(F.col("cl").isNull(), "none").otherwise(F.expr(_SEG_SQL.format(c="cl")))
+    return (
+        per_cust.select(seg_e.alias("seg_from"), seg_l.alias("seg_to"))
         .groupBy("seg_from", "seg_to")
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("seg_from", "seg_to")
@@ -133,9 +133,10 @@ def ts_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL 7-day flanks qualify — the same frame-completeness rule in both
     engines, all exact integer cents.
 
-    Scale shape: reduce to the daily grain map-side FIRST; the five
-    window functions share ONE sort within the series partition (at
-    100 TB: partition by series id, as ts_bollinger_bands)."""
+    Scale shape: reduce to the daily grain map-side FIRST; the six
+    window expressions (lag, lead, two mins, two frame counts) share ONE
+    sort within the series partition (at 100 TB: partition by series id,
+    as ts_bollinger_bands)."""
     li = load(spark, sf_dir, "lineitem")
     daily = (
         li.where(F.year("l_shipdate") == 1995)

@@ -835,3 +835,15 @@ def test_ipv4_census_is_pure_jvm_two_phase(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("partial_") >= 1
     assert "as double" not in plan  # octets must stay integral
+
+
+def test_segment_migration_is_single_scan_no_join(spark, sf_dir):
+    """wl_segment_migration_matrix: the matrix must come from ONE fact scan
+    and ONE customer-keyed conditional aggregate — a refactor back to two
+    filtered aggregates re-joined doubles the fact scan (r9 review)."""
+    plan = _plan(spark, sf_dir, "wl_segment_migration_matrix")
+    assert "Join" not in plan
+    # formatted explain names each node once in the tree and once in the
+    # details section — count the details headers, one per physical node
+    assert plan.count(") Scan parquet") == 1, plan
+    assert plan.count("partial_") >= 1
