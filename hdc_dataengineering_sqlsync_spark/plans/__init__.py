@@ -129,6 +129,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine,
     roundnine_b,
     roundnine_c,
+    roundnine_d,
 )
 
 _LEDGER = os.path.join(

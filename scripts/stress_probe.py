@@ -96,6 +96,7 @@ PROBE_SET: dict[str, str] = {
     "wl_segment_migration_matrix": "volume",  # two period aggs + FO join over Nx orders
     "multimodal_audio_stereo_balance": "docs",  # stereo interleave roundtrip per clip
     "ts_peak_prominence": "volume",      # daily-grain reduce + shared-sort windows
+    "dedup_threshold_curve": "docs",     # blocked pair pass + threshold sweep
 }
 
 TABLES = [
