@@ -130,6 +130,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_b,
     roundnine_c,
     roundnine_d,
+    roundnine_e,
 )
 
 _LEDGER = os.path.join(

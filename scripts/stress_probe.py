@@ -97,6 +97,7 @@ PROBE_SET: dict[str, str] = {
     "multimodal_audio_stereo_balance": "docs",  # stereo interleave roundtrip per clip
     "ts_peak_prominence": "volume",      # daily-grain reduce + shared-sort windows
     "dedup_threshold_curve": "docs",     # blocked pair pass + threshold sweep
+    "graph_two_hop_reach": "graph",      # distinct-count over blocked pair fan-out
 }
 
 TABLES = [
