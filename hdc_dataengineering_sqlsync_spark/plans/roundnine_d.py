@@ -102,9 +102,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("i * 10000 DIV (sa.sz + sb.sz - i)").alias("jac_bps"),
         )
     )
-    thresholds = spark.range(0).sparkSession.createDataFrame(
-        [(t,) for t in _TC_THRESHOLDS], "t long"
-    )
+    thresholds = spark.createDataFrame([(t,) for t in _TC_THRESHOLDS], "t long")
     return (
         pairs.crossJoin(F.broadcast(thresholds))
         .groupBy(F.col("t").alias("threshold_bps"))

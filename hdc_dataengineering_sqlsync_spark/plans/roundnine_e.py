@@ -58,17 +58,19 @@ FROM ranked GROUP BY user_id ORDER BY user_id
 """,
 )
 def win_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total that RESETS on a marker event — 'spend since the last
-    purchase', the conditional-accumulator every loyalty/credit pipeline
-    needs and plain cumulative windows can't express directly. The classic
-    rewrite: the cumulative count of PRIOR reset markers is a group id
-    (the reset row itself starts the new group), then an ordinary cumsum
-    runs within (user, group). All exact integer cents.
+    """Running total that RESETS on a marker event — 'spend up to and
+    including each purchase', the conditional accumulator every
+    loyalty/credit pipeline needs and plain cumulative windows can't
+    express directly. The classic rewrite: the cumulative count of PRIOR
+    reset markers is a group id — the reset row CLOSES its own group (its
+    spend lands in the period it ends) and the next row starts the new
+    one — then an ordinary cumsum runs within (user, group). All exact
+    integer cents.
 
-    Scale shape: two window passes over the SAME (user)-keyed sort — the
-    group-id window and the within-group cumsum share the shuffle; the
-    final per-user rollup is map-side combinable. No self-join, no
-    iteration."""
+    Scale shape: the group-id and rank windows share the (user)-keyed
+    exchange; the within-group cumsum re-keys on (user, group) — one
+    extra keyed exchange, still no self-join and no iteration; the final
+    per-user rollup is map-side combinable."""
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events").select(
@@ -178,7 +180,13 @@ def ts_forecast_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quarter",
             "sum_abs_err_cents",
             "sum_actual_cents",
-            F.expr("sum_abs_err_cents * 10000 DIV sum_actual_cents").alias("wape_bps"),
+            # widen before *10000: quarterly cents × 1e4 exceeds int64 from
+            # ~2 TB of revenue upward (the mix_budget_apportion_lr class);
+            # DIV on decimal(38,0) is exact and returns long
+            F.expr(
+                "CAST(sum_abs_err_cents AS DECIMAL(38,0)) * 10000"
+                " DIV sum_actual_cents"
+            ).alias("wape_bps"),
         )
         .orderBy("quarter")
     )

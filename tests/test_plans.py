@@ -847,3 +847,39 @@ def test_segment_migration_is_single_scan_no_join(spark, sf_dir):
     # details section — count the details headers, one per physical node
     assert plan.count(") Scan parquet") == 1, plan
     assert plan.count("partial_") >= 1
+
+
+def test_threshold_curve_single_pair_pass_broadcast_sweep(spark, sf_dir):
+    """dedup_threshold_curve: the pair table is computed once and the
+    threshold sweep is a BROADCAST cross join (5 literal rows) — a shuffle
+    join there, or any Python, means the sweep stopped being free."""
+    plan = _plan(spark, sf_dir, "dedup_threshold_curve")
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_hop_reach_takeordered_no_cartesian(spark, sf_dir):
+    """graph_two_hop_reach: blocked pair expansion (equi-join on the
+    customer key), top-k via TakeOrdered, never a cartesian."""
+    plan = _plan(spark, sf_dir, "graph_two_hop_reach")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wape_and_oee_and_tda_stay_reduced(spark, sf_dir):
+    """Batch D/E light shapes: WAPE joins only the broadcast 12-row month
+    table; OEE and trading-day adjustment are pure aggregates (no join)."""
+    wape = _plan(spark, sf_dir, "ts_forecast_wape")
+    assert "BroadcastHashJoin" in wape and "Window" not in wape
+    for qid in ("wl_oee_effectiveness", "ts_trading_day_adjust"):
+        plan = _plan(spark, sf_dir, qid)
+        assert "Join" not in plan, qid
+        assert plan.count("partial_") >= 1, qid
+
+
+def test_cumsum_reset_is_windows_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "win_cumsum_reset")
+    assert "Join" not in plan
+    assert plan.count(") Window") >= 2  # group-id + within-group cumsum
