@@ -131,6 +131,8 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_c,
     roundnine_d,
     roundnine_e,
+    roundnine_f,
+    roundnine_g,
 )
 
 _LEDGER = os.path.join(

@@ -883,3 +883,64 @@ def test_cumsum_reset_is_windows_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "win_cumsum_reset")
     assert "Join" not in plan
     assert plan.count(") Window") >= 2  # group-id + within-group cumsum
+
+
+def test_winsorized_mean_census_then_broadcast_fences(spark, sf_dir):
+    """Batch F: the winsorize pass must run over the distinct-value census
+    (partial agg before the window) and re-join the 5-row fence table as a
+    broadcast — never re-sort row-level data."""
+    plan = _plan(spark, sf_dir, "agg_winsorized_mean")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= 1
+    assert ") Window" in plan
+
+
+def test_drawdown_is_pure_windows_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_drawdown_max")
+    assert "Join" not in plan
+    assert plan.count(") Window") >= 2  # cummax + argmax rank
+    assert plan.count("partial_") >= 1  # month-grain map-side reduction
+
+
+def test_loss_triangle_grid_joins_stay_small_side_broadcast(spark, sf_dir):
+    """The dense (origin, dev) fill crosses a 7-row broadcast range and the
+    dev->dev+1 pairing joins the tiny cumulated grid — the fact join is the
+    only shuffle-sized one."""
+    plan = _plan(spark, sf_dir, "wl_loss_dev_triangle")
+    assert "BroadcastNestedLoopJoin" in plan  # 7-row dev axis, cross fill
+    assert plan.count("partial_") >= 1
+
+
+def test_newsvendor_broadcasts_ratio_and_part(spark, sf_dir):
+    """Batch G: the data-dependent fractile table (25 rows) and the part
+    dim must broadcast; the census window runs over distinct-quantity
+    cells, never a row-level re-sort."""
+    plan = _plan(spark, sf_dir, "wl_newsvendor_quantile")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= 1
+
+
+def test_basket_triples_reuses_one_basket_exchange(spark, sf_dir):
+    """The 3-way blocked self-join must scan the fact ONCE and reuse the
+    shuffled basket exchange for the other two sides (AQE materializes the
+    reuse at runtime, so execute before reading the final plan); top-15 is
+    a TakeOrdered, not a global sort."""
+    df = CATALOG["wl_basket_triples"].fn(spark, sf_dir)
+    # collect() executes THIS plan instance (count() would plan a different
+    # tree and leave this one at isFinalPlan=false)
+    assert len(df.collect()) == 15
+    plan = _explain(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert "TakeOrderedAndProject" in final
+    assert final.count("Scan parquet") == 2  # lineitem + part, each once
+
+
+def test_holt_linear_reduces_before_pandas_recursion(spark, sf_dir):
+    """The applyInPandas recursion must run AFTER the month-grain map-side
+    reduction (72 cells), never over raw fact rows."""
+    plan = _plan(spark, sf_dir, "ts_holt_linear")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("partial_") >= 1
+    assert "Join" not in plan
