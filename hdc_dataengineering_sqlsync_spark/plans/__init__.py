@@ -133,6 +133,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_e,
     roundnine_f,
     roundnine_g,
+    roundnine_h,
 )
 
 _LEDGER = os.path.join(

@@ -944,3 +944,27 @@ def test_holt_linear_reduces_before_pandas_recursion(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("partial_") >= 1
     assert "Join" not in plan
+
+
+def test_audio_zcr_payloads_never_shuffle(spark, sf_dir):
+    """Batch H: the WAV encode/decode/census runs in one mapInPandas pass;
+    only 5 scalar columns leave the stage."""
+    plan = _plan(spark, sf_dir, "multimodal_audio_zcr")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_nested_set_sizes_come_from_explode_not_prefix_join(spark, sf_dir):
+    """Subtree sizes must come from the ancestor-prefix explode + keyed
+    count (linear), never a quadratic prefix-LIKE self-join (which would
+    show as BroadcastNestedLoopJoin/CartesianProduct)."""
+    plan = _plan(spark, sf_dir, "hier_nested_set")
+    assert "Generate" in plan  # the explode
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decompose_additive_reduces_to_cells_first(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_decompose_additive")
+    assert plan.count("partial_") >= 1  # month-grain map-side reduction
+    assert "SortMergeJoin" not in plan  # seasonal table broadcasts back

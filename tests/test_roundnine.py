@@ -187,3 +187,60 @@ def test_timestamptz_oracle_column_fails_typed_gate():
     schema = T.StructType([T.StructField("ts", T.TimestampType())])
     assert type_mismatches(schema, ["ts"], ["TIMESTAMP WITH TIME ZONE"])
     assert not type_mismatches(schema, ["ts"], ["TIMESTAMP"])
+
+
+# ------------------------------------------------ nested-set closed form
+
+
+def test_nested_set_closed_form_matches_real_dfs():
+    """hier_nested_set derives lft/rgt WITHOUT a DFS walk from
+    lft = 2·pre − 1 − depth, rgt = lft + 2·size − 1. Replay an actual
+    DFS entry/exit counter over the same tree (parent(k) = k // 10,
+    siblings in path-string order — the qid's preorder) and require
+    bit-equality on every node."""
+    keys = list(range(1, 347))
+    children: dict[int, list[int]] = {}
+    for k in keys:
+        if k >= 10:
+            children.setdefault(k // 10, []).append(k)
+    roots = sorted((k for k in keys if k < 10), key=str)
+    for v in children.values():
+        v.sort(key=str)
+
+    lft, rgt, pre, depth, size = {}, {}, {}, {}, {}
+    counter = [0]
+    preorder = [0]
+
+    def dfs(v: int, d: int) -> int:
+        counter[0] += 1
+        preorder[0] += 1
+        lft[v], pre[v], depth[v] = counter[0], preorder[0], d
+        sz = 1
+        for c in children.get(v, []):
+            sz += dfs(c, d + 1)
+        counter[0] += 1
+        rgt[v] = counter[0]
+        size[v] = sz
+        return sz
+
+    for r in roots:
+        dfs(r, 0)
+
+    for v in keys:
+        assert lft[v] == 2 * pre[v] - 1 - depth[v], v
+        assert rgt[v] == lft[v] + 2 * size[v] - 1, v
+    # and the labels are a valid nested-set: child interval strictly inside
+    for k in keys:
+        if k >= 10:
+            p = k // 10
+            assert lft[p] < lft[k] and rgt[k] < rgt[p]
+
+
+def test_zcr_strict_sign_change_ignores_zero_samples():
+    """The crossing test is s_i·s_{i−1} < 0: a zero sample breaks a
+    crossing (…,+,0,−,… counts 0), exactly what the SQL CASE computes."""
+    import numpy as np
+
+    d = np.array([3, -2, 0, -5, 4, 0, 0, 1], dtype=np.int64)
+    zcr = int(((d[1:] * d[:-1]) < 0).sum())
+    assert zcr == 2  # 3→-2 and -5→4 only
