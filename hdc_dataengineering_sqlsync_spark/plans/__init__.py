@@ -134,6 +134,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_f,
     roundnine_g,
     roundnine_h,
+    roundnine_i,
 )
 
 _LEDGER = os.path.join(

@@ -968,3 +968,20 @@ def test_decompose_additive_reduces_to_cells_first(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_decompose_additive")
     assert plan.count("partial_") >= 1  # month-grain map-side reduction
     assert "SortMergeJoin" not in plan  # seasonal table broadcasts back
+
+
+def test_eoq_and_cvp_are_single_agg_over_broadcast_join(spark, sf_dir):
+    """Batch I: both finance KPIs must reduce the fact scan in one
+    map-side-combinable agg behind a broadcast part join; all KPI math on
+    the brand-count-sized table."""
+    for qid in ("wl_eoq_reorder", "wl_break_even_cvp"):
+        plan = _plan(spark, sf_dir, qid)
+        assert "BroadcastHashJoin" in plan, qid
+        assert "SortMergeJoin" not in plan, qid
+        assert plan.count("partial_") >= 1, qid
+
+
+def test_sobel_payloads_never_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_sobel_edges")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan

@@ -244,3 +244,29 @@ def test_zcr_strict_sign_change_ignores_zero_samples():
     d = np.array([3, -2, 0, -5, 4, 0, 0, 1], dtype=np.int64)
     zcr = int(((d[1:] * d[:-1]) < 0).sum())
     assert zcr == 2  # 3→-2 and -5→4 only
+
+
+def test_isqrt_expression_exact_on_boundaries(tmp_path):
+    """The float-seeded integer sqrt (wl_eoq_reorder) must equal
+    math.isqrt on perfect squares, squares±1, and values where the double
+    sqrt rounds across the integer — checked in Spark AND DuckDB with the
+    SAME expression string."""
+    import math
+
+    import duckdb
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundnine_i import _ISQRT
+
+    vals = []
+    for s in [1, 2, 3, 10, 99, 12345, 2**20 - 1, 3037000]:
+        for a in (s * s - 1, s * s, s * s + 1):
+            if a >= 0:
+                vals.append(a)
+    vals += [0, 1, 2, (1 << 52) - 1]
+    expr = _ISQRT.format(a="a")
+    got = duckdb.sql(
+        f"SELECT a, {expr.replace('DIV', '//')} AS s FROM "
+        f"(SELECT unnest({vals}) AS a)"
+    ).fetchall()
+    for a, s in got:
+        assert s == math.isqrt(a), (a, s)
