@@ -135,6 +135,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_g,
     roundnine_h,
     roundnine_i,
+    roundnine_j,
 )
 
 _LEDGER = os.path.join(

@@ -985,3 +985,19 @@ def test_sobel_payloads_never_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_sobel_edges")
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_rolling_ols_single_window_spec(spark, sf_dir):
+    """Batch J: all four moment sums must share ONE window frame (one sort
+    per brand partition), after the map-side month reduction."""
+    plan = _plan(spark, sf_dir, "win_rolling_ols_slope")
+    assert plan.count(") Window") <= 2  # rank + shared moment frame
+    assert plan.count("partial_") >= 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_length_batching_one_window_one_partition_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mix_length_bucketed_batching")
+    assert ") Window" in plan
+    assert "Join" not in plan
+    assert plan.count("partial_") >= 1

@@ -240,3 +240,52 @@ def test_session_window_boundary_exact_gap(spark):
     per_user = {r["user_id"]: r["n"] for r in
                 sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per_user == {1: 1, 2: 2}
+
+
+def test_update_mode_replay_emits_multiple_versions(spark, sf_dir):
+    """stream_update_mode_replay's premise: with maxFilesPerTrigger=1 over
+    a 4-file stage, the SAME (window, type) key is emitted in several
+    micro-batches, so the update-mode sink holds more rows than the final
+    answer — the reconstruction (per-key max) is then load-bearing."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+    from hdc_dataengineering_sqlsync_spark.registry import load
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import run_to_memory
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"hdc_update_replay_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(load(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    counts = (
+        stream.withWatermark("ts", "400 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    view, q = run_to_memory(counts, mode="update")
+    q.stop()
+    emitted = spark.table(view).count()
+    finals = spark.table(view).select("window_start", "event_type").distinct().count()
+    assert emitted > finals, (emitted, finals)
+    # and the qid's reconstruction equals the batch census
+    got = CATALOG["stream_update_mode_replay"].fn(spark, sf_dir)
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_final"))
+    )
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
