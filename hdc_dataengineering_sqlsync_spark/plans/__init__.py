@@ -136,6 +136,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_h,
     roundnine_i,
     roundnine_j,
+    roundnine_k,
 )
 
 _LEDGER = os.path.join(

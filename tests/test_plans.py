@@ -1001,3 +1001,21 @@ def test_length_batching_one_window_one_partition_key(spark, sf_dir):
     assert ") Window" in plan
     assert "Join" not in plan
     assert plan.count("partial_") >= 1
+
+
+def test_langid_prf_works_on_census_not_corpus(spark, sf_dir):
+    """Batch K: the P/R/F1 counters must aggregate the 25-cell confusion
+    census crossed with the tiny class list, never re-scan docs per class."""
+    plan = _plan(spark, sf_dir, "text_langid_prf")
+    # the census is localCheckpoint'ed: downstream consumes the materialized
+    # 25 rows, so the final plan holds NO parquet scan at all
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # ≤6-row class list cross
+    assert plan.count("partial_") >= 1
+
+
+def test_lift_gains_positives_set_reduces_before_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_lift_gains_deciles")
+    assert plan.count("partial_") >= 1
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
