@@ -137,6 +137,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_i,
     roundnine_j,
     roundnine_k,
+    roundnine_l,
 )
 
 _LEDGER = os.path.join(

@@ -98,6 +98,17 @@ PROBE_SET: dict[str, str] = {
     "ts_peak_prominence": "volume",      # daily-grain reduce + shared-sort windows
     "dedup_threshold_curve": "docs",     # blocked pair pass + threshold sweep
     "graph_two_hop_reach": "graph",      # distinct-count over blocked pair fan-out
+    # round-9 session-2 additions (batches F-K)
+    "wl_basket_triples": "volume",       # C(k,3) blocked triple fan-out over Nx orders
+    "wl_newsvendor_quantile": "volume",  # quantity census + window over Nx rows
+    "agg_winsorized_mean": "customers",  # balance census windows over Nx customers
+    "hier_nested_set": "customers",      # recursion + prefix explode over Nx keys
+    "wl_loss_dev_triangle": "volume",    # cell-grid reduce — should be ~flat
+    "ts_holt_linear": "volume",          # reduce-then-recursion — should be ~flat
+    "mix_length_bucketed_batching": "docs",  # bucket windows over Nx docs
+    "wl_lift_gains_deciles": "customers",  # global ntile over Nx customers
+    "multimodal_sobel_edges": "docs",    # per-image stencil over Nx images
+    "multimodal_audio_zcr": "docs",      # per-clip PCM roundtrip over Nx clips
 }
 
 TABLES = [

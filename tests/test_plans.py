@@ -1019,3 +1019,27 @@ def test_lift_gains_positives_set_reduces_before_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "wl_lift_gains_deciles")
     assert plan.count("partial_") >= 1
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantified_all_is_scalar_aggregate_not_probe(spark, sf_dir):
+    """Batch L: `> ALL` must cost one 1-row MAX broadcast-crossed into the
+    fact scan — never a per-row subquery probe or a shuffled join."""
+    plan = _plan(spark, sf_dir, "subq_quantified_all")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar cross
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= 1
+
+
+def test_isoweek_boundary_filter_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_isoweek_boundaries")
+    assert "Join" not in plan
+    assert plan.count("partial_") >= 1
+
+
+def test_dynamic_pivot_expands_map_side(spark, sf_dir):
+    """The pivot CASE expansion must be inside the partial aggregate (one
+    shuffle of 5-cell rows per segment), with the value-discovery pass
+    pruned to the single pivot column."""
+    plan = _plan(spark, sf_dir, "agg_pivot_dynamic")
+    assert plan.count("partial_") >= 1
+    assert "SortMergeJoin" not in plan
