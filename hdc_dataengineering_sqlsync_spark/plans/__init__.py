@@ -138,6 +138,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_j,
     roundnine_k,
     roundnine_l,
+    roundnine_m,
 )
 
 _LEDGER = os.path.join(

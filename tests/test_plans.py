@@ -1043,3 +1043,12 @@ def test_dynamic_pivot_expands_map_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_pivot_dynamic")
     assert plan.count("partial_") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_pchart_is_cell_table_math(spark, sf_dir):
+    """Batch M: month-grain reduction + broadcast 1-row grand total; the
+    3-sigma test is per-cell integer compares, no window, no re-scan."""
+    plan = _plan(spark, sf_dir, "dq_pchart_proportions")
+    assert plan.count("partial_") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total cross
+    assert "SortMergeJoin" not in plan and "Window" not in plan

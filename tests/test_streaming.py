@@ -289,3 +289,28 @@ def test_update_mode_replay_emits_multiple_versions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_final"))
     )
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_checkpoint_restart_committed_two_separate_batches(spark, sf_dir):
+    """stream_checkpoint_restart_exactly_once must really be TWO runs over
+    one checkpoint: the file sink's _spark_metadata commit log holds one
+    entry per drained micro-batch run (0 and 1), and the union of the two
+    runs' outputs covers every event exactly once."""
+    import os
+    import tempfile
+
+    from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+    from hdc_dataengineering_sqlsync_spark.registry import load
+
+    got = CATALOG["stream_checkpoint_restart_exactly_once"].fn(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    meta = os.path.join(
+        tempfile.gettempdir(), f"hdc_ckpt_restart_{tag}", "out", "_spark_metadata"
+    )
+    commits = [f for f in os.listdir(meta) if f.isdigit()]
+    assert sorted(commits) == ["0", "1"], commits
+    n_out = spark.read.parquet(
+        os.path.join(tempfile.gettempdir(), f"hdc_ckpt_restart_{tag}", "out")
+    ).count()
+    assert n_out == load(spark, sf_dir, "events").count()
+    assert got.count() > 0
