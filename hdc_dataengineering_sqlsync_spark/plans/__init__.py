@@ -139,6 +139,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_k,
     roundnine_l,
     roundnine_m,
+    roundnine_n,
 )
 
 _LEDGER = os.path.join(

@@ -1052,3 +1052,27 @@ def test_pchart_is_cell_table_math(spark, sf_dir):
     assert plan.count("partial_") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total cross
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_rules_two_antecedent_shares_checkpointed_basket(spark, sf_dir):
+    """Batch N: pair and triple supports must both read the materialized
+    basket (localCheckpoint), so the corpus is scanned once."""
+    plan = _plan(spark, sf_dir, "wl_rules_two_antecedent")
+    assert "Scan parquet" not in plan  # basket is checkpointed upstream
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_srm_guardrail_is_one_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_ab_srm_guardrail")
+    assert "Join" not in plan
+    assert plan.count("partial_") >= 1
+
+
+def test_skyline_3d_dedups_before_quadratic_antijoin(spark, sf_dir):
+    """The dominance anti-join must run over the DISTINCT point grid,
+    blocked per brand — the distinct partial agg appears before the
+    LeftSemi probe feeding exceptAll."""
+    plan = _plan(spark, sf_dir, "wl_skyline_3d")
+    assert "LeftSemi" in plan
+    assert plan.count("partial_") >= 1
