@@ -140,6 +140,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_l,
     roundnine_m,
     roundnine_n,
+    roundnine_o,
 )
 
 _LEDGER = os.path.join(

@@ -1076,3 +1076,18 @@ def test_skyline_3d_dedups_before_quadratic_antijoin(spark, sf_dir):
     plan = _plan(spark, sf_dir, "wl_skyline_3d")
     assert "LeftSemi" in plan
     assert plan.count("partial_") >= 1
+
+
+def test_interrupted_ts_is_cell_moments_plus_tiny_join(spark, sf_dir):
+    """Batch O: the segmented fits must come from ONE keyed moment agg
+    over month cells; the pre/post pairing is a broadcast join on the
+    series-count-sized fit table."""
+    plan = _plan(spark, sf_dir, "wl_interrupted_ts")
+    assert plan.count("partial_") >= 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_theil_u2_reduces_then_windows_on_cells(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_theil_u2_skill")
+    assert plan.count("partial_") >= 1
+    assert "SortMergeJoin" not in plan  # 12-row calendar join broadcasts
