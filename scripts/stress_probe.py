@@ -109,6 +109,8 @@ PROBE_SET: dict[str, str] = {
     "wl_lift_gains_deciles": "customers",  # global ntile over Nx customers
     "multimodal_sobel_edges": "docs",    # per-image stencil over Nx images
     "multimodal_audio_zcr": "docs",      # per-clip PCM roundtrip over Nx clips
+    "wl_rules_two_antecedent": "volume",  # pair+triple blocked fan-out over Nx orders
+    "wl_skyline_3d": "volume",           # per-brand dominance anti-join, Nx demand reduce
 }
 
 TABLES = [
