@@ -128,8 +128,10 @@ def wl_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-join: the join formulation is semantically identical but DuckDB
 # plans the equality+inequality mix as an inequality join and takes ~250s
 # at sf0.1 where this runs in <1s — the sweep harness runs every oracle
-# at BOTH scales, so oracle plan shape matters too.
-_TRIPLES_ORACLE = """
+# at BOTH scales, so oracle plan shape matters too. The CTE prefix is
+# SHARED with wl_rules_two_antecedent (roundnine_n) so a fix to the
+# enumeration lands in both oracles at once.
+BASKET_ENUM_CTES = """
 WITH pairs AS (
   SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -144,14 +146,49 @@ ij AS (
   SELECT arr, i, unnest(range(i + 1, len(arr) + 1)) AS j FROM idx
 ),
 tri AS (
-  SELECT arr[i] AS brand1, arr[j] AS brand2, unnest(arr[j+1:]) AS brand3
+  SELECT arr[i] AS b1, arr[j] AS b2, unnest(arr[j+1:]) AS b3
   FROM ij
 )
-SELECT brand1, brand2, brand3, CAST(count(*) AS BIGINT) AS support
+"""
+
+_TRIPLES_ORACLE = (
+    BASKET_ENUM_CTES
+    + """
+SELECT b1 AS brand1, b2 AS brand2, b3 AS brand3,
+       CAST(count(*) AS BIGINT) AS support
 FROM tri GROUP BY 1, 2, 3
 ORDER BY support DESC, brand1, brand2, brand3
 LIMIT 15
 """
+)
+
+
+def brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) basket set — the blocked-expansion input
+    shared by the triple miner and the rule generator (roundnine_n)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("b"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), "b")
+        .distinct()
+    )
+
+
+def triple_supports(basket: DataFrame) -> DataFrame:
+    """Canonical b1<b2<b3 triple supports via two self equi-joins blocked
+    on the basket's own order key (AQE reuses one shuffled exchange)."""
+    a, c, d = basket.alias("a"), basket.alias("c"), basket.alias("d")
+    return (
+        a.join(c, (F.col("c.ok") == F.col("a.ok")) & (F.col("c.b") > F.col("a.b")))
+        .join(d, (F.col("d.ok") == F.col("a.ok")) & (F.col("d.b") > F.col("c.b")))
+        .groupBy(
+            F.col("a.b").alias("b1"),
+            F.col("c.b").alias("b2"),
+            F.col("d.b").alias("b3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
 
 
 @query("wl_basket_triples", "2.12 composite workloads", _TRIPLES_ORACLE)
@@ -168,23 +205,14 @@ def wl_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, bounded), never a global all-triples cross; the distinct
     basket reduction is map-side combinable and the top-15 is a
     TakeOrdered, no global sort."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("b"))
-    basket = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), "b")
-        .distinct()
-    )
-    a, c, d = basket.alias("a"), basket.alias("c"), basket.alias("d")
     return (
-        a.join(c, (F.col("c.ok") == F.col("a.ok")) & (F.col("c.b") > F.col("a.b")))
-        .join(d, (F.col("d.ok") == F.col("a.ok")) & (F.col("d.b") > F.col("c.b")))
-        .groupBy(
-            F.col("a.b").alias("brand1"),
-            F.col("c.b").alias("brand2"),
-            F.col("d.b").alias("brand3"),
+        triple_supports(brand_baskets(spark, sf_dir))
+        .select(
+            F.col("b1").alias("brand1"),
+            F.col("b2").alias("brand2"),
+            F.col("b3").alias("brand3"),
+            F.col("c3").alias("support"),
         )
-        .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.col("support").desc(), "brand1", "brand2", "brand3")
         .limit(15)
     )

@@ -128,9 +128,15 @@ nodes AS (
   FROM walk
 ),
 prefixes AS (
-  SELECT list_aggr(string_split(path, '/')[1:i.i], 'string_agg', '/') AS anc
-  FROM nodes, (SELECT unnest(range(1, 9)) AS i) i
-  WHERE i.i <= len(string_split(path, '/'))
+  -- len-driven range (not a fixed cap): keys of ANY digit count enumerate
+  -- every ancestor prefix, exactly like the Spark side's transform-over-
+  -- full-split (review-r9: a fixed cap silently undercounted depth>8)
+  SELECT list_aggr(parts[1:i], 'string_agg', '/') AS anc
+  FROM (
+    SELECT string_split(path, '/') AS parts,
+           unnest(range(1, len(string_split(path, '/')) + 1)) AS i
+    FROM nodes
+  )
 ),
 sizes AS (
   SELECT anc AS path, CAST(count(*) AS BIGINT) AS sz FROM prefixes GROUP BY anc

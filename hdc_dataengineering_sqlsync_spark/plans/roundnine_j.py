@@ -27,29 +27,21 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
-@query("stream_update_mode_replay", "2.10 streaming", _UPDATE_ORACLE)
-def stream_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPDATE output mode, exercised for real: the events table is staged
-    as FOUR files and replayed with maxFilesPerTrigger=1, so the same
-    hour window is updated across several micro-batches and the memory
-    sink accumulates one row PER EMISSION (complete mode re-emits
-    everything; append mode emits once at watermark close — update is
-    the third semantics, the one a key-value serving sink consumes). The
-    final state is reconstructed from the emission log by per-key max —
-    counts only grow — and must equal the batch census: a lost or
-    double-applied update breaks the reconstruction.
-
-    Scale shape: one stateful keyed agg, state bounded by live windows ×
-    types; the emission log is sink-side. The per-key max rollup is
-    map-side combinable."""
+def drain_update_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage events as FOUR files (tagged by source path+mtime+size so a
+    regenerated fixture or trailing-slash sf_dir never reuses a stale
+    stage), replay with maxFilesPerTrigger=1 through an update-mode
+    windowed count, and return the memory sink's raw EMISSION LOG (one
+    row per per-key update per micro-batch). Shared by the qid and the
+    multiple-emissions unit test so they cannot drift apart."""
     import os
-    import tempfile
 
-    from hdc_dataengineering_sqlsync_spark.streaming.jobs import run_to_memory
-
-    stage = os.path.join(
-        tempfile.gettempdir(), f"hdc_update_replay_{os.path.basename(sf_dir)}"
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import (
+        run_to_memory,
+        staged_copy_dir,
     )
+
+    stage = staged_copy_dir(sf_dir, "update_replay")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
@@ -73,8 +65,26 @@ def stream_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view, q = run_to_memory(counts, mode="update")
     q.stop()
+    return spark.table(view)
+
+
+@query("stream_update_mode_replay", "2.10 streaming", _UPDATE_ORACLE)
+def stream_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, exercised for real: the events table is staged
+    as FOUR files and replayed with maxFilesPerTrigger=1, so the same
+    hour window is updated across several micro-batches and the memory
+    sink accumulates one row PER EMISSION (complete mode re-emits
+    everything; append mode emits once at watermark close — update is
+    the third semantics, the one a key-value serving sink consumes). The
+    final state is reconstructed from the emission log by per-key max —
+    counts only grow — and must equal the batch census: a lost or
+    double-applied update breaks the reconstruction.
+
+    Scale shape: one stateful keyed agg, state bounded by live windows ×
+    types; the emission log is sink-side. The per-key max rollup is
+    map-side combinable."""
     return (
-        spark.table(view)
+        drain_update_emissions(spark, sf_dir)
         .groupBy("window_start", "event_type")
         .agg(F.max("n").alias("n_final"))
         .orderBy("window_start", "event_type")

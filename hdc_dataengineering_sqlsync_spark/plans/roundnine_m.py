@@ -167,10 +167,13 @@ def stream_checkpoint_restart_exactly_once(
     is one keyed agg over the sink."""
     import os
     import shutil
-    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), f"hdc_ckpt_restart_{tag}")
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import staged_copy_dir
+
+    # tagged by source path+mtime+size (staged_copy_dir): a regenerated
+    # fixture or a same-basename different tree re-stages instead of
+    # serving a stale checkpointed output (review-r9 finding)
+    root = staged_copy_dir(sf_dir, "ckpt_restart")
     src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
     done = os.path.join(root, "_ALL_DONE")
     ev = load(spark, sf_dir, "events")

@@ -18,18 +18,18 @@ from hdc_dataengineering_sqlsync_spark.registry import load
 
 # ----- 2.12 composite: {A,B} → C rules (apriori rule generation, k=3)
 
-_RULES_ORACLE = """
-WITH pairs AS (
-  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-),
-baskets AS (SELECT ok, list(b ORDER BY b) AS arr FROM pairs GROUP BY ok),
-idx AS (SELECT arr, unnest(range(1, len(arr) + 1)) AS i FROM baskets),
-ij AS (SELECT arr, i, unnest(range(i + 1, len(arr) + 1)) AS j FROM idx),
-tri AS (
-  SELECT arr[i] AS b1, arr[j] AS b2, unnest(arr[j+1:]) AS b3 FROM ij
-),
-tsupp AS (
+# shares the basket-enumeration CTE prefix with wl_basket_triples
+# (roundnine_g.BASKET_ENUM_CTES) so an enumeration fix lands in both
+from hdc_dataengineering_sqlsync_spark.plans.roundnine_g import (  # noqa: E402
+    BASKET_ENUM_CTES,
+    brand_baskets,
+    triple_supports,
+)
+
+_RULES_ORACLE = (
+    BASKET_ENUM_CTES
+    + """
+, tsupp AS (
   SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS c3
   FROM tri GROUP BY 1, 2, 3
 ),
@@ -44,6 +44,7 @@ FROM tsupp t JOIN psupp p ON p.b1 = t.b1 AND p.b2 = t.b2
 ORDER BY support DESC, conf_bps DESC, ante1, ante2, conseq
 LIMIT 15
 """
+)
 
 
 @query("wl_rules_two_antecedent", "2.12 composite workloads", _RULES_ORACLE)
@@ -59,25 +60,10 @@ def wl_rules_two_antecedent(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the SAME blocked-by-order-key expansions as the pair
     and triple miners (never corpus-quadratic), with the pair-support
     table broadcast onto the triple supports; top-15 is TakeOrdered."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("b"))
-    basket = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), "b")
-        .distinct()
-        .localCheckpoint()  # pair supports + triple supports share it
-    )
-    a, c, d = basket.alias("a"), basket.alias("c"), basket.alias("d")
-    tsupp = (
-        a.join(c, (F.col("c.ok") == F.col("a.ok")) & (F.col("c.b") > F.col("a.b")))
-        .join(d, (F.col("d.ok") == F.col("a.ok")) & (F.col("d.b") > F.col("c.b")))
-        .groupBy(
-            F.col("a.b").alias("b1"),
-            F.col("c.b").alias("b2"),
-            F.col("d.b").alias("b3"),
-        )
-        .agg(F.count(F.lit(1)).alias("c3"))
-    )
+    # pair supports + triple supports share the materialized basket
+    basket = brand_baskets(spark, sf_dir).localCheckpoint()
+    tsupp = triple_supports(basket)
+    a, c = basket.alias("a"), basket.alias("c")
     psupp = (
         a.join(c, (F.col("c.ok") == F.col("a.ok")) & (F.col("c.b") > F.col("a.b")))
         .groupBy(F.col("a.b").alias("b1"), F.col("c.b").alias("b2"))

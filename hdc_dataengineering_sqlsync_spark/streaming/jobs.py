@@ -57,6 +57,27 @@ def events_path(sf_dir: str) -> str:
     return table_stream_dir(sf_dir, "events")
 
 
+def staged_copy_dir(sf_dir: str, name: str, table: str = "events") -> str:
+    """Temp root for qids that stage a REWRITTEN copy of a table (multi-file
+    splits for throttled/checkpointed replays — a symlink can't express
+    those). Unlike `table_stream_dir`'s always-fresh symlink, a staged copy
+    can go stale, so the tag hashes the source's absolute path, mtime and
+    size: a trailing-slash sf_dir, a same-basename different tree, or a
+    regenerated fixture all land in a DIFFERENT directory and re-stage
+    (review-r9 finding: a bare basename key served sf0.1's staged events to
+    an sf0.01 oracle). Caller owns creation and its own done-marker."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = path_for(sf_dir, table)
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"hdc_{name}_{tag}")
+
+
 def tumbling_1h(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return (
         stream.withWatermark("ts", watermark)

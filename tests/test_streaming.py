@@ -246,38 +246,20 @@ def test_update_mode_replay_emits_multiple_versions(spark, sf_dir):
     """stream_update_mode_replay's premise: with maxFilesPerTrigger=1 over
     a 4-file stage, the SAME (window, type) key is emitted in several
     micro-batches, so the update-mode sink holds more rows than the final
-    answer — the reconstruction (per-key max) is then load-bearing."""
-    import os
-    import tempfile
-
+    answer — the reconstruction (per-key max) is then load-bearing. Uses
+    the qid's OWN pipeline (drain_update_emissions) so test and operator
+    cannot drift apart."""
     from pyspark.sql import functions as F
 
     from hdc_dataengineering_sqlsync_spark.plans import CATALOG
+    from hdc_dataengineering_sqlsync_spark.plans.roundnine_j import (
+        drain_update_emissions,
+    )
     from hdc_dataengineering_sqlsync_spark.registry import load
-    from hdc_dataengineering_sqlsync_spark.streaming.jobs import run_to_memory
 
-    stage = os.path.join(
-        tempfile.gettempdir(), f"hdc_update_replay_{os.path.basename(sf_dir)}"
-    )
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        load(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(stage)
-    stream = (
-        spark.readStream.schema(load(spark, sf_dir, "events").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    counts = (
-        stream.withWatermark("ts", "400 days")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
-    )
-    view, q = run_to_memory(counts, mode="update")
-    q.stop()
-    emitted = spark.table(view).count()
-    finals = spark.table(view).select("window_start", "event_type").distinct().count()
+    log = drain_update_emissions(spark, sf_dir)
+    emitted = log.count()
+    finals = log.select("window_start", "event_type").distinct().count()
     assert emitted > finals, (emitted, finals)
     # and the qid's reconstruction equals the batch census
     got = CATALOG["stream_update_mode_replay"].fn(spark, sf_dir)
@@ -297,20 +279,16 @@ def test_checkpoint_restart_committed_two_separate_batches(spark, sf_dir):
     entry per drained micro-batch run (0 and 1), and the union of the two
     runs' outputs covers every event exactly once."""
     import os
-    import tempfile
 
     from hdc_dataengineering_sqlsync_spark.plans import CATALOG
     from hdc_dataengineering_sqlsync_spark.registry import load
+    from hdc_dataengineering_sqlsync_spark.streaming.jobs import staged_copy_dir
 
     got = CATALOG["stream_checkpoint_restart_exactly_once"].fn(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    meta = os.path.join(
-        tempfile.gettempdir(), f"hdc_ckpt_restart_{tag}", "out", "_spark_metadata"
-    )
+    out = os.path.join(staged_copy_dir(sf_dir, "ckpt_restart"), "out")
+    meta = os.path.join(out, "_spark_metadata")
     commits = [f for f in os.listdir(meta) if f.isdigit()]
     assert sorted(commits) == ["0", "1"], commits
-    n_out = spark.read.parquet(
-        os.path.join(tempfile.gettempdir(), f"hdc_ckpt_restart_{tag}", "out")
-    ).count()
+    n_out = spark.read.parquet(out).count()
     assert n_out == load(spark, sf_dir, "events").count()
     assert got.count() > 0
