@@ -191,7 +191,7 @@ def triple_supports(basket: DataFrame) -> DataFrame:
     )
 
 
-@query("wl_basket_triples", "2.12 composite workloads", _TRIPLES_ORACLE)
+@query("wl_basket_triples", "2.12 composite workloads", _TRIPLES_ORACLE, bench=True)
 def wl_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-itemset support — how often each brand TRIPLE co-occurs in one
     order: the apriori step the pairwise baskets (`wl_basket_pairs`,

@@ -210,7 +210,7 @@ FROM per_batch GROUP BY bucket ORDER BY bucket
 """
 
 
-@query("mix_length_bucketed_batching", "2.9 llm-data", _BATCHING_ORACLE)
+@query("mix_length_bucketed_batching", "2.9 llm-data", _BATCHING_ORACLE, bench=True)
 def mix_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch packing — the padding-waste control every
     LLM training pipeline runs: documents bucket by length band (256
