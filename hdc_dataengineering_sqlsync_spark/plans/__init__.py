@@ -141,6 +141,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_m,
     roundnine_n,
     roundnine_o,
+    roundnine_p,
 )
 
 _LEDGER = os.path.join(

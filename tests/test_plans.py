@@ -1091,3 +1091,25 @@ def test_theil_u2_reduces_then_windows_on_cells(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_theil_u2_skill")
     assert plan.count("partial_") >= 1
     assert "SortMergeJoin" not in plan  # 12-row calendar join broadcasts
+
+
+def test_croston_reduces_to_demand_days_before_pandas(spark, sf_dir):
+    """Batch P: the Croston recursion must see only (brand, demand-day)
+    cells — map-side month... day reduction + broadcast slow-mover dim,
+    then FlatMapGroupsInPandas; no dense spine ever materializes."""
+    plan = _plan(spark, sf_dir, "ts_croston_intermittent")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= 1
+
+
+def test_code_detect_is_codegen_regex_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_code_detect")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("partial_") >= 1
+
+
+def test_bullwhip_is_one_moment_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_bullwhip_ratio")
+    assert plan.count("partial_") >= 1
+    assert "BroadcastHashJoin" in plan

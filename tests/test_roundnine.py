@@ -270,3 +270,27 @@ def test_isqrt_expression_exact_on_boundaries(tmp_path):
     ).fetchall()
     for a, s in got:
         assert s == math.isqrt(a), (a, s)
+
+
+def test_croston_recursion_matches_reference_loop():
+    """Pin the Croston update algebra (z/q smoothed only on demand days,
+    trunc division) against a straightforward reference implementation
+    on a hand-made sparse series."""
+    import pandas as pd
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundnine_p import _croston_group
+
+    days = [3, 5, 10, 11, 20]
+    qtys = [7, 12, 3, 9, 30]
+    pdf = pd.DataFrame({"brand": ["B"] * 5, "day_ix": days, "qty": qtys})
+    out = _croston_group(pdf).iloc[0]
+    # reference: z0=7, q0=3 then (2x+8z)//10 , (2g+8q)//10
+    z, q, prev = 7, 3, 3
+    for d, x in zip(days[1:], qtys[1:]):
+        g = d - prev
+        z = (2 * x + 8 * z) // 10
+        q = (2 * g + 8 * q) // 10
+        prev = d
+    assert out["size_units"] == z and out["interval_days"] == q
+    assert out["rate_milliunits_per_day"] == z * 1000 // q
+    assert out["n_demands"] == 5
