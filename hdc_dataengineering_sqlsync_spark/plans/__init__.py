@@ -142,6 +142,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_n,
     roundnine_o,
     roundnine_p,
+    roundnine_q,
 )
 
 _LEDGER = os.path.join(

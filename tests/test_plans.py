@@ -1113,3 +1113,23 @@ def test_bullwhip_is_one_moment_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "wl_bullwhip_ratio")
     assert plan.count("partial_") >= 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_otif_all_quantifier_folds_into_one_order_agg(spark, sf_dir):
+    """Batch Q: the ALL-lines test must be count==conditional-count inside
+    ONE per-order aggregate — no per-line flags or second fact pass."""
+    plan = _plan(spark, sf_dir, "wl_otif_service_level")
+    assert plan.count("partial_") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_explode_outer_fixture_is_map_side_generate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_explode_outer_semantics")
+    assert "Generate" in plan  # both explodes
+    assert "EvalPython" not in plan
+
+
+def test_dupont_is_single_agg_over_broadcast_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wl_dupont_decomposition")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= 1
