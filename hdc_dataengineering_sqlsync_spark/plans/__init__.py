@@ -143,6 +143,8 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_o,
     roundnine_p,
     roundnine_q,
+    roundnine_r,
+    roundnine_s,
 )
 
 _LEDGER = os.path.join(

@@ -66,11 +66,42 @@ def _is_integer_anchored(sql: str, inner_start: int, inner_end: int) -> bool:
     return bool(re.match(r"\s*AS\s+(BIGINT|INT|INTEGER|HUGEINT|LONG)\b", after, re.IGNORECASE))
 
 
+def _decimal_floordiv_sites(sql: str) -> list[tuple[str, list[str]]]:
+    """Round-9 hazard class: DuckDB ``//`` on DECIMAL operands degrades to
+    DOUBLE division (no integral semantics at all), so a following
+    CAST(... AS BIGINT) ROUNDS the quotient instead of flooring it —
+    text_simpson_diversity shipped exactly this (33316.71 -> 33317 while
+    Spark's DIV truncates to 33316). Flag every ``//`` line that touches an
+    alias defined via CAST(... AS DECIMAL(38,n)) unless that alias is
+    re-anchored with CAST(alias AS HUGEINT/BIGINT) on the same line."""
+    dec_aliases = set(
+        re.findall(r"AS\s+DECIMAL\(38,\s*\d+\)\)\s+AS\s+(\w+)", sql, re.IGNORECASE)
+    )
+    if not dec_aliases:
+        return []
+    hits: list[tuple[str, list[str]]] = []
+    for line in sql.splitlines():
+        if "//" not in line:
+            continue
+        risky = set(re.findall(r"\b([a-z_]\w*)\b", line)) & dec_aliases
+        if not risky:
+            continue
+        cleared = all(
+            re.search(rf"CAST\(\s*{r}\s+AS\s+(HUGEINT|BIGINT)\)", line, re.IGNORECASE)
+            for r in risky
+        )
+        if not cleared:
+            hits.append((line.strip(), sorted(risky)))
+    return hits
+
+
 def sweep() -> int:
     from __spark_entry__ import oracle_sql
 
     flagged: list[tuple[str, str]] = []
     for qid, sql in sorted(oracle_sql().items()):
+        for line, risky in _decimal_floordiv_sites(sql):
+            flagged.append((qid, f"DECIMAL '//' (double div!) on {risky}: {line[:120]}"))
         spans = _round_calls(sql)
         for a, b in spans:
             arg = sql[a:b]

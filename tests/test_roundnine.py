@@ -272,6 +272,100 @@ def test_isqrt_expression_exact_on_boundaries(tmp_path):
         assert s == math.isqrt(a), (a, s)
 
 
+def test_sweepline_level_matches_brute_force_stabbing():
+    """wl_peak_open_orders' +1/−1 prefix sum must equal, on every delta
+    day, the brute-force count of intervals containing that day
+    (inclusive both ends) — and all deltas must telescope to zero."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d0 = rng.integers(0, 200, 80)
+    d1 = d0 + rng.integers(0, 60, 80)
+    deltas: dict[int, int] = {}
+    for a, b in zip(d0, d1):
+        deltas[int(a)] = deltas.get(int(a), 0) + 1
+        deltas[int(b) + 1] = deltas.get(int(b) + 1, 0) - 1
+    assert sum(deltas.values()) == 0
+    lvl = 0
+    for day in sorted(deltas):
+        lvl += deltas[day]
+        brute = int(((d0 <= day) & (day <= d1)).sum())
+        assert lvl == brute, day
+
+
+def test_tiered_fee_brackets_partition_and_marginal_rates():
+    """wl_tiered_fee_schedule bracket algebra: t1+t2+t3 == spend for any
+    spend, the fee is monotone non-decreasing, and each marginal dollar
+    is charged at its own bracket's rate (progressive, not cliff)."""
+    T1, T2 = 100_000_000, 250_000_000
+
+    def fee(cents: int) -> int:
+        t1 = min(cents, T1)
+        t2 = min(max(cents - T1, 0), T2 - T1)
+        t3 = max(cents - T2, 0)
+        assert t1 + t2 + t3 == cents
+        return (t1 * 50 + t2 * 125 + t3 * 200) // 10000
+
+    prev = -1
+    for c in [0, 1, T1 - 1, T1, T1 + 1, T2 - 1, T2, T2 + 1, 10 * T2]:
+        f = fee(c)
+        assert f >= prev
+        prev = f
+    # marginal rate inside each bracket (scaled ×10000 to dodge rounding)
+    assert fee(10_000 * 10000) - fee(0) == 10_000 * 50
+    assert fee(T1 + 10_000 * 10000) - fee(T1) == 10_000 * 125
+    assert fee(T2 + 10_000 * 10000) - fee(T2) == 10_000 * 200
+
+
+def test_duckdb_decimal_floordiv_degrades_to_double():
+    """Pin the r9 hazard class the sweep now flags: DuckDB '//' on DECIMAL
+    operands is DOUBLE division (33316.71…), and CAST(... AS BIGINT)
+    ROUNDS it (33317) — while on HUGEINT '//' is true integral division
+    (33316), matching Spark's DIV. text_simpson_diversity shipped the
+    DECIMAL form and diverged by exactly +1; the oracle must anchor."""
+    import duckdb
+
+    rep, nn = 56522000000, 1696506
+    dec = duckdb.sql(
+        f"SELECT CAST(CAST({rep} AS DECIMAL(38,0))"
+        f" // CAST({nn} AS DECIMAL(38,0)) AS BIGINT)"
+    ).fetchone()[0]
+    hug = duckdb.sql(
+        f"SELECT CAST(CAST({rep} AS HUGEINT) // CAST({nn} AS HUGEINT)"
+        f" AS BIGINT)"
+    ).fetchone()[0]
+    assert dec == 33317  # the trap: double div + rounding cast
+    assert hug == 33316 == rep // nn  # the anchor the oracles use
+
+
+def test_hazard_sweep_flags_decimal_floordiv_sites():
+    from scripts.oracle_hazard_sweep import _decimal_floordiv_sites
+
+    bad = """
+    WITH s AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS rep FROM t)
+    SELECT CAST(rep * 10 // 3 AS BIGINT) FROM s
+    """
+    good = """
+    WITH s AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS rep FROM t)
+    SELECT CAST(CAST(rep AS HUGEINT) * 10 // 3 AS BIGINT) FROM s
+    """
+    assert _decimal_floordiv_sites(bad)
+    assert not _decimal_floordiv_sites(good)
+
+
+def test_knuth_multiplier_is_bijection_mod_2_32():
+    """mix_curriculum_stages' first_doc relies on h = doc_id·2654435761
+    mod 2^32 being collision-free: the multiplier is odd, hence
+    invertible mod 2^32. Verify injectivity on a dense id block and
+    compute the actual inverse as the certificate."""
+    mult, mod = 2654435761, 1 << 32
+    inv = pow(mult, -1, mod)
+    assert (mult * inv) % mod == 1
+    ids = range(100_000)
+    seen = {(i * mult) % mod for i in ids}
+    assert len(seen) == 100_000
+
+
 def test_croston_recursion_matches_reference_loop():
     """Pin the Croston update algebra (z/q smoothed only on demand days,
     trunc division) against a straightforward reference implementation
