@@ -145,6 +145,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_q,
     roundnine_r,
     roundnine_s,
+    roundnine_t,
 )
 
 _LEDGER = os.path.join(

@@ -366,6 +366,54 @@ def test_knuth_multiplier_is_bijection_mod_2_32():
     assert len(seen) == 100_000
 
 
+def test_holt_winters_recursion_matches_reference_loop():
+    """Pin the HW-additive update algebra (level/trend/season in exact
+    tenths, trunc division, rotating 4-slot register) against a plain
+    reference loop on a hand-made seasonal series."""
+    import pandas as pd
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundnine_t import _hw_group
+
+    xs = [100, 140, 90, 60, 110, 150, 95, 65, 120, 160]
+    pdf = pd.DataFrame(
+        {"flag": ["A"] * len(xs), "qt": list(range(len(xs))), "x": xs}
+    )
+    out = _hw_group(pdf).iloc[0]
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    lvl, trend, season = xs[0], 0, [0, 0, 0, 0]
+    for x in xs[1:]:
+        ln = tdiv(2 * (x - season[0]) + 8 * (lvl + trend), 10)
+        trend = tdiv((ln - lvl) + 9 * trend, 10)
+        season = season[1:] + [tdiv(3 * (x - ln) + 7 * season[0], 10)]
+        lvl = ln
+    assert out["level_cents"] == lvl
+    assert out["trend_cents"] == trend
+    assert out["season_next_cents"] == season[0]
+    assert out["forecast_next_cents"] == lvl + trend + season[0]
+
+
+def test_min_label_propagation_superstep_semantics():
+    """3 synchronous min-label supersteps on a path graph a-b-c-d-e:
+    labels travel exactly k hops per superstep — after 3 rounds node e
+    (distance 4 from a) has NOT yet received a's label; components
+    would need one more round. The partial state IS the contract."""
+    edges = [(i, i + 1) for i in range(4)]
+    edges += [(b, a) for a, b in edges]
+    labels = {v: v for v in range(5)}
+    for _ in range(3):
+        new = {}
+        for v in labels:
+            nbrs = [labels[u] for u, w in edges if w == v]
+            new[v] = min([v] + nbrs)
+        labels = new
+    assert labels[3] == 0  # 3 hops: arrived
+    assert labels[4] == 1  # 4 hops: not yet
+
+
 def test_croston_recursion_matches_reference_loop():
     """Pin the Croston update algebra (z/q smoothed only on demand days,
     trunc division) against a straightforward reference implementation
