@@ -146,6 +146,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_r,
     roundnine_s,
     roundnine_t,
+    roundnine_u,
 )
 
 _LEDGER = os.path.join(

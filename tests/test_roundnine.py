@@ -366,6 +366,50 @@ def test_knuth_multiplier_is_bijection_mod_2_32():
     assert len(seen) == 100_000
 
 
+def test_dso_countback_set_formulation_matches_sequential_walk():
+    """wl_dso_countback computes the countback with a descending
+    cumulative sum + conditional aggregation; replay the textbook
+    sequential walk (consume whole months backward, pro-rate the first
+    that doesn't fit) and require identical milli-days on fixtures
+    covering zero AR, exact-fit, mid-month, and all-history-exhausted."""
+    def set_based(ar, months):  # months: list of (dim, billings), newest first
+        cum = full_days = covered = 0
+        frac = None
+        for dim, b in months:
+            cum += b
+            if cum <= ar:
+                full_days += dim
+                covered += b
+            elif cum - b <= ar and frac is None:
+                frac = (ar - covered) * dim * 1000 // b
+        return full_days * 1000 + (frac or 0)
+
+    def sequential(ar, months):
+        days = 0
+        rem = ar
+        for dim, b in months:
+            if rem >= b:
+                rem -= b
+                days += dim * 1000
+            else:
+                days += rem * dim * 1000 // b
+                rem = 0
+                break
+        return days
+
+    cases = [
+        (0, [(31, 100), (30, 200)]),
+        (100, [(31, 100), (30, 200)]),          # exact fit, month 1
+        (150, [(31, 100), (30, 200)]),          # mid-month 2
+        (299, [(31, 100), (30, 200)]),
+        (300, [(31, 100), (30, 200)]),          # exact fit, all history
+        (999, [(31, 100), (30, 200)]),          # AR exceeds history
+        (73, [(28, 97), (31, 211), (30, 50)]),
+    ]
+    for ar, months in cases:
+        assert set_based(ar, months) == sequential(ar, months), (ar, months)
+
+
 def test_holt_winters_recursion_matches_reference_loop():
     """Pin the HW-additive update algebra (level/trend/season in exact
     tenths, trunc division, rotating 4-slot register) against a plain
