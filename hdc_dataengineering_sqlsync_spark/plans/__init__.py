@@ -147,6 +147,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_s,
     roundnine_t,
     roundnine_u,
+    roundnine_v,
 )
 
 _LEDGER = os.path.join(
