@@ -148,6 +148,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_t,
     roundnine_u,
     roundnine_v,
+    roundnine_w,
 )
 
 _LEDGER = os.path.join(

@@ -366,6 +366,75 @@ def test_knuth_multiplier_is_bijection_mod_2_32():
     assert len(seen) == 100_000
 
 
+def test_gini_split_fixed_point_cost_ranks_like_float_gini():
+    """wl_gini_split_stump's e9 fixed-point cost must pick the same
+    argmin threshold as the textbook float weighted Gini on a fixture
+    with a clearly best split (and the fixed-point value must be within
+    1 ulp-of-grid of the float cost × 1e9)."""
+    cells = [  # (q, n, pos)
+        (1, 100, 5),
+        (2, 80, 10),
+        (3, 120, 90),
+        (4, 60, 55),
+        (5, 40, 38),
+    ]
+    nt = sum(n for _, n, _ in cells)
+    post = sum(p for _, _, p in cells)
+
+    def fixed(nl, posl):
+        nr, posr = nt - nl, post - posl
+        a = (nl * nl - posl * posl - (nl - posl) ** 2) * 10**9 // nl
+        b = (nr * nr - posr * posr - (nr - posr) ** 2) * 10**9 // nr
+        return a + b
+
+    def floaty(nl, posl):
+        nr, posr = nt - nl, post - posl
+        gl = 1 - (posl / nl) ** 2 - ((nl - posl) / nl) ** 2
+        gr = 1 - (posr / nr) ** 2 - ((nr - posr) / nr) ** 2
+        return nl * gl + nr * gr
+
+    nl = posl = 0
+    fixed_costs, float_costs = {}, {}
+    for q, n, p in cells[:-1]:
+        nl += n
+        posl += p
+        fixed_costs[q] = fixed(nl, posl)
+        float_costs[q] = floaty(nl, posl)
+        assert abs(fixed_costs[q] - float_costs[q] * 1e9) < 2000
+    assert min(fixed_costs, key=lambda q: (fixed_costs[q], q)) == min(
+        float_costs, key=lambda q: (float_costs[q], q)
+    ) == 2  # splitting after q=2 isolates the low-return mass
+
+
+def test_kruskal_wallis_doubled_ranks_match_scipy_free_reference():
+    """Doubled-rank H (wl_kruskal_wallis algebra) vs a from-scratch
+    average-rank implementation on a tied fixture."""
+    groups = {"a": [10, 20, 20, 30], "b": [20, 40, 40], "c": [50, 60, 10]}
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    # reference: average ranks with ties
+    import collections
+
+    cnt = collections.Counter(allv)
+    first = {}
+    i = 1
+    for v in sorted(cnt):
+        first[v] = i
+        i += cnt[v]
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    h_ref = 12 / (n * (n + 1)) * sum(
+        sum(avg_rank[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    ) - 3 * (n + 1)
+    # doubled-rank integer path
+    cum_before = {v: first[v] - 1 for v in cnt}
+    ssum = 0
+    for vs in groups.values():
+        s2 = sum(2 * cum_before[v] + cnt[v] + 1 for v in vs)
+        ssum += s2 * s2 / len(vs)
+    h_int = 3.0 * ssum / (n * (n + 1)) - 3.0 * (n + 1)
+    assert abs(h_ref - h_int) < 1e-9
+
+
 def test_dso_countback_set_formulation_matches_sequential_walk():
     """wl_dso_countback computes the countback with a descending
     cumulative sum + conditional aggregation; replay the textbook
