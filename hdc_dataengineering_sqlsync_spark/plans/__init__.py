@@ -149,6 +149,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_u,
     roundnine_v,
     roundnine_w,
+    roundnine_x,
 )
 
 _LEDGER = os.path.join(

@@ -1133,3 +1133,21 @@ def test_dupont_is_single_agg_over_broadcast_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "wl_dupont_decomposition")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert plan.count("partial_") >= 1
+
+
+def test_nested_struct_prune_reads_only_projected_leaves(spark, sf_dir):
+    """scan_nested_struct_prune's re-read must push nested-column pruning
+    into the parquet scan: ReadSchema carries ONLY payload.dates.yr and
+    payload.fin.cents — the unused sibling leaves (ordered, prio) must
+    not be rehydrated (spark.sql.optimizer.nestedSchemaPruning.enabled
+    is on by default in Spark 4)."""
+    plan = _plan(spark, sf_dir, "scan_nested_struct_prune")
+    # the SECOND scan in the plan is the nested re-read (first is source);
+    # find the ReadSchema line mentioning payload
+    nested = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "payload" in l
+    ]
+    assert nested, "nested re-read scan not found in plan"
+    rs = nested[0]
+    assert "yr" in rs and "cents" in rs
+    assert "ordered" not in rs and "prio" not in rs
