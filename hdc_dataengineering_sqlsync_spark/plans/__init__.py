@@ -150,6 +150,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_v,
     roundnine_w,
     roundnine_x,
+    roundnine_y,
 )
 
 _LEDGER = os.path.join(

@@ -366,6 +366,49 @@ def test_knuth_multiplier_is_bijection_mod_2_32():
     assert len(seen) == 100_000
 
 
+def test_serpentine_deal_balances_tighter_than_round_robin():
+    """sync_snake_shard_balance: on a strictly decreasing size sequence,
+    the boustrophedon deal's max-min shard gap must not exceed
+    round-robin's (and is strictly tighter here); every shard gets the
+    same number of parts when n_parts % n_shards == 0."""
+    sizes = sorted((100 - i for i in range(32)), reverse=True)
+    N = 8
+
+    def deal(serpentine: bool):
+        shards = [0] * N
+        counts = [0] * N
+        for r, sz in enumerate(sizes):
+            pos = r % N
+            s = (N - 1 - pos) if (serpentine and (r // N) % 2 == 1) else pos
+            shards[s] += sz
+            counts[s] += 1
+        return shards, counts
+
+    snake, cs = deal(True)
+    rr, cr = deal(False)
+    assert cs == [4] * N and cr == [4] * N
+    assert max(snake) - min(snake) < max(rr) - min(rr)
+    assert max(snake) - min(snake) <= N  # one size-band's spread
+
+
+def test_theil_moment_formula_matches_direct_definition():
+    """wl_theil_inequality's T = Σx·lnx/X − ln(X/n) equals the textbook
+    Σ(x/X)ln(x/μ) — and is 0 on equal values, positive on skewed."""
+    import math
+
+    def theil(xs):
+        X = sum(xs)
+        n = len(xs)
+        mu = X / n
+        direct = sum(x / X * math.log(x / mu) for x in xs)
+        moment = sum(x * math.log(x) for x in xs) / X - math.log(mu)
+        assert abs(direct - moment) < 1e-12
+        return direct
+
+    assert abs(theil([5, 5, 5, 5])) < 1e-12
+    assert theil([1, 1, 1, 97]) > 0.5
+
+
 def test_gini_split_fixed_point_cost_ranks_like_float_gini():
     """wl_gini_split_stump's e9 fixed-point cost must pick the same
     argmin threshold as the textbook float weighted Gini on a fixture
