@@ -151,6 +151,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_w,
     roundnine_x,
     roundnine_y,
+    roundnine_z,
 )
 
 _LEDGER = os.path.join(
