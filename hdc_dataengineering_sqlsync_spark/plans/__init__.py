@@ -152,6 +152,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_x,
     roundnine_y,
     roundnine_z,
+    roundnine_aa,
 )
 
 _LEDGER = os.path.join(

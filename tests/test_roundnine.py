@@ -366,6 +366,23 @@ def test_knuth_multiplier_is_bijection_mod_2_32():
     assert len(seen) == 100_000
 
 
+def test_composed_isqrt_fourth_root_accuracy_and_determinism():
+    """wl_cagr_fourth_root: isqrt(isqrt(r·1e12)·100) must be within one
+    e-4 unit of the true fourth root ·1e4 across a ratio sweep, exact
+    on perfect fourth powers of the grid, and (trivially) deterministic
+    — pure integer pipeline."""
+    import math
+
+    for num, den in [(1, 1), (3, 2), (2, 1), (31, 17), (1, 3), (997, 503)]:
+        r_e12 = num * 10**12 // den
+        got = math.isqrt(math.isqrt(r_e12) * 100)
+        true = (num / den) ** 0.25 * 10**4
+        assert abs(got - true) <= 1.000001, (num, den, got, true)
+    assert math.isqrt(math.isqrt(10**12) * 100) == 10**4  # ratio 1 exact
+    # exact fourth power: (1.2)^4 = 2.0736 -> root 1.2 -> 12000
+    assert math.isqrt(math.isqrt(20736 * 10**8) * 100) == 12000
+
+
 def test_serpentine_deal_balances_tighter_than_round_robin():
     """sync_snake_shard_balance: on a strictly decreasing size sequence,
     the boustrophedon deal's max-min shard gap must not exceed
