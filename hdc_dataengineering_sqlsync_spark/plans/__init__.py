@@ -153,6 +153,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_y,
     roundnine_z,
     roundnine_aa,
+    roundnine_ab,
 )
 
 _LEDGER = os.path.join(
