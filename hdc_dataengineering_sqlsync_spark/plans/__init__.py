@@ -154,6 +154,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_z,
     roundnine_aa,
     roundnine_ab,
+    roundnine_ac,
 )
 
 _LEDGER = os.path.join(
