@@ -155,6 +155,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_aa,
     roundnine_ab,
     roundnine_ac,
+    roundnine_ad,
 )
 
 _LEDGER = os.path.join(
