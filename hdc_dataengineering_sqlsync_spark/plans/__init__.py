@@ -156,6 +156,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ab,
     roundnine_ac,
     roundnine_ad,
+    roundnine_ae,
 )
 
 _LEDGER = os.path.join(
