@@ -157,6 +157,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ac,
     roundnine_ad,
     roundnine_ae,
+    roundnine_af,
 )
 
 _LEDGER = os.path.join(

@@ -366,6 +366,52 @@ def test_knuth_multiplier_is_bijection_mod_2_32():
     assert len(seen) == 100_000
 
 
+def test_sprt_integer_walk_matches_textbook_llr():
+    """wl_sprt_sequential_test: with symmetric p0/p1 the per-trial LLR
+    collapses to ±ln(p1/p0); verify the integer-walk formulation equals
+    the textbook sum s·ln(p1/p0) + f·ln(q1/q0) (q-terms are the exact
+    negatives) and that the embedded e6 constants are what math.log
+    gives."""
+    import math
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundnine_af import (
+        _LLR_E6,
+        _THRESH_E6,
+    )
+
+    assert _LLR_E6 == int(math.floor(math.log(52 / 48) * 1e6 + 0.5))
+    assert _THRESH_E6 == int(math.floor(math.log(19.0) * 1e6 + 0.5))
+    p0, p1 = 0.48, 0.52
+    for s, f in [(10, 3), (0, 7), (100, 100), (55, 41)]:
+        textbook = s * math.log(p1 / p0) + f * math.log(
+            (1 - p1) / (1 - p0)
+        )
+        walk = (s - f) * math.log(p1 / p0)
+        assert abs(textbook - walk) < 1e-9
+
+
+def test_rich_club_census_matches_brute_force():
+    """graph_rich_club algebra on a hand graph: star K1,4 plus a
+    triangle among three hubs — phi at k where only the triangle
+    qualifies must be 10000 bps (complete), and at k=0 the whole
+    (sparse) graph dilutes it."""
+    und = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7), (5, 7),
+           (0, 5), (0, 6), (0, 7)]
+    edges = und + [(b, a) for a, b in und]
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+
+    def phi(k):
+        rich = {v for v, d in deg.items() if d > k}
+        e = sum(1 for a, b in edges if a in rich and b in rich)
+        n = len(rich)
+        return (e * 10000) // (n * (n - 1)) if n > 1 else 0
+
+    assert phi(2) == 10000  # hubs 0,5,6,7 (deg>2): complete subgraph
+    assert phi(0) < 10000  # leaves dilute the density
+
+
 def test_composed_isqrt_fourth_root_accuracy_and_determinism():
     """wl_cagr_fourth_root: isqrt(isqrt(r·1e12)·100) must be within one
     e-4 unit of the true fourth root ·1e4 across a ratio sweep, exact
