@@ -158,6 +158,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ad,
     roundnine_ae,
     roundnine_af,
+    roundnine_ag,
 )
 
 _LEDGER = os.path.join(
