@@ -159,6 +159,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ae,
     roundnine_af,
     roundnine_ag,
+    roundnine_ah,
 )
 
 _LEDGER = os.path.join(
