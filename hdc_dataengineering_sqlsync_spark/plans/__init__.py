@@ -160,6 +160,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_af,
     roundnine_ag,
     roundnine_ah,
+    roundnine_ai,
 )
 
 _LEDGER = os.path.join(
