@@ -161,6 +161,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ag,
     roundnine_ah,
     roundnine_ai,
+    roundnine_aj,
 )
 
 _LEDGER = os.path.join(
