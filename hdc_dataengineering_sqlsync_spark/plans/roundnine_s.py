@@ -157,7 +157,7 @@ FROM mom ORDER BY source
 """
 
 
-@query("text_heaps_law_fit", "2.9 llm-data", _HEAPS_ORACLE)
+@query("text_heaps_law_fit", "2.9 llm-data", _HEAPS_ORACLE, bench=True)
 def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps' law fit per source — vocabulary grows as V = K·N^β
     (β≈0.4–0.6 for natural text): the corpus-growth planning curve that

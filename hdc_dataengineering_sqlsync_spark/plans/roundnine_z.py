@@ -146,7 +146,7 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
-@query("dq_join_fanout_audit", "2.6 data quality", _FANOUT_ORACLE)
+@query("dq_join_fanout_audit", "2.6 data quality", _FANOUT_ORACLE, bench=True)
 def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join fan-out audit — the pre-join DQ gate that prevents the
     100 TB accident (a key you believed 1:1 that is really 1:10⁴ turns
