@@ -162,6 +162,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ah,
     roundnine_ai,
     roundnine_aj,
+    roundnine_ak,
 )
 
 _LEDGER = os.path.join(
