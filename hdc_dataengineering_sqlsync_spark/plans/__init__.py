@@ -163,6 +163,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ai,
     roundnine_aj,
     roundnine_ak,
+    roundnine_al,
 )
 
 _LEDGER = os.path.join(
