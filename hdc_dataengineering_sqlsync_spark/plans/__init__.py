@@ -164,6 +164,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_aj,
     roundnine_ak,
     roundnine_al,
+    roundnine_am,
 )
 
 _LEDGER = os.path.join(
