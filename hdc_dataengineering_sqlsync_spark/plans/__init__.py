@@ -165,6 +165,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ak,
     roundnine_al,
     roundnine_am,
+    roundnine_an,
 )
 
 _LEDGER = os.path.join(
