@@ -166,6 +166,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_al,
     roundnine_am,
     roundnine_an,
+    roundnine_ao,
 )
 
 _LEDGER = os.path.join(
