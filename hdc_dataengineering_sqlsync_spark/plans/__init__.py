@@ -167,6 +167,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_am,
     roundnine_an,
     roundnine_ao,
+    roundnine_ap,
 )
 
 _LEDGER = os.path.join(
