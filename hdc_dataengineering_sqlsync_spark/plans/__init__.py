@@ -168,6 +168,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_an,
     roundnine_ao,
     roundnine_ap,
+    roundnine_aq,
 )
 
 _LEDGER = os.path.join(
