@@ -169,6 +169,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ao,
     roundnine_ap,
     roundnine_aq,
+    roundnine_ar,
 )
 
 _LEDGER = os.path.join(
