@@ -170,6 +170,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ap,
     roundnine_aq,
     roundnine_ar,
+    roundnine_as,
 )
 
 _LEDGER = os.path.join(
