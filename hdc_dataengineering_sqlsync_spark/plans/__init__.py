@@ -171,6 +171,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_aq,
     roundnine_ar,
     roundnine_as,
+    roundnine_at,
 )
 
 _LEDGER = os.path.join(
