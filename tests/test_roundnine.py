@@ -366,6 +366,78 @@ def test_knuth_multiplier_is_bijection_mod_2_32():
     assert len(seen) == 100_000
 
 
+def test_hash_chain_detects_reorder_insert_delete():
+    """sync_hash_chain_audit's tamper-evidence: the chain digest changes
+    under reorder, insertion, and deletion — and matches the
+    applyInPandas implementation's algebra."""
+    import hashlib
+
+    import pandas as pd
+
+    from hdc_dataengineering_sqlsync_spark.plans.roundnine_at import (
+        _chain_group,
+    )
+
+    def chain(keys):
+        h = None
+        for k in keys:
+            h = hashlib.md5(
+                (f"genesis|{k}" if h is None else f"{h}|{k}").encode()
+            ).hexdigest()
+        return h
+
+    base = [3, 1, 7, 5]
+    ordered = sorted(base)
+    pdf = pd.DataFrame({"mon": ["m"] * 4, "k": base})
+    out = _chain_group(pdf).iloc[0]
+    assert out["chain_digest"] == chain(ordered)  # impl sorts by key
+    assert out["n_records"] == 4
+    assert chain(ordered) != chain(list(reversed(ordered)))  # reorder
+    assert chain(ordered) != chain(ordered + [9])  # insert
+    assert chain(ordered) != chain(ordered[:-1])  # delete
+
+
+def test_retail_445_calendar_properties():
+    """fn_retail_calendar_445: every 52-week year has 12 periods of
+    exactly 4/4/5 weeks per quarter-third, and period membership is a
+    pure function of weeks-since-anchor."""
+    def period(wk):
+        wiy = wk % 52
+        return ((wiy % 13 < 4) and 1 or (wiy % 13 < 8) and 2 or 3) + (
+            wiy // 13
+        ) * 3
+
+    from collections import Counter
+
+    weeks_per_period = Counter(period(wk) for wk in range(52))
+    assert sorted(weeks_per_period) == list(range(1, 13))
+    for p, n in weeks_per_period.items():
+        assert n == (5 if p % 3 == 0 else 4), (p, n)
+    assert period(52) == period(0)  # next fiscal year restarts
+
+
+def test_mix_rate_effects_reconcile_to_total_change():
+    """wl_mix_rate_decomposition: the sequential decomposition's terms
+    (Δshare·r0 + s1·Δrate) sum across segments to the total rate change
+    (exactly, in real arithmetic — the e6 grid adds only per-term
+    quantization the oracle shares)."""
+    segs = [  # (n0, r0_events, n1, r1_events)
+        (100, 10, 300, 45),
+        (200, 50, 150, 30),
+        (300, 30, 250, 40),
+    ]
+    n0t = sum(s[0] for s in segs)
+    n1t = sum(s[2] for s in segs)
+    rate0 = sum(s[1] for s in segs) / n0t
+    rate1 = sum(s[3] for s in segs) / n1t
+    total = 0.0
+    for n0, r0, n1, r1 in segs:
+        s0, s1 = n0 / n0t, n1 / n1t
+        rr0, rr1 = r0 / n0, r1 / n1
+        total += (s1 - s0) * rr0 + s1 * (rr1 - rr0)
+    assert abs(total - (rate1 - rate0)) < 1e-12
+
+
 def test_sprt_integer_walk_matches_textbook_llr():
     """wl_sprt_sequential_test: with symmetric p0/p1 the per-trial LLR
     collapses to ±ln(p1/p0); verify the integer-walk formulation equals
