@@ -27,14 +27,18 @@ from hdc_dataengineering_sqlsync_spark.registry import load
 
 _RC_KS = [4, 8, 16, 32]
 
+# MATERIALIZED: DuckDB inlines CTEs per reference; with `rich` read in
+# three branches and an inequality membership join, the whole
+# pairs→edges→deg chain re-evaluated per branch (316s at sf0.1 → 0.9s
+# materialized, identical rows — probed; the r9s2 oracle-plan lesson).
 _RC_ORACLE = f"""
-WITH {_CS_EDGES_SQL.strip()},
-deg AS (
+WITH {_CS_EDGES_SQL.strip().replace("pairs AS (", "pairs AS MATERIALIZED (").replace("edges AS (", "edges AS MATERIALIZED (")},
+deg AS MATERIALIZED (
   SELECT src AS node, CAST(count(*) AS BIGINT) AS d
   FROM edges GROUP BY src
 ),
 ks(k) AS (VALUES {", ".join(f"({k})" for k in _RC_KS)}),
-rich AS (
+rich AS MATERIALIZED (
   SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k
 ),
 rc_edges AS (

@@ -19,9 +19,10 @@ from hdc_dataengineering_sqlsync_spark.registry import load
 
 # ------ 2.12 composite: average neighbor degree by degree bucket
 
+# MATERIALIZED for the same multi-reference reason as _RC_ORACLE
 _KNN_ORACLE = f"""
-WITH {_CS_EDGES_SQL.strip()},
-deg AS (
+WITH {_CS_EDGES_SQL.strip().replace("pairs AS (", "pairs AS MATERIALIZED (").replace("edges AS (", "edges AS MATERIALIZED (")},
+deg AS MATERIALIZED (
   SELECT src AS node, CAST(count(*) AS BIGINT) AS d
   FROM edges GROUP BY src
 ),
