@@ -172,6 +172,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_ar,
     roundnine_as,
     roundnine_at,
+    roundnine_au,
 )
 
 _LEDGER = os.path.join(
