@@ -173,6 +173,7 @@ from hdc_dataengineering_sqlsync_spark.plans import (  # noqa: E402,F401
     roundnine_as,
     roundnine_at,
     roundnine_au,
+    roundnine_av,
 )
 
 _LEDGER = os.path.join(

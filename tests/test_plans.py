@@ -1151,3 +1151,18 @@ def test_nested_struct_prune_reads_only_projected_leaves(spark, sf_dir):
     rs = nested[0]
     assert "yr" in rs and "cents" in rs
     assert "ordered" not in rs and "prio" not in rs
+
+
+def test_nested_predicate_pushes_to_parquet(spark, sf_dir):
+    """scan_nested_predicate_pushdown: the filter on payload.dates.yr must
+    appear in the parquet scan's PushedFilters (nested predicate pushdown,
+    on by default in Spark 4), not run as a post-scan Filter over
+    rehydrated structs only."""
+    plan = _plan(spark, sf_dir, "scan_nested_predicate_pushdown")
+    pushed = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "payload.dates.yr" in l
+    ]
+    assert pushed, "nested-leaf filter not pushed to the parquet scan"
+    assert "GreaterThanOrEqual(payload.dates.yr" in pushed[0]
