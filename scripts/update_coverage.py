@@ -19,8 +19,11 @@ Ledger shape:
       "rounds_merged": ["CORRECTNESS_r01.json", ...],
       "green":  [qid, ...],   # latest driver row passed (hash or rows-only)
       "failed": [qid, ...],   # latest driver row failed -> re-verify first
-      "stale":  [qid, ...]    # hand-maintained: qids whose plan/shared loader
-    }                         #   changed since their last green driver row
+      "stale":  [qid, ...],   # hand-maintained: qids whose plan/shared loader
+                              #   changed since their last green driver row
+      "never_sampled": [...]  # derived: declared qids with no driver row yet,
+    }                         #   RANKED in rotation order (the order they
+                              #   enter the driver's ~50-qid window)
 
 ``stale`` is NOT overwritten by this script — it is the per-round declaration
 (reviewed in the round log) that a previously-green qid must be re-verified
@@ -59,12 +62,32 @@ def rebuild_ledger(repo: str) -> dict:
         with open(ledger_path) as f:
             stale = json.load(f).get("stale", [])
 
-    return {
+    ledger = {
         "rounds_merged": [os.path.basename(p) for p in rounds],
         "green": sorted(q for q, ok in latest.items() if ok and q not in stale),
         "failed": sorted(q for q, ok in latest.items() if not ok),
         "stale": stale,
     }
+    ledger["never_sampled"] = rank_never_sampled(ledger)
+    return ledger
+
+
+def rank_never_sampled(ledger: dict) -> list[str]:
+    """Declared qids with no driver row yet, in the exact order they will
+    enter the driver's window: ``plans.__init__`` puts stale + failed first,
+    then never-checked qids in layout order, so the never-sampled ranking IS
+    the unchecked segment of the rotated catalog. Importing plans applies the
+    rotation from the ledger on disk; we re-derive the unchecked segment here
+    from the fresh ledger so the two never disagree."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from hdc_dataengineering_sqlsync_spark.plans import CATALOG  # noqa: E402
+
+    seen = set(ledger["green"]) | set(ledger["failed"]) | set(ledger["stale"])
+    # CATALOG rotation already orders unchecked qids in layout order; filter
+    # preserves that order regardless of which ledger version was on disk.
+    return [q for q in CATALOG if q not in seen]
 
 
 def main() -> None:
