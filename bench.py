@@ -50,8 +50,22 @@ def time_query(spark, fn, sf_dir: str, runs: int) -> float:
     return statistics.median(times)
 
 
+def _proc_count() -> int:
+    """Number of live processes on the box (contention witness)."""
+    try:
+        return sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except OSError:
+        return -1
+
+
 def main() -> None:
     bench_set = {qid: q for qid, q in CATALOG.items() if q.bench}
+    # Contamination stamp (r9 verdict): BENCH_r09 was measured on a busy box
+    # and read as a false 2.13x anchor breach. Record 1-minute loadavg and
+    # process count before/after so a contaminated run is self-evident —
+    # anchors are only comparable when loadavg_before is ~0 (idle box).
+    load_before = os.getloadavg()[0]
+    procs_before = _proc_count()
     spark = get_session(app_name="bench")
 
     medians: dict[str, float] = {}
@@ -88,6 +102,10 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "qps": round(len(medians) / total, 4) if total else None,
                 "runs_per_query": RUNS,
+                "loadavg_before": round(load_before, 2),
+                "loadavg_after": round(os.getloadavg()[0], 2),
+                "procs_before": procs_before,
+                "procs_after": _proc_count(),
             }
         )
     )
