@@ -5,11 +5,11 @@ The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
 batch shapes — is real and tested. Decode/resize are REAL for every
 format whose compression ships with the standard library or needs none:
 24-bit BMP and 16-bit PCM WAV (r3), 8-bit truecolor PNG (zlib DEFLATE +
-five-predictor unfilter, r6), and single-frame GIF (full LZW, r6) — all
-pure numpy/stdlib (operators/media_codecs.py) and oracle-verified by the
-multimodal_decode_* / multimodal_resize_stats qids. Only formats whose
-codecs are genuinely library-bound (JPEG/WebP/MP3/...) remain stubbed
-behind NotImplementedError. ``extract_features`` keeps its
+five-predictor unfilter, r6), single-frame GIF (full LZW, r6), baseline
+JPEG (operators/jpeg.py, r8) and TIFF (operators/tiff.py, r9) — all
+pure numpy/stdlib and oracle-verified by the multimodal_decode_* /
+multimodal_resize_stats qids. Only formats whose codecs are genuinely
+library-bound (WebP/MP3/...) remain stubbed behind NotImplementedError. ``extract_features`` keeps its
 deterministic byte-stats featurizer (the multimodal_extract oracle mirrors
 it in SQL) — a real encoder slots into the same mapInPandas stage.
 
@@ -76,14 +76,15 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def decode_image(payload: bytes):
     """Decode an image payload to an HxWx3 uint8 RGB numpy array.
 
-    REAL for uncompressed 24-bit BMP (pure numpy/struct) and — since r6 —
-    8-bit truecolor PNG (stdlib zlib inflate + full five-predictor
-    scanline unfilter) and single-frame GIF (full LZW: variable code
-    width, CLEAR/EOI, 4096-reset; see operators/media_codecs.py,
-    oracle-verified by the multimodal_decode_image/_png/_gif qids). Formats
-    whose codecs are genuinely absent from this container (JPEG/WebP/...)
-    still raise; swap in Pillow/opencv here when available — the
-    mapInPandas contract (binary in, array out) is unchanged.
+    REAL for uncompressed 24-bit BMP (pure numpy/struct), 8-bit truecolor
+    PNG (stdlib zlib inflate + full five-predictor scanline unfilter, r6),
+    single-frame GIF (full LZW: variable code width, CLEAR/EOI, 4096-reset;
+    see operators/media_codecs.py) and — wired here in r10, codec shipped
+    in r8 — baseline 4:4:4/grayscale JPEG (from-scratch Huffman + IDCT,
+    operators/jpeg.py, oracle-verified by the multimodal_decode_jpeg qid).
+    Only WebP/AVIF-class formats, whose codecs are genuinely absent from
+    this container, still raise; swap in Pillow/opencv here when available —
+    the mapInPandas contract (binary in, array out) is unchanged.
     """
     if bytes(payload[:2]) == b"BM":
         from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_bmp
@@ -97,7 +98,15 @@ def decode_image(payload: bytes):
         from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_gif
 
         return decode_gif(bytes(payload))
-    raise NotImplementedError("JPEG/WebP image decode requires a codec library (not in container)")
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(bytes(payload))
+    raise NotImplementedError("WebP-class image decode requires a codec library (not in container)")
 
 
 def decode_audio(payload: bytes):

@@ -352,9 +352,13 @@ def test_multimodal_pipeline_shape(spark, sf_dir):
     assert plan.count() == 8
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_unknown_format_is_stubbed():
     from hdc_dataengineering_sqlsync_spark.operators.multimodal import decode_image
 
+    # WebP: the one image family whose codec is genuinely library-bound
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # truncated PNG magic (4 of 8 signature bytes) must not dispatch the codec
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
 
@@ -607,31 +611,40 @@ def test_resize_nearest_floor_mapping():
     assert set(up.ravel().tolist()) <= set(px.ravel().tolist())
 
 
-def test_decode_dispatch_stubs_compressed_formats():
-    """Real decode for BMP/WAV magic bytes; honest NotImplementedError for
-    formats that genuinely need a codec library."""
+def test_decode_dispatch_real_codecs_and_stubs():
+    """Generic decode_image dispatches every in-repo codec by magic bytes
+    (BMP, JPEG via operators/jpeg.py — r10 verdict item 4 — and TIFF);
+    honest NotImplementedError only for genuinely library-bound formats."""
     import numpy as np
     import pytest as _pytest
 
+    from hdc_dataengineering_sqlsync_spark.operators.jpeg import encode_jpeg
     from hdc_dataengineering_sqlsync_spark.operators.media_codecs import encode_bmp, encode_wav
     from hdc_dataengineering_sqlsync_spark.operators.multimodal import (
         decode_audio,
         decode_image,
         resize_image,
     )
+    from hdc_dataengineering_sqlsync_spark.operators.tiff import encode_tiff
 
     px = np.zeros((4, 4, 3), dtype=np.uint8)
     assert decode_image(encode_bmp(px)).shape == (4, 4, 3)
     rate, s = decode_audio(encode_wav(np.zeros(8, dtype=np.int16)))
     assert rate == 16000 and len(s) == 8
     assert decode_image(resize_image(encode_bmp(px), 2, 2)).shape == (2, 2, 3)
-    jpeg_magic = b"\xff\xd8\xff\xe0 not decodable here"
-    with _pytest.raises(NotImplementedError):
-        decode_image(jpeg_magic)
+    # JPEG now routes through the real baseline codec (lossy: assert shape
+    # and that a flat mid-gray image survives within quantization error)
+    gray = np.full((8, 8, 3), 128, dtype=np.uint8)
+    out = decode_image(encode_jpeg(gray))
+    assert out.shape == (8, 8, 3)
+    assert int(np.abs(out.astype(np.int16) - 128).max()) <= 8
+    # TIFF is lossless: exact round-trip through the generic entry point
+    tpx = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert (decode_image(encode_tiff(tpx)) == tpx).all()
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\x49\x44\x33 mp3-ish")
     with _pytest.raises(NotImplementedError):
-        resize_image(jpeg_magic, 2, 2)
+        resize_image(b"\xff\xd8\xff\xe0 jpeg resize still stubbed", 2, 2)
 
 
 def test_pyds_pushdown_accepts_bucket_eq_only():

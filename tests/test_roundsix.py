@@ -99,8 +99,12 @@ def test_decode_image_dispatches_png():
 
 
 def test_decode_image_still_raises_for_compressed_codecs():
+    # JPEG dispatches to the real operators/jpeg.py codec since r10; a
+    # corrupt payload surfaces as the codec's ValueError, not a stub raise
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI, garbage body
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP: genuinely library-bound
 
 
 def test_png_rejects_non_truecolor():
