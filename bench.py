@@ -58,6 +58,20 @@ def _proc_count() -> int:
         return -1
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — the VM-neighbor witness.
+
+    loadavg only sees THIS box's runqueue; on a shared host the contamination
+    that actually skews timings is hypervisor steal, so the JSON stamps the
+    steal share measured across the whole run."""
+    try:
+        fields = open("/proc/stat").readline().split()[1:]
+        vals = [int(v) for v in fields[:8]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     bench_set = {qid: q for qid, q in CATALOG.items() if q.bench}
     # Contamination stamp (r9 verdict): BENCH_r09 was measured on a busy box
@@ -66,6 +80,7 @@ def main() -> None:
     # anchors are only comparable when loadavg_before is ~0 (idle box).
     load_before = os.getloadavg()[0]
     procs_before = _proc_count()
+    ticks_before = _cpu_ticks()
     spark = get_session(app_name="bench")
 
     medians: dict[str, float] = {}
@@ -91,6 +106,13 @@ def main() -> None:
                     times.append(time.perf_counter() - t0)
             print(f"  duckdb {qid}: {statistics.median(times):.3f}s", file=sys.stderr)
 
+    ticks_after = _cpu_ticks()
+    steal_pct = None
+    if ticks_before and ticks_after and ticks_after[1] > ticks_before[1]:
+        steal_pct = round(
+            100.0 * (ticks_after[0] - ticks_before[0]) / (ticks_after[1] - ticks_before[1]), 2
+        )
+
     total = round(sum(medians.values()), 4)
     print(
         json.dumps(
@@ -106,6 +128,7 @@ def main() -> None:
                 "loadavg_after": round(os.getloadavg()[0], 2),
                 "procs_before": procs_before,
                 "procs_after": _proc_count(),
+                "steal_pct": steal_pct,
             }
         )
     )
