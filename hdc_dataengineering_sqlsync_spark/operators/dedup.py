@@ -26,6 +26,31 @@ def exact_dedup(df: DataFrame, on: list[str]) -> DataFrame:
     return df.dropDuplicates(on)
 
 
+def _capped_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocks: list[str],
+    max_df: int | None,
+) -> DataFrame:
+    """(id, *blocks, token) exploded distinct-token table, with tokens whose
+    per-(block, token) document frequency exceeds ``max_df`` removed via a
+    BROADCAST anti-join on the Zipf-small hot list (the big exploded side
+    must not shuffle just to drop stopwords)."""
+    tok = _spread(docs).select(
+        F.col(id_col), *blocks, F.explode(distinct_tokens(F.col(text_col))).alias("token")
+    )
+    if max_df is not None:
+        hot = (
+            tok.groupBy(*blocks, "token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .drop("df")
+        )
+        tok = tok.join(F.broadcast(hot), [*blocks, "token"], "left_anti")
+    return tok
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -48,17 +73,15 @@ def jaccard_pairs(
     anti-join (map-side, no extra shuffle on the big side).
     """
     blocks = block_cols or []
-    tok = _spread(docs).select(
-        F.col(id_col), *blocks, F.explode(distinct_tokens(F.col(text_col))).alias("token")
-    )
+    # tok feeds BOTH sides of the pair self-join (and, with a cap, the size
+    # census); materialize the token table once so the explode(+df anti-join)
+    # subtree doesn't recompute per consumer — the r10 plan audit caught it
+    # running up to 4x in one plan. The token table is the operator's working
+    # set by design (df-capped when it matters), so this is the documented
+    # space-for-passes trade. (_capped_tokens stays separately callable so
+    # plan tests can assert the broadcast anti-join shape pre-checkpoint.)
+    tok = _capped_tokens(docs, id_col, text_col, blocks, max_df).localCheckpoint(eager=True)
     if max_df is not None:
-        hot = (
-            tok.groupBy(*blocks, "token")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .drop("df")
-        )
-        tok = tok.join(F.broadcast(hot), [*blocks, "token"], "left_anti")
         sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = docs.select(F.col(id_col), F.size(distinct_tokens(F.col(text_col))).alias("sz"))
@@ -192,11 +215,13 @@ def shingle_jaccard_pairs(
     build side; pairs keep the ``id_a < id_b`` convention, i.e. a pair
     survives iff its LOWER id is sampled.
     """
+    # sh feeds both join sides and the size census — materialize the shingle
+    # table once (same recompute fix as jaccard_pairs above, r10 plan audit)
     sh = _spread(docs).select(
         F.col(id_col),
         F.col(block_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k=k_shingle))).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_left = sh if left_ids is None else sh.join(F.broadcast(left_ids), id_col, "left_semi")
     a = sh_left.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk_a"), "shingle")

@@ -469,11 +469,20 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdc_dataengineering_sqlsync_spark.operators.sketches import bloom_build, bloom_probe
 
     d = load(spark, sf_dir, "documents")
-    vocab = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).distinct()
+    # vocab feeds both probe branches and en feeds the filter build AND the
+    # membership mark; both are vocabulary-grain (Zipf-small) — checkpoint
+    # so the corpus explode runs once per set (r10 plan audit: 6 fact scans
+    # in one plan without this).
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     en = (
         d.where(F.col("lang") == "en")
         .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     probes = vocab.union(vocab.select(F.reverse("token").alias("token"))).distinct()
     probed = bloom_probe(bloom_build(en, "token", k=4, m=128), probes, "token", k=4, m=128)

@@ -205,8 +205,15 @@ def graph_katz_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: degree census (map-combinable) + ONE edges-deg equi-join
     + keyed sum + TakeOrderedAndProject — no iteration state, one shuffle
     round more than a degree count."""
-    edges = _cs_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # edges feeds the degree census AND the walks2 join (which reads the
+    # degree census again) — checkpoint both once (the graphs.py edge
+    # discipline; r10 plan audit caught the fact subtree recomputing).
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     w2 = (
         edges.join(deg.withColumnRenamed("node", "src_node"), F.col("src") == F.col("src_node"))
         .groupBy(F.col("dst").alias("node"))

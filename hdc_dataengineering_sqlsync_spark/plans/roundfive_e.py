@@ -234,14 +234,23 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_a"), "band", "bkey"
     )
     bb = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    # Both pair lists are slim (|pairs| rows, two longs) but their subtrees
+    # are the two expensive legs (bucket self-join; exact shingle join).
+    # Each feeds TWO consumers below (its own count + the caught semi-join),
+    # so checkpoint them once — the r10 plan audit caught the recompute:
+    # without this the truth shingle join and the candidate bucket join
+    # each ran twice (12 fact-scan subtrees in one plan).
     cand = (
         ba.join(bb, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    truth = shingle_jaccard_pairs(docs, k_shingle=3, threshold=0.5, left_ids=smp).select(
-        F.col("doc_id").alias("id_a"), F.col("doc_id2").alias("id_b")
+    truth = (
+        shingle_jaccard_pairs(docs, k_shingle=3, threshold=0.5, left_ids=smp)
+        .select(F.col("doc_id").alias("id_a"), F.col("doc_id2").alias("id_b"))
+        .localCheckpoint(eager=True)
     )
     caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))

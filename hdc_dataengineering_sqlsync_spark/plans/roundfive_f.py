@@ -246,6 +246,11 @@ def graph_assortativity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment pass is ONE map-combinable aggregate."""
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
+    # e0 feeds SIX consumers through nodes/du/dv/dir_edges; without a
+    # checkpoint the orders-join-lineitem-distinct subtree recomputes six
+    # times (r10 plan audit: 12 fact scans in one plan). Materialize the
+    # edge list once (the graphs.py discipline), and the node-degree table
+    # (|nodes| rows) once for its two du/dv reads.
     e0 = (
         load(spark, sf_dir, "orders")
         .join(
@@ -254,6 +259,7 @@ def graph_assortativity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e0.groupBy(F.col("c").alias("node"))
@@ -263,6 +269,7 @@ def graph_assortativity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("deg")
             )
         )
+        .localCheckpoint(eager=True)
     )
     dir_edges = e0.select(
         F.col("c").alias("u"), (F.col("s") + 1000000).alias("v")

@@ -67,10 +67,14 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_near_jaccard` (hot tokens excluded), noted here because this
     corpus's closed 31-token vocabulary bounds t_d ≤ 31 by itself;
     marginals broadcast to the pair table (two tiny dimension joins)."""
+    # tok feeds the doc count, the df marginals, and BOTH pair-join sides —
+    # checkpoint so the corpus explode runs once (r10 plan audit: 5 fact
+    # scans in one plan without this).
     tok = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

@@ -70,29 +70,20 @@ def graph_markov_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization is the declared semantics, identical in both engines
     — float matrix powers would drift and, worse, differ by engine).
 
-    Scale shape: the transition census is one self-join on (user,
-    rank+1) — at scale a per-user window lag, no self-join — reducing
-    to a ≤|states|² cell table; both squarings are joins between
-    cell tables (tiny), never fact-sized."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.row_number()
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("rn"),
-    )
-    a = ev.select(
-        F.col("user_id").alias("u"),
-        F.col("event_type").alias("s"),
-        F.col("rn").alias("ra"),
-    )
-    b = ev.select(
-        F.col("user_id").alias("u2"),
-        F.col("event_type").alias("d"),
-        F.col("rn").alias("rb"),
-    )
+    Scale shape: the transition census is ONE per-user window lead over
+    the fact (r10 rework — the original rank self-join read the fact
+    twice and, unmaterialized, recomputed through the nested squarings
+    for 8 fact passes in one plan), reducing to a ≤|states|² cell table
+    that is localCheckpoint'ed; both squarings are joins between
+    checkpointed cell tables (tiny), never fact-sized."""
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
-        a.join(b, (a.u == b.u2) & (b.rb == a.ra + 1))
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(wu).alias("d"),
+        )
+        .where(F.col("d").isNotNull())
         .groupBy("s", "d")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -102,7 +93,7 @@ def graph_markov_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(c * 1000000 DIV SUM(c) OVER (PARTITION BY s) AS BIGINT)"
         ).alias("p_e6"),
-    )
+    ).localCheckpoint(eager=True)
 
     def square(p: DataFrame) -> DataFrame:
         l = p.select(
@@ -119,7 +110,8 @@ def graph_markov_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("CAST(SUM(lp * rp) DIV 1000000 AS BIGINT)").alias("p_e6"))
         )
 
-    p4 = square(square(p1))
+    p2 = square(p1).localCheckpoint(eager=True)  # read twice by the outer squaring
+    p4 = square(p2)
     return p4.select(
         F.col("s").alias("from_state"),
         F.col("d").alias("to_state"),

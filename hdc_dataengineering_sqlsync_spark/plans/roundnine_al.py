@@ -234,9 +234,12 @@ def sync_range_join_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplification (average bins each interval expands into, exact
     milli) — the replicate-vs-prune trade a 100 TB range join lives on.
 
-    Scale shape: the interval-length census is map-combinable; the
-    percentile pass runs over |distinct lengths|; the amplification
-    audit is one pass over the same census."""
+    Scale shape: the interval-length census is map-combinable and
+    localCheckpoint'ed (r10 plan audit: the p95 / max / amplification
+    branches each re-derived it — FOUR fact-scan subtrees in one plan;
+    checkpointing the |distinct lengths|-row census makes it ONE fact
+    pass); the percentile pass runs over |distinct lengths|; the
+    amplification audit is one pass over the same census."""
     ship = (
         load(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("k"))
@@ -248,7 +251,11 @@ def sync_range_join_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ship") >= F.col("o_orderdate"))
         .select((F.datediff("ship", "o_orderdate") + 1).alias("len"))
     )
-    census = iv.groupBy("len").agg(F.count(F.lit(1)).alias("c"))
+    census = (
+        iv.groupBy("len")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     wc = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
     ranked = census.select(
         "len",
@@ -270,7 +277,7 @@ def sync_range_join_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p95_len")
         .agg(F.min("pw").alias("bin_days"))
     )
-    mx = iv.agg(F.max("len").alias("max_len"))
+    mx = census.agg(F.max("len").alias("max_len"))
     amp = (
         census.crossJoin(F.broadcast(binned))
         .agg(

@@ -72,14 +72,25 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross join + one agg over the pair table; adding thresholds
     costs nothing but census width."""
     d = load(spark, sf_dir, "documents")
-    tok0 = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
+    # tok0 feeds the df census AND the capped token list; tok feeds the
+    # pair self-join (both sides) AND the size census; sizes broadcasts
+    # twice. Checkpoint each once so the corpus explode runs ONCE — the
+    # r10 plan audit caught the explode subtree recomputing (8 fact scans
+    # in one plan without this, vs the docstring's 'pairs computed ONCE').
+    tok0 = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     df_tbl = tok0.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("df"))
-    tok = tok0.join(
-        df_tbl.where(F.col("df") <= _TC_MAX_DF), ["lang", "token"]
-    ).select("doc_id", "lang", "token")
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    tok = (
+        tok0.join(df_tbl.where(F.col("df") <= _TC_MAX_DF), ["lang", "token"])
+        .select("doc_id", "lang", "token")
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint(eager=True)
+    )
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
         a.join(

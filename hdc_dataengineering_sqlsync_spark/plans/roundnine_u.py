@@ -198,6 +198,11 @@ def wl_dso_countback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("ar_cents"))
     )
     w = Window.partitionBy("mon").orderBy(F.col("bmon").desc())
+    # walk is tiny (months x billing-history pairs, <=12x84 rows) but its
+    # lineage holds BOTH fact-join legs (month-end AR and month billings);
+    # it feeds the full-months census AND the pro-rata probe below, so
+    # checkpoint it once — the r10 plan audit caught the recompute (the
+    # fact subtrees appeared three times in one plan without this).
     walk = (
         ar.join(billings, billings.bmon <= ar.mon)
         .select(
@@ -211,6 +216,7 @@ def wl_dso_countback(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_b",
             F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
+        .localCheckpoint(eager=True)
     )
     full = walk.groupBy("mon", "ar_cents").agg(
         F.coalesce(

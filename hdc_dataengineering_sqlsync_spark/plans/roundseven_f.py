@@ -70,9 +70,20 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-grain, not corpus-grain."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
-    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cs"))
-    ns = sw.groupBy("source").agg(F.sum("cs").alias("ns"))
-    gw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    # sw/gw/ns are vocabulary-grain reductions each read by 2-4 consumers
+    # (terms, the missing-token anti leg, the final join). Checkpoint the
+    # (source, w) census once and ROLL THE OTHERS UP FROM IT — gw and ns
+    # are exact marginals of sw — so the corpus explode runs ONCE; the r10
+    # plan audit caught the explode subtree recomputing 9 times without this.
+    sw = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .localCheckpoint(eager=True)
+    )
+    ns = (
+        sw.groupBy("source").agg(F.sum("cs").alias("ns")).localCheckpoint(eager=True)
+    )
+    gw = sw.groupBy("w").agg(F.sum("cs").alias("cw")).localCheckpoint(eager=True)
     n = gw.agg(F.sum("cw").alias("n"))
     terms = (
         sw.join(ns, "source")

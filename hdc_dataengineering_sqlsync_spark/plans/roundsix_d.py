@@ -225,11 +225,20 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, _KMV_HASH_NIBBLES), 16, 10).cast(
         "long"
     )
-    a = o.select(F.col("o_custkey").alias("k")).distinct()
-    b = c.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k")).distinct()
-    ha = a.select(h.alias("h")).orderBy("h").limit(_KMV_K)
-    hb = b.select(h.alias("h")).orderBy("h").limit(_KMV_K)
-    hu = ha.union(hb).distinct().orderBy("h").limit(_KMV_K)
+    # a/b (distinct key sets) each feed a sketch AND the three-way truth
+    # census; the k-row sketches feed the union merge and two max probes.
+    # Checkpoint each once — the r10 plan audit caught the key-reduction
+    # subtrees recomputing (12 fact scans in one plan without this).
+    a = o.select(F.col("o_custkey").alias("k")).distinct().localCheckpoint(eager=True)
+    b = (
+        c.where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ha = a.select(h.alias("h")).orderBy("h").limit(_KMV_K).localCheckpoint(eager=True)
+    hb = b.select(h.alias("h")).orderBy("h").limit(_KMV_K).localCheckpoint(eager=True)
+    hu = ha.union(hb).distinct().orderBy("h").limit(_KMV_K).localCheckpoint(eager=True)
     est = (
         hu.agg(F.max("h").alias("hk_u"), F.count(F.lit(1)).alias("ku"))
         .crossJoin(ha.agg(F.max("h").alias("hk_a")))

@@ -227,11 +227,20 @@ def sync_schema_evolution_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # changeset: inserts (missing in target) + updates (digest differs) —
     # keyed on PK; the evolved column rides only the source-sourced rows
-    upserts = source.join(
-        target.select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")),
-        (F.col("o_orderkey") == F.col("k")),
-        "left",
-    ).where(F.col("k").isNull() | (F.col("st") != F.col("o_orderstatus"))).select(source.columns)
+    # The changeset is small by construction (~1-2% of keys) but feeds the
+    # anti-join AND the union; checkpoint it once so the source-vs-target
+    # diff join doesn't recompute (r10 plan audit: 5 fact scans in one plan
+    # without this).
+    upserts = (
+        source.join(
+            target.select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")),
+            (F.col("o_orderkey") == F.col("k")),
+            "left",
+        )
+        .where(F.col("k").isNull() | (F.col("st") != F.col("o_orderstatus")))
+        .select(source.columns)
+        .localCheckpoint(eager=True)
+    )
     kept = target.join(upserts.select("o_orderkey"), "o_orderkey", "left_anti").withColumn(
         "o_channel", F.lit(None).cast("int")
     )

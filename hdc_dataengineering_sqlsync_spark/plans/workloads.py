@@ -109,13 +109,23 @@ def wl_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's frame shrinks, so the plan cost is dominated by the first scan;
     event-time comparisons stay exact (timestamp equality/order, no FP)."""
     e = load(spark, sf_dir, "events")
-    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    # v and c (per-user first-hit frames, |users| rows) each feed the next
+    # stage AND their own census count; checkpoint them so each stage scans
+    # the fact once — the r10 plan audit caught the chain recomputing
+    # (6 fact scans in one plan without this).
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
+    )
     c = (
         e.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.where(F.col("event_type") == "purchase")
