@@ -23,6 +23,10 @@ cartesian). BNLJ sites are listed for eyeball review, not auto-flagged,
 because the 1-row scalar-attach pattern is legitimate and common.
 
 Usage: python scripts/plan_audit.py [sf_dir] [round_tag]
+
+The r10 pass found and fixed 14 recompute shapes (SCALE.md round-10
+section); run this after any round that adds or reworks multi-consumer
+reductions.
 """
 
 from __future__ import annotations

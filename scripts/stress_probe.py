@@ -111,6 +111,17 @@ PROBE_SET: dict[str, str] = {
     "multimodal_audio_zcr": "docs",      # per-clip PCM roundtrip over Nx clips
     "wl_rules_two_antecedent": "volume",  # pair+triple blocked fan-out over Nx orders
     "wl_skyline_3d": "volume",           # per-brand dominance anti-join, Nx demand reduce
+    # round-10 additions: the plan-audit recompute fixes whose shape changed
+    # structurally (checkpointed reductions; markov's self-join -> window lead)
+    "graph_markov_4step": "events",      # per-user lead census -> checkpointed squarings
+    "wl_event_funnel": "events",         # staged first-hit frames over Nx user histories
+    "wl_dso_countback": "volume",        # month-grain walk over Nx fact rows
+    "sketch_kmv_set_ops": "volume",      # bottom-k sketches over Nx-row distinct reduce
+    "text_js_divergence_sources": "docs",  # one corpus explode -> vocab-grain rollups
+    "sketch_bloom_membership": "docs",   # vocab build/probe over Nx docs
+    "sync_schema_evolution_apply": "volume",  # diff join + checkpointed changeset
+    "sync_range_join_bin_plan": "volume",  # interval census -> checkpointed percentile
+    "dedup_near_jaccard": "docs",        # df-capped blocked pair pass (shared operator)
 }
 
 TABLES = [
