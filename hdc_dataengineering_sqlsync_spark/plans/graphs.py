@@ -342,12 +342,17 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     a, b = op.alias("a"), op.alias("b")
+    # e (the co-purchase edge list, a reduction) feeds BOTH endpoint-census
+    # branches of the unionAll; checkpoint it once so the basket self-join
+    # doesn't recompute (r10 plan audit: 4 fact scans in one plan) — the
+    # same edge discipline as pagerank above.
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 2)
         .select("p1", "p2")
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("p1").alias("p"))
