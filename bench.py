@@ -30,6 +30,19 @@ from hdc_dataengineering_sqlsync_spark.session import get_session
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 
+# Host-factor yardstick (r11, per the r10 verdict): three fixed bench-set
+# oracles re-timed in DuckDB every run, divided by the r1 anchor box's
+# DuckDB column in BASELINE.md. DuckDB is single-threaded, Spark-free code
+# reading the same parquet — if it reads slow, the HOST is slower than the
+# anchor box, not the engine; anchor comparisons divide by this factor
+# before gate arithmetic (policy paragraph in BASELINE.md). The three are
+# the bench set's LARGEST DuckDB times (0.2-0.5s — above timer noise).
+_HOST_YARDSTICK = {
+    "win_range_frame": 0.469,
+    "graph_pagerank": 0.512,
+    "text_unigram_logprob": 0.203,
+}
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
@@ -106,6 +119,29 @@ def main() -> None:
                     times.append(time.perf_counter() - t0)
             print(f"  duckdb {qid}: {statistics.median(times):.3f}s", file=sys.stderr)
 
+    host_factor = None
+    if _sf_from_dir(SF_DIR) == 0.1:  # yardstick anchors are sf0.1 numbers
+        import math
+
+        import duckdb  # noqa: F401  (import probe before opening a connection)
+
+        from hdc_dataengineering_sqlsync_spark.testing import duckdb_connect
+
+        ycon = duckdb_connect(SF_DIR)
+        ratios = []
+        for yqid, ref_sec in _HOST_YARDSTICK.items():
+            oracle = CATALOG[yqid].oracle
+            times = []
+            for i in range(4):  # warm-up + median of 3: ~5s total overhead
+                t0 = time.perf_counter()
+                ycon.execute(oracle).fetchall()
+                if i > 0:
+                    times.append(time.perf_counter() - t0)
+            ratios.append(statistics.median(times) / ref_sec)
+            print(f"  yardstick {yqid}: {statistics.median(times):.3f}s "
+                  f"({ratios[-1]:.2f}x anchor box)", file=sys.stderr)
+        host_factor = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+
     ticks_after = _cpu_ticks()
     steal_pct = None
     if ticks_before and ticks_after and ticks_after[1] > ticks_before[1]:
@@ -129,6 +165,7 @@ def main() -> None:
                 "procs_before": procs_before,
                 "procs_after": _proc_count(),
                 "steal_pct": steal_pct,
+                "duckdb_host_factor": host_factor,
             }
         )
     )

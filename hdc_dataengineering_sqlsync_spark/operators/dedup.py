@@ -76,11 +76,18 @@ def jaccard_pairs(
     # tok feeds BOTH sides of the pair self-join (and, with a cap, the size
     # census); materialize the token table once so the explode(+df anti-join)
     # subtree doesn't recompute per consumer — the r10 plan audit caught it
-    # running up to 4x in one plan. The token table is the operator's working
-    # set by design (df-capped when it matters), so this is the documented
-    # space-for-passes trade. (_capped_tokens stays separately callable so
-    # plan tests can assert the broadcast anti-join shape pre-checkpoint.)
-    tok = _capped_tokens(docs, id_col, text_col, blocks, max_df).localCheckpoint(eager=True)
+    # running up to 4x in one plan. Checkpoint ONLY the df-capped form: with
+    # a cap the table is the operator's bounded working set and its subtree
+    # carries a census+anti-join worth saving; without one (max_df=None) the
+    # table is an UNCAPPED exploded frame — bigger than the fact table, the
+    # exact class the r10 rule ("checkpoint reductions, never fact-sized
+    # frames") forbids — and its subtree is a cheap map-side explode, so
+    # re-deriving per consumer is the right 100 TB trade. (_capped_tokens
+    # stays separately callable so plan tests can assert the broadcast
+    # anti-join shape pre-checkpoint.)
+    tok = _capped_tokens(docs, id_col, text_col, blocks, max_df)
+    if max_df is not None:
+        tok = tok.localCheckpoint(eager=True)
     if max_df is not None:
         sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     else:

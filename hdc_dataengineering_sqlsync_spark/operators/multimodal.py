@@ -81,7 +81,10 @@ def decode_image(payload: bytes):
     single-frame GIF (full LZW: variable code width, CLEAR/EOI, 4096-reset;
     see operators/media_codecs.py) and — wired here in r10, codec shipped
     in r8 — baseline 4:4:4/grayscale JPEG (from-scratch Huffman + IDCT,
-    operators/jpeg.py, oracle-verified by the multimodal_decode_jpeg qid).
+    operators/jpeg.py, oracle-verified by the multimodal_decode_jpeg qid)
+    and little-endian (II) uncompressed baseline TIFF (operators/tiff.py;
+    big-endian MM files raise NotImplementedError from decode_tiff — the
+    byte order is recognized but the decoder is LE-only).
     Only WebP/AVIF-class formats, whose codecs are genuinely absent from
     this container, still raise; swap in Pillow/opencv here when available —
     the mapInPandas contract (binary in, array out) is unchanged.
@@ -127,22 +130,32 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload, returning a re-encoded payload of the same
     format.
 
-    REAL for BMP: decode -> nearest-neighbor resample (floor index mapping,
-    media_codecs.resize_nearest) -> re-encode; oracle-verified by the
-    multimodal_resize_stats qid. Compressed formats still raise (no codec
-    library in container). Deployment shape either way: a mapInPandas stage
-    identical to extract_features — binary in, resized binary out,
-    meta.width/height rewritten — zero shuffle.
+    REAL for BMP, little-endian TIFF, and baseline JPEG (r11, closing the
+    decode/resize asymmetry): decode -> nearest-neighbor resample (floor
+    index mapping, media_codecs.resize_nearest) -> re-encode with the same
+    in-repo codec; the BMP path is oracle-verified by the
+    multimodal_resize_stats qid. JPEG re-encode is lossy by nature (requant
+    through the default table); BMP/TIFF round-trips are lossless.
+    PNG/GIF/WebP-class formats still raise (no in-repo encoder for those).
+    Deployment shape either way: a mapInPandas stage identical to
+    extract_features — binary in, resized binary out, meta.width/height
+    rewritten — zero shuffle.
     """
+    from hdc_dataengineering_sqlsync_spark.operators.media_codecs import resize_nearest
+
     if bytes(payload[:2]) == b"BM":
-        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import (
-            decode_bmp,
-            encode_bmp,
-            resize_nearest,
-        )
+        from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_bmp, encode_bmp
 
         return encode_bmp(resize_nearest(decode_bmp(bytes(payload)), width, height))
-    raise NotImplementedError("compressed image resize requires a codec library (not in container)")
+    if bytes(payload[:4]) == b"II*\x00":
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import decode_tiff, encode_tiff
+
+        return encode_tiff(resize_nearest(decode_tiff(bytes(payload)), width, height))
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from hdc_dataengineering_sqlsync_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        return encode_jpeg(resize_nearest(decode_jpeg(bytes(payload)), width, height))
+    raise NotImplementedError("image resize for formats without an in-repo encoder (PNG/GIF/WebP) requires a codec library")
 
 
 def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:

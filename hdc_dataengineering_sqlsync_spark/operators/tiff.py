@@ -159,6 +159,10 @@ def decode_tiff(payload: bytes, return_meta: bool = False):
     if len(payload) < 8:
         raise ValueError("truncated TIFF header")
     order, magic, ifd_offset = struct.unpack_from("<2sHI", payload, 0)
+    if order == b"MM":
+        # valid TIFF, unimplemented byte order: the stub contract
+        # (NotImplementedError), not a malformed-payload ValueError
+        raise NotImplementedError("big-endian (MM) TIFF decode not implemented; little-endian (II) only")
     if order != b"II" or magic != 42:
         raise ValueError("not a little-endian TIFF payload")
     if ifd_offset + 2 > len(payload):

@@ -6,12 +6,23 @@ compares against ``oracle_sql()[qid]`` in DuckDB (row-count + schema +
 order-insensitive values). Prints one line per qid and a summary; exit 1 on
 any mismatch.
 
-Usage: python scripts/driver_sim.py [--vanilla] [--only=qid1,qid2] [sf_dir]
+Usage: python scripts/driver_sim.py [--vanilla] [--only=qid1,qid2]
+           [--sample=N] [--seed=S] [sf_dir]
        (default sf_dir /root/testdata/sf0.01)
 
 ``--only=`` restricts the sweep to a comma-separated qid subset — the
 fast per-change gate (changed qids at sf0.001/0.01/0.1) before the full
 pre-commit sweep; unknown qids in the list fail loudly.
+
+``--sample=N`` (r11, per the r10 verdict's stretch item) draws N random
+qids from the FULL catalog at full typed fidelity — the per-commit drift
+net for UNCHANGED qids: a shared-helper edit that silently shifts an
+untouched query's output is caught here instead of at the end-of-round
+full sweep. The seed defaults to the current git HEAD hash, so the draw
+is reproducible for a given commit but rotates across commits; override
+with ``--seed=``. Composes with ``--only=`` (sample is drawn from the
+restricted set). Per-commit form: ``python scripts/driver_sim.py
+--vanilla --sample=20 /root/testdata/sf0.001``.
 
 ``--vanilla`` builds a bare ``SparkSession.builder.master("local[*]")``
 session with NONE of session.py's confs — the same environment the external
@@ -35,9 +46,17 @@ sys.path.insert(0, REPO)
 flags = {a for a in sys.argv[1:] if a.startswith("--")}
 argv = [a for a in sys.argv[1:] if not a.startswith("--")]
 ONLY: set[str] | None = None
+SAMPLE: int | None = None
+SEED: str | None = None
 for f in list(flags):
     if f.startswith("--only="):
         ONLY = {q for q in f[len("--only="):].split(",") if q}
+        flags.discard(f)
+    elif f.startswith("--sample="):
+        SAMPLE = int(f[len("--sample="):])
+        flags.discard(f)
+    elif f.startswith("--seed="):
+        SEED = f[len("--seed="):]
         flags.discard(f)
 _KNOWN = {"--vanilla", "--exec-only"}
 if flags - _KNOWN:
@@ -85,6 +104,21 @@ def main() -> int:
         if unknown:
             sys.exit(f"driver_sim: --only names unknown qid(s) {sorted(unknown)}")
         qs = {qid: fn for qid, fn in qs.items() if qid in ONLY}
+    if SAMPLE is not None:
+        import random
+        import subprocess
+
+        seed = SEED
+        if seed is None:
+            # per-commit-deterministic, rotating across commits: the drift
+            # net covers a DIFFERENT random 20 qids on every commit
+            seed = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "HEAD"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        picked = random.Random(seed).sample(sorted(qs), min(SAMPLE, len(qs)))
+        print(f"sample: {len(picked)} qids, seed={seed[:12]}")
+        qs = {qid: qs[qid] for qid in picked}
     failures: list[str] = []
     for qid in sorted(qs):
         t0 = time.time()

@@ -22,7 +22,18 @@ join, not a smell; 2 of one table is usually a self-join — or any
 cartesian). BNLJ sites are listed for eyeball review, not auto-flagged,
 because the 1-row scalar-attach pattern is legitimate and common.
 
-Usage: python scripts/plan_audit.py [sf_dir] [round_tag]
+Usage:
+    python scripts/plan_audit.py [sf_dir] [round_tag]
+    python scripts/plan_audit.py --diff=PLAN_AUDIT_rPREV.json [sf_dir] [tag]
+    python scripts/plan_audit.py --diff-only OLD.json NEW.json
+
+``--diff`` (r11, per the r10 verdict): after writing PLAN_AUDIT_{tag}.json,
+compare per-qid against the named baseline audit and exit 1 if any qid's
+same-table scan multiplicity, BNLJ count, or cartesian count GREW, or a new
+qid arrives already flagged — growth must be adjudicated in SCALE.md before
+it lands. Improvements and benign drift (fewer scans/exchanges) pass.
+``--diff-only`` compares two existing audit files without building plans
+(no Spark) — the cheap per-commit form once the round's audit exists.
 
 The r10 pass found and fixed 14 recompute shapes (SCALE.md round-10
 section); run this after any round that adds or reworks multi-consumer
@@ -66,9 +77,50 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+def diff_audits(old: dict, new: dict) -> list[str]:
+    """Regressions in ``new`` vs the accepted baseline ``old``: any growth in
+    the gated counters (same_table_max, bnlj, cartesian) per qid, any qid
+    arriving already flagged, and any audit error. Shrinkage and exchange
+    drift are benign. Returns one human-readable line per regression."""
+    bad: list[str] = []
+    old_q, new_q = old["per_qid"], new["per_qid"]
+    for qid, row in sorted(new_q.items()):
+        base = old_q.get(qid)
+        if base is None:
+            if row["same_table_max"] >= 3 or row["cartesian"] > 0:
+                bad.append(f"{qid}: NEW qid lands flagged ({row['tables']}, cartesian={row['cartesian']}) — adjudicate in SCALE.md")
+            continue
+        for key in ("same_table_max", "bnlj", "cartesian"):
+            if row[key] > base[key]:
+                bad.append(f"{qid}: {key} grew {base[key]} -> {row[key]} (tables={row['tables']})")
+    for qid, err in sorted(new.get("errors", {}).items()):
+        bad.append(f"{qid}: audit error {err}")
+    return bad
+
+
+def run_diff(old_path: str, new: dict) -> None:
+    with open(old_path) as f:
+        old = json.load(f)
+    bad = diff_audits(old, new)
+    if bad:
+        print(f"plan-audit diff vs {os.path.basename(old_path)}: {len(bad)} regression(s)")
+        for line in bad:
+            print(f"  {line}")
+        sys.exit(1)
+    print(f"plan-audit diff clean vs {os.path.basename(old_path)} ({new['qids_audited']} qids)")
+
+
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    tag = sys.argv[2] if len(sys.argv) > 2 else "r10"
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--diff-only":
+        with open(argv[2]) as f:
+            run_diff(argv[1], json.load(f))
+        return
+    diff_base = None
+    if argv and argv[0].startswith("--diff="):
+        diff_base = argv.pop(0)[len("--diff="):]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    tag = argv[1] if len(argv) > 1 else "r10"
     spark = get_session(app_name="plan_audit")
     rows: dict[str, dict] = {}
     errors: dict[str, str] = {}
@@ -101,6 +153,8 @@ def main() -> None:
         f.write("\n")
     print(f"{len(rows)} audited, {len(errors)} errors, "
           f"{len(flagged)} flagged, {len(bnlj_sites)} bnlj sites -> {path}")
+    if diff_base:
+        run_diff(diff_base, out)
 
 
 if __name__ == "__main__":

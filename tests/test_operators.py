@@ -641,10 +641,21 @@ def test_decode_dispatch_real_codecs_and_stubs():
     # TIFF is lossless: exact round-trip through the generic entry point
     tpx = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     assert (decode_image(encode_tiff(tpx)) == tpx).all()
+    # a valid-magic BIG-endian TIFF is the documented LE-only stub boundary:
+    # NotImplementedError (the stub contract), not a malformed-payload error
+    with _pytest.raises(NotImplementedError, match="big-endian"):
+        decode_image(b"MM\x00\x2a" + bytes(8))
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\x49\x44\x33 mp3-ish")
+    # r11: resize is REAL for every format with an in-repo encoder —
+    # TIFF losslessly, JPEG within quantization error of the flat field
+    assert (decode_image(resize_image(encode_tiff(tpx), 2, 2)) == tpx[[0, 2]][:, [0, 2]]).all()
+    jout = decode_image(resize_image(encode_jpeg(gray), 4, 4))
+    assert jout.shape == (4, 4, 3)
+    assert int(np.abs(jout.astype(np.int16) - 128).max()) <= 12
+    # only encoder-less formats still raise (PNG decode is real, encode isn't)
     with _pytest.raises(NotImplementedError):
-        resize_image(b"\xff\xd8\xff\xe0 jpeg resize still stubbed", 2, 2)
+        resize_image(b"\x89PNG\r\n\x1a\n png resize needs an encoder", 2, 2)
 
 
 def test_pyds_pushdown_accepts_bucket_eq_only():

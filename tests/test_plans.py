@@ -8,6 +8,8 @@ never global-sorts, window top-k group-limits, aggregates are two-phase
 
 from __future__ import annotations
 
+import pytest
+
 from hdc_dataengineering_sqlsync_spark.plans import CATALOG
 from hdc_dataengineering_sqlsync_spark.registry import load
 
@@ -1226,3 +1228,43 @@ def test_range_join_bin_plan_folds_fact_work_into_one_checkpoint(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sync_range_join_bin_plan")
     assert "Scan parquet" not in plan, "fact subtree recomputed past the checkpoint"
     assert "Scan ExistingRDD" in plan
+
+
+def _table_scan_census(plan: str) -> dict[str, int]:
+    """Per-table parquet-scan counts, same regex as scripts/plan_audit.py."""
+    import re
+
+    tables: dict[str, int] = {}
+    for loc in re.findall(r"Location: \S+ \[[^\]]*/([A-Za-z0-9_.-]+)\]", plan):
+        name = loc.removesuffix(".parquet")
+        tables[name] = tables.get(name, 0) + 1
+    return tables
+
+
+@pytest.mark.parametrize(
+    "qid,table,max_scans,max_bnlj",
+    [
+        ("dq_outlier_mad_robust", "customer", 4, 0),
+        ("sync_snapshot_cdc_handoff", "orders", 6, 0),
+        ("mix_dataset_datasheet", "documents", 4, 3),
+        ("simsearch_recall_at_k", "embeddings", 4, 2),
+        ("simsearch_ndcg_eval", "embeddings", 4, 2),
+    ],
+)
+def test_accepted_audit_tail_scan_counts_pinned(spark, sf_dir, qid, table, max_scans, max_bnlj):
+    """r10 plan-audit adjudication pins (SCALE.md round-10): these shapes
+    were ACCEPTED at their current same-table scan multiplicity — the reused
+    frame is fact-sized, so re-scanning a column-pruned parquet subtree is
+    cheaper at 100 TB than materializing it. The pin turns that adjudication
+    into a gate: growth past the accepted count (a regression back toward the
+    recompute-blowup class fixed in r10) fails here instead of waiting for
+    the next manual audit. BNLJ pins are the 1-row scalar-attach sites only."""
+    import re
+
+    plan = _plan(spark, sf_dir, qid)
+    census = _table_scan_census(plan)
+    got = census.get(table, 0)
+    assert got <= max_scans, f"{qid}: {table} scanned {got}x, accepted cap {max_scans} (census={census})"
+    bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert bnlj <= max_bnlj, f"{qid}: {bnlj} BNLJ sites, accepted cap {max_bnlj}"
+    assert "CartesianProduct" not in plan

@@ -425,8 +425,12 @@ class TestTiffCodec:
             encode_tiff,
         )
 
-        with pytest.raises(ValueError, match="little-endian TIFF"):
+        # r11 (ADVICE): MM is a VALID TIFF byte order the LE-only decoder
+        # doesn't implement — stub contract, not a corrupt-payload error
+        with pytest.raises(NotImplementedError, match="big-endian"):
             decode_tiff(b"MM\x00\x2a" + bytes(8))
+        with pytest.raises(ValueError, match="little-endian TIFF"):
+            decode_tiff(b"XX\x00\x2a" + bytes(8))  # garbage byte order
         good = encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8))
         with pytest.raises(ValueError):
             decode_tiff(good[:20])  # truncated before IFD
