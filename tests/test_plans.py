@@ -1268,3 +1268,31 @@ def test_accepted_audit_tail_scan_counts_pinned(spark, sf_dir, qid, table, max_s
     bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert bnlj <= max_bnlj, f"{qid}: {bnlj} BNLJ sites, accepted cap {max_bnlj}"
     assert "CartesianProduct" not in plan
+
+
+def test_committed_plan_audits_do_not_regress():
+    """The per-round plan-audit diff gate (r11), suite-enforced: the newest
+    committed PLAN_AUDIT_r*.json must show no per-qid growth in same-table
+    scan multiplicity, BNLJ count, or cartesian count versus the previous
+    round's accepted baseline (scripts/plan_audit.py::diff_audits — shrinkage
+    and exchange drift are benign). No Spark: pure artifact comparison, so
+    the gate costs nothing in the suite. Requires at least two committed
+    audits; skips before the second round lands one."""
+    import glob
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    audits = sorted(glob.glob(os.path.join(repo, "PLAN_AUDIT_r*.json")))
+    if len(audits) < 2:
+        pytest.skip("fewer than two committed plan audits")
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from plan_audit import diff_audits
+
+    with open(audits[-2]) as f:
+        old = json.load(f)
+    with open(audits[-1]) as f:
+        new = json.load(f)
+    bad = diff_audits(old, new)
+    assert not bad, "plan-audit regressions vs previous round:\n" + "\n".join(bad)
