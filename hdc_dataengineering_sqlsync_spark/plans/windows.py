@@ -178,13 +178,17 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_quantity")
         .agg(F.first("n").alias("n"), F.sum("n2").alias("cnt_within_5"))
     )
-    # range-partition the cells BEFORE expanding: each of the 8 ordered
-    # partitions expands and serializes its slice of the row stream in
-    # parallel (a post-explode global sort would funnel the full output
-    # through one task's sort; this is the same partition-then-sort shape
-    # Spark's own global orderBy uses, applied while the data is small)
+    # range-partition the cells BEFORE expanding: each ordered partition
+    # expands and serializes its slice of the row stream in parallel (a
+    # post-explode global sort would funnel the full output through one
+    # task's sort; this is the same partition-then-sort shape Spark's own
+    # global orderBy uses, applied while the data is small). Partition
+    # count follows the session's parallelism, not a constant: the r11
+    # factor-100 probe showed a hard-coded 8 caps the fact-sized expansion
+    # stage at 8 tasks — fine at sf0.1, an 8-wide funnel at 100x volume.
+    n_out = max(8, spark.sparkContext.defaultParallelism)
     return (
-        band.repartitionByRange(8, "l_returnflag", "l_quantity")
+        band.repartitionByRange(n_out, "l_returnflag", "l_quantity")
         .sortWithinPartitions("l_returnflag", "l_quantity")
         .select(
             "l_returnflag",
