@@ -532,8 +532,10 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the tiny cell shuffle to ~3 tasks and serialize the per-cell
         # pandas censuses; an explicit width keeps all cores on the Arrow
         # groups and already satisfies applyInPandas' required
-        # distribution, so no second shuffle is inserted.
-        .repartition(32, "cell")
+        # distribution, so no second shuffle is inserted. Width = session
+        # parallelism (== 32 on local[32]), scaling with the cluster
+        # instead of pinning the census at 32 tasks at any size (r11).
+        .repartition(spark.sparkContext.defaultParallelism, "cell")
         .groupBy("cell")
         .applyInPandas(_cell_stats, "cell int, n_members long, n_near_pairs long")
         .orderBy("cell")

@@ -276,7 +276,10 @@ def sync_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_r5_stage(sf_dir), "orders_zorder")
     (
         o.withColumn("z", _morton16(cb, db))
-        .repartitionByRange(32, "z")
+        # granule count follows session parallelism (== 32 on local[32]),
+        # not a constant: the r11 factor-100 probe showed hard-coded widths
+        # become task funnels the moment the cluster outgrows them
+        .repartitionByRange(max(8, spark.sparkContext.defaultParallelism), "z")
         .sortWithinPartitions("z")
         .drop("z")
         .write.mode("overwrite")

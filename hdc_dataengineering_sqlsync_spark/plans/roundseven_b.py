@@ -319,7 +319,10 @@ def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_block = (
-        base.repartition(32, "label", "cell")
+        # explicit width = session parallelism (== 32 on local[32]): defeats
+        # AQE coalescing the tiny block shuffle under the core count while
+        # scaling with the cluster instead of pinning 32 tasks at any size
+        base.repartition(spark.sparkContext.defaultParallelism, "label", "cell")
         .groupBy("label", "cell")
         .applyInPandas(
             _block_census, "label int, n_vectors long, n_directed long, n_mutual long"
