@@ -121,26 +121,36 @@ def main() -> None:
 
     host_factor = None
     if _sf_from_dir(SF_DIR) == 0.1:  # yardstick anchors are sf0.1 numbers
-        import math
+        # best-effort: the yardstick is diagnostic metadata, not a gate —
+        # a missing duckdb or a failed oracle degrades to null, never
+        # aborts the bench before its JSON line is emitted (r12 ADVICE)
+        try:
+            import math
 
-        import duckdb  # noqa: F401  (import probe before opening a connection)
+            import duckdb  # noqa: F401  (import probe before opening a connection)
 
-        from hdc_dataengineering_sqlsync_spark.testing import duckdb_connect
+            from hdc_dataengineering_sqlsync_spark.testing import duckdb_connect
 
-        ycon = duckdb_connect(SF_DIR)
-        ratios = []
-        for yqid, ref_sec in _HOST_YARDSTICK.items():
-            oracle = CATALOG[yqid].oracle
-            times = []
-            for i in range(4):  # warm-up + median of 3: ~5s total overhead
-                t0 = time.perf_counter()
-                ycon.execute(oracle).fetchall()
-                if i > 0:
-                    times.append(time.perf_counter() - t0)
-            ratios.append(statistics.median(times) / ref_sec)
-            print(f"  yardstick {yqid}: {statistics.median(times):.3f}s "
-                  f"({ratios[-1]:.2f}x anchor box)", file=sys.stderr)
-        host_factor = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+            ycon = duckdb_connect(SF_DIR)
+            ratios = []
+            for yqid, ref_sec in _HOST_YARDSTICK.items():
+                oracle = CATALOG[yqid].oracle
+                times = []
+                for i in range(4):  # warm-up + median of 3: ~5s total overhead
+                    t0 = time.perf_counter()
+                    ycon.execute(oracle).fetchall()
+                    if i > 0:
+                        times.append(time.perf_counter() - t0)
+                ratios.append(statistics.median(times) / ref_sec)
+                print(f"  yardstick {yqid}: {statistics.median(times):.3f}s "
+                      f"({ratios[-1]:.2f}x anchor box)", file=sys.stderr)
+            host_factor = round(
+                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"  yardstick unavailable ({exc!r}); "
+                  "duckdb_host_factor=null", file=sys.stderr)
+            host_factor = None
 
     ticks_after = _cpu_ticks()
     steal_pct = None

@@ -82,9 +82,9 @@ def decode_image(payload: bytes):
     see operators/media_codecs.py) and — wired here in r10, codec shipped
     in r8 — baseline 4:4:4/grayscale JPEG (from-scratch Huffman + IDCT,
     operators/jpeg.py, oracle-verified by the multimodal_decode_jpeg qid)
-    and little-endian (II) uncompressed baseline TIFF (operators/tiff.py;
-    big-endian MM files raise NotImplementedError from decode_tiff — the
-    byte order is recognized but the decoder is LE-only).
+    and uncompressed baseline TIFF in BOTH byte orders — little-endian II
+    and big-endian MM (operators/tiff.py; the IFD walk reads the order
+    mark from the header, r12).
     Only WebP/AVIF-class formats, whose codecs are genuinely absent from
     this container, still raise; swap in Pillow/opencv here when available —
     the mapInPandas contract (binary in, array out) is unchanged.
@@ -130,8 +130,9 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload, returning a re-encoded payload of the same
     format.
 
-    REAL for BMP, little-endian TIFF, and baseline JPEG (r11, closing the
-    decode/resize asymmetry): decode -> nearest-neighbor resample (floor
+    REAL for BMP, TIFF (both II and MM byte orders — a big-endian input is
+    re-encoded in its own byte order, r12), and baseline JPEG (r11, closing
+    the decode/resize asymmetry): decode -> nearest-neighbor resample (floor
     index mapping, media_codecs.resize_nearest) -> re-encode with the same
     in-repo codec; the BMP path is oracle-verified by the
     multimodal_resize_stats qid. JPEG re-encode is lossy by nature (requant
@@ -147,10 +148,13 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         from hdc_dataengineering_sqlsync_spark.operators.media_codecs import decode_bmp, encode_bmp
 
         return encode_bmp(resize_nearest(decode_bmp(bytes(payload)), width, height))
-    if bytes(payload[:4]) == b"II*\x00":
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
         from hdc_dataengineering_sqlsync_spark.operators.tiff import decode_tiff, encode_tiff
 
-        return encode_tiff(resize_nearest(decode_tiff(bytes(payload)), width, height))
+        return encode_tiff(
+            resize_nearest(decode_tiff(bytes(payload)), width, height),
+            byte_order=bytes(payload[:2]).decode(),
+        )
     if bytes(payload[:2]) == b"\xff\xd8":
         from hdc_dataengineering_sqlsync_spark.operators.jpeg import decode_jpeg, encode_jpeg
 

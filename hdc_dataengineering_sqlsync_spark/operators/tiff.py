@@ -1,14 +1,17 @@
-"""Pure-numpy/struct baseline TIFF codec (uncompressed RGB, little-endian).
+"""Pure-numpy/struct baseline TIFF codec (uncompressed RGB, both byte orders).
 
 TIFF is the fourth real container format in the codec matrix (BMP, PNG,
 GIF, JPEG — media_codecs.py / jpeg.py): no compression to implement, but
 a REAL metadata structure — the IFD (Image File Directory) tag walk every
 TIFF reader performs. The encoder emits a spec-conforming single-strip
-baseline RGB file (II byte order, magic 42, the 8 required tags in
-ascending order); the decoder walks the IFD generically: it resolves tag
-values whether they are inlined in the 4-byte value slot or stored at an
-offset, validates the baseline-RGB contract, and reassembles pixel rows
-from ANY strip layout (RowsPerStrip need not divide the height).
+baseline RGB file (II or MM byte order, magic 42, the 8 required tags in
+ascending order); the decoder walks the IFD generically: it reads the
+byte order from the header (II little-endian / MM big-endian, r12),
+resolves tag values whether they are inlined in the 4-byte value slot or
+stored at an offset, validates the baseline-RGB contract, and reassembles
+pixel rows from ANY strip layout (RowsPerStrip need not divide the
+height). Endianness only affects the container integers — 8-bit RGB
+samples are single bytes, so the pixel buffer is byte-order-free.
 
 Correctness posture mirrors the other codecs: the multimodal qid
 synthesizes closed-form pixels, round-trips the actual bytes, and a
@@ -43,12 +46,19 @@ _TYPE_LONG = 4  # uint32
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
+# header order mark -> struct byte-order prefix
+_BYTE_ORDER = {b"II": "<", b"MM": ">"}
+
 
 def encode_tiff(
-    pixels: np.ndarray, rows_per_strip: int = 4, orientation: int | None = None
+    pixels: np.ndarray,
+    rows_per_strip: int = 4,
+    orientation: int | None = None,
+    byte_order: str = "II",
 ) -> bytes:
     """Encode an HxWx3 uint8 RGB array as an uncompressed baseline TIFF
-    (little-endian, chunky RGB, multiple strips).
+    (little-endian ``II`` by default, big-endian with ``byte_order="MM"``,
+    chunky RGB, multiple strips).
 
     ``orientation`` (TIFF tag 274, the EXIF-style value 1/3/6/8 cameras
     write) is stored as metadata only — pixel data stays in file order, as
@@ -57,6 +67,10 @@ def encode_tiff(
         raise ValueError(f"expected HxWx3 RGB array, got shape {pixels.shape}")
     if orientation is not None and orientation not in (1, 3, 6, 8):
         raise ValueError(f"unsupported TIFF orientation {orientation}")
+    order = byte_order.encode() if isinstance(byte_order, str) else bytes(byte_order)
+    bo = _BYTE_ORDER.get(order)
+    if bo is None:
+        raise ValueError(f"TIFF byte_order must be 'II' or 'MM', got {byte_order!r}")
     h, w = pixels.shape[:2]
     rps = max(1, min(rows_per_strip, h))
     n_strips = -(-h // rps)
@@ -77,7 +91,7 @@ def encode_tiff(
         """LONG-typed tag payload: inline when count==1, else appended."""
         if len(values) == 1:
             return values[0], None
-        return -1, struct.pack(f"<{len(values)}I", *values)
+        return -1, struct.pack(f"{bo}{len(values)}I", *values)
 
     off_val, off_blob = _arr_or_inline(strip_offsets)
     cnt_val, cnt_blob = _arr_or_inline(strip_bytes)
@@ -90,7 +104,13 @@ def encode_tiff(
     ifd_offset = pos
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-        return struct.pack("<HHII", tag, typ, count, value)
+        if typ == _TYPE_SHORT and count == 1:
+            # an inlined SHORT occupies the FIRST two bytes of the 4-byte
+            # value slot in file order — under MM that is the high half of
+            # the packed I, so a count-aware pack is required (under II the
+            # plain I pack happens to coincide)
+            return struct.pack(f"{bo}HHIHH", tag, typ, count, value, 0)
+        return struct.pack(f"{bo}HHII", tag, typ, count, value)
 
     # BitsPerSample needs a 3-element SHORT array -> stored after the IFD
     n_entries = 9 + (orientation is not None)
@@ -111,10 +131,10 @@ def encode_tiff(
         entry(_T_ROWS_PER_STRIP, _TYPE_LONG, 1, rps),
         entry(_T_STRIP_BYTES, _TYPE_LONG, len(strips), cnt_val),
     ]
-    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
-    bits = struct.pack("<3H", 8, 8, 8)
+    ifd = struct.pack(f"{bo}H", len(entries)) + b"".join(entries) + struct.pack(f"{bo}I", 0)
+    bits = struct.pack(f"{bo}3H", 8, 8, 8)
 
-    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_offset))
+    out = bytearray(struct.pack(f"{bo}2sHI", order, 42, ifd_offset))
     for s in strips:
         out += s
     if off_blob is not None:
@@ -125,9 +145,12 @@ def encode_tiff(
     return bytes(out)
 
 
-def _read_values(payload: bytes, typ: int, count: int, slot: bytes) -> list[int] | None:
+def _read_values(
+    payload: bytes, typ: int, count: int, slot: bytes, bo: str
+) -> list[int] | None:
     """Resolve a tag's values: inline in the 4-byte slot when they fit,
-    else at the offset the slot holds.
+    else at the offset the slot holds. ``bo`` is the file's struct
+    byte-order prefix (``"<"`` for II, ``">"`` for MM).
 
     Returns ``None`` for tag types the decoder cannot interpret as plain
     integers (BYTE/ASCII/RATIONAL/...). Real-world TIFFs routinely carry
@@ -141,15 +164,21 @@ def _read_values(payload: bytes, typ: int, count: int, slot: bytes) -> list[int]
     size = _TYPE_SIZE[typ]
     total = size * count
     if total <= 4:
-        return list(struct.unpack_from(f"<{count}{fmt}", slot, 0))
-    (offset,) = struct.unpack("<I", slot)
+        # inlined values fill the slot from its FIRST byte in file order,
+        # so unpacking from offset 0 is correct under both byte orders
+        return list(struct.unpack_from(f"{bo}{count}{fmt}", slot, 0))
+    (offset,) = struct.unpack(f"{bo}I", slot)
     if offset + total > len(payload):
         raise ValueError("truncated TIFF tag payload")
-    return list(struct.unpack_from(f"<{count}{fmt}", payload, offset))
+    return list(struct.unpack_from(f"{bo}{count}{fmt}", payload, offset))
 
 
 def decode_tiff(payload: bytes, return_meta: bool = False):
-    """Decode an uncompressed baseline RGB TIFF to an HxWx3 uint8 array.
+    """Decode an uncompressed baseline RGB TIFF — little-endian (II) or
+    big-endian (MM, r12) — to an HxWx3 uint8 array. The order mark in the
+    header selects the integer byte order for every container field (magic,
+    IFD offset, tag entries, strip tables); the 8-bit pixel bytes
+    themselves are order-free.
 
     With ``return_meta=True`` returns ``(pixels, meta)`` where ``meta``
     carries the payload-derived IFD facts a caller may want to audit —
@@ -158,24 +187,23 @@ def decode_tiff(payload: bytes, return_meta: bool = False):
     a closed form recomputed from the decoded shape."""
     if len(payload) < 8:
         raise ValueError("truncated TIFF header")
-    order, magic, ifd_offset = struct.unpack_from("<2sHI", payload, 0)
-    if order == b"MM":
-        # valid TIFF, unimplemented byte order: the stub contract
-        # (NotImplementedError), not a malformed-payload ValueError
-        raise NotImplementedError("big-endian (MM) TIFF decode not implemented; little-endian (II) only")
-    if order != b"II" or magic != 42:
-        raise ValueError("not a little-endian TIFF payload")
+    bo = _BYTE_ORDER.get(bytes(payload[:2]))
+    if bo is None:
+        raise ValueError("not a TIFF payload (no II/MM order mark)")
+    order, magic, ifd_offset = struct.unpack_from(f"{bo}2sHI", payload, 0)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic} (expected 42)")
     if ifd_offset + 2 > len(payload):
         raise ValueError("truncated TIFF IFD")
-    (n_entries,) = struct.unpack_from("<H", payload, ifd_offset)
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_offset)
     if ifd_offset + 2 + n_entries * 12 + 4 > len(payload):
         raise ValueError("truncated TIFF IFD")
     tags: dict[int, list[int]] = {}
     skipped_types: dict[int, int] = {}  # tag -> unhandled type (BYTE/ASCII/...)
     for i in range(n_entries):
         base = ifd_offset + 2 + i * 12
-        tag, typ, count = struct.unpack_from("<HHI", payload, base)
-        values = _read_values(payload, typ, count, payload[base + 8 : base + 12])
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, base)
+        values = _read_values(payload, typ, count, payload[base + 8 : base + 12], bo)
         if values is None:
             skipped_types[tag] = typ  # ignorable unless the tag is required
         else:
@@ -239,6 +267,7 @@ def decode_tiff(payload: bytes, return_meta: bool = False):
             "rows_per_strip": one(_T_ROWS_PER_STRIP, h),
             "n_tags": n_entries,
             "orientation": one(_T_ORIENTATION, 1),
+            "byte_order": order.decode(),
         }
         return pixels, meta
     return pixels

@@ -195,13 +195,14 @@ def _rotate_catalog() -> None:
     green = set(ledger.get("green", []))
     head = set(stale) | set(failed)
     unchecked = [q for q in CATALOG if q not in head and q not in green]
-    # r11 steering (VERDICT r10 task 1): within the unchecked segment,
-    # front-load the families with the most environment risk — 2.10
-    # streaming/time-series first, then 2.12 composite workloads — so the
-    # driver's ~50-qid window burns down those pools before the rest.
-    # Stable sort keeps layout order within each priority class.
+    # r12 steering (VERDICT r11 task 1): §2.10 streaming went to 100%
+    # driver-verified in r11, so the window now front-loads the two
+    # largest never-sampled pools — 2.12 composite workloads (48), then
+    # 2.9 llm-data (41) — so the driver's ~50-qid window burns down those
+    # pools before the rest. Stable sort keeps layout order within each
+    # priority class.
     unchecked.sort(
-        key=lambda q: 0 if CATALOG[q].family.startswith("2.10") else 1 if CATALOG[q].family.startswith("2.12") else 2
+        key=lambda q: 0 if CATALOG[q].family.startswith("2.12") else 1 if CATALOG[q].family.startswith("2.9") else 2
     )
     tail = [q for q in CATALOG if q in green and q not in head]
     ordered = {q: CATALOG[q] for q in stale + failed + unchecked + tail}

@@ -534,8 +534,10 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # groups and already satisfies applyInPandas' required
         # distribution, so no second shuffle is inserted. Width = session
         # parallelism (== 32 on local[32]), scaling with the cluster
-        # instead of pinning the census at 32 tasks at any size (r11).
-        .repartition(spark.sparkContext.defaultParallelism, "cell")
+        # instead of pinning the census at 32 tasks at any size (r11),
+        # floored at 8 so a local[1]/local[2] session doesn't funnel the
+        # pandas census into 1-2 tasks (r12 ADVICE).
+        .repartition(max(8, spark.sparkContext.defaultParallelism), "cell")
         .groupBy("cell")
         .applyInPandas(_cell_stats, "cell int, n_members long, n_near_pairs long")
         .orderBy("cell")

@@ -91,7 +91,13 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid in pdf["doc_id"].to_numpy(dtype=np.int64):
                 m = int(mid)
                 px = _image_pixels(m)
-                payload = encode_tiff(px, rows_per_strip=4)
+                # alternate the container byte order per doc (r12): the BE
+                # (MM) IFD walk decodes to the same stats the II file and
+                # the byte-blind oracle produce, so a byte-order slip in
+                # either direction mismatches the hash
+                payload = encode_tiff(
+                    px, rows_per_strip=4, byte_order="MM" if m % 2 else "II"
+                )
                 decoded, meta = decode_tiff(payload, return_meta=True)
                 out = decoded.astype(np.int64)
                 h, w = out.shape[:2]

@@ -321,8 +321,9 @@ def simsearch_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_block = (
         # explicit width = session parallelism (== 32 on local[32]): defeats
         # AQE coalescing the tiny block shuffle under the core count while
-        # scaling with the cluster instead of pinning 32 tasks at any size
-        base.repartition(spark.sparkContext.defaultParallelism, "label", "cell")
+        # scaling with the cluster instead of pinning 32 tasks at any size;
+        # floor of 8 keeps low-parallelism sessions off a 1-2-task funnel
+        base.repartition(max(8, spark.sparkContext.defaultParallelism), "label", "cell")
         .groupBy("label", "cell")
         .applyInPandas(
             _block_census, "label int, n_vectors long, n_directed long, n_mutual long"

@@ -641,10 +641,13 @@ def test_decode_dispatch_real_codecs_and_stubs():
     # TIFF is lossless: exact round-trip through the generic entry point
     tpx = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     assert (decode_image(encode_tiff(tpx)) == tpx).all()
-    # a valid-magic BIG-endian TIFF is the documented LE-only stub boundary:
-    # NotImplementedError (the stub contract), not a malformed-payload error
-    with _pytest.raises(NotImplementedError, match="big-endian"):
-        decode_image(b"MM\x00\x2a" + bytes(8))
+    # r12: big-endian (MM) TIFF decodes for real through the generic entry
+    # point, and resize re-encodes in the INPUT's byte order
+    be = encode_tiff(tpx, byte_order="MM")
+    assert (decode_image(be) == tpx).all()
+    be_small = resize_image(be, 2, 2)
+    assert be_small[:2] == b"MM"
+    assert (decode_image(be_small) == tpx[[0, 2]][:, [0, 2]]).all()
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\x49\x44\x33 mp3-ish")
     # r11: resize is REAL for every format with an in-repo encoder —

@@ -401,11 +401,13 @@ class TestTiffCodec:
             w=st.integers(1, 30),
             rps=st.integers(1, 25),
             seed=st.integers(0, 2**31 - 1),
+            order=st.sampled_from(["II", "MM"]),
         )
-        def check(h, w, rps, seed):
+        def check(h, w, rps, seed, order):
             rng = np.random.default_rng(seed)
             px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
-            assert (decode_tiff(encode_tiff(px, rows_per_strip=rps)) == px).all()
+            enc = encode_tiff(px, rows_per_strip=rps, byte_order=order)
+            assert (decode_tiff(enc) == px).all()
 
         check()
 
@@ -425,17 +427,49 @@ class TestTiffCodec:
             encode_tiff,
         )
 
-        # r11 (ADVICE): MM is a VALID TIFF byte order the LE-only decoder
-        # doesn't implement — stub contract, not a corrupt-payload error
-        with pytest.raises(NotImplementedError, match="big-endian"):
+        # r12: MM is decoded for real now — a truncated MM payload is a
+        # corrupt-payload error like its II twin, not a stub boundary
+        with pytest.raises(ValueError):
             decode_tiff(b"MM\x00\x2a" + bytes(8))
-        with pytest.raises(ValueError, match="little-endian TIFF"):
+        with pytest.raises(ValueError, match="no II/MM order mark"):
             decode_tiff(b"XX\x00\x2a" + bytes(8))  # garbage byte order
+        with pytest.raises(ValueError, match="bad TIFF magic"):
+            decode_tiff(b"MM\x2a\x00" + bytes(8))  # LE magic under a BE mark
         good = encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8))
         with pytest.raises(ValueError):
             decode_tiff(good[:20])  # truncated before IFD
         with pytest.raises(ValueError):
             decode_tiff(good[:6])  # truncated header
+
+    def test_big_endian_roundtrip_and_cross_order_equality(self):
+        # r12: the IFD walk is byte-order generic — an MM encode of the
+        # same pixels decodes identically to the II encode, multi-strip
+        # included, and the two files differ ONLY in container integers
+        # (same length, same pixel bytes)
+        import numpy as np
+
+        from hdc_dataengineering_sqlsync_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+        le = encode_tiff(px, rows_per_strip=3)
+        be = encode_tiff(px, rows_per_strip=3, byte_order="MM")
+        assert le[:2] == b"II" and be[:2] == b"MM"
+        assert len(le) == len(be)
+        assert (decode_tiff(be) == px).all()
+        assert (decode_tiff(le) == decode_tiff(be)).all()
+        _, meta = decode_tiff(be, return_meta=True)
+        assert meta["byte_order"] == "MM" and meta["n_strips"] == 3
+        # orientation rides an inlined SHORT slot — the left-justified
+        # placement is the MM-specific hazard, so pin it explicitly
+        _, m2 = decode_tiff(
+            encode_tiff(px, rows_per_strip=7, orientation=6, byte_order="MM"),
+            return_meta=True,
+        )
+        assert m2["orientation"] == 6
 
 
 class TestCodecEdgePaths:
