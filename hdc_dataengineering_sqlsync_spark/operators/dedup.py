@@ -88,7 +88,6 @@ def jaccard_pairs(
     tok = _capped_tokens(docs, id_col, text_col, blocks, max_df)
     if max_df is not None:
         tok = tok.localCheckpoint(eager=True)
-    if max_df is not None:
         sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = docs.select(F.col(id_col), F.size(distinct_tokens(F.col(text_col))).alias("sz"))
@@ -223,12 +222,22 @@ def shingle_jaccard_pairs(
     survives iff its LOWER id is sampled.
     """
     # sh feeds both join sides and the size census — materialize the shingle
-    # table once (same recompute fix as jaccard_pairs above, r10 plan audit)
+    # table once (same recompute fix as jaccard_pairs above, r10 plan audit).
+    # r12: persist(MEMORY_AND_DISK)+count, NOT localCheckpoint — the shingle
+    # table is larger than the fact table (k words per token position), and
+    # a checkpoint of it would truncate lineage: on a real cluster an
+    # executor loss after the checkpoint kills the query, while a persisted
+    # frame just recomputes the lost partitions from the parquet scan. The
+    # count() materializes the cache up front so all three consumers
+    # (size census + both join sides) share one pass over the explode.
+    from pyspark.storagelevel import StorageLevel
+
     sh = _spread(docs).select(
         F.col(id_col),
         F.col(block_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k=k_shingle))).alias("shingle"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_left = sh if left_ids is None else sh.join(F.broadcast(left_ids), id_col, "left_semi")
     a = sh_left.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk_a"), "shingle")

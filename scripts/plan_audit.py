@@ -77,11 +77,31 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+# Adjudicated growth (the SCALE.md escape hatch the r11 gate doc promised):
+# {qid: {counter: ceiling}} — growth up to the ceiling passes the diff, with
+# the reason recorded HERE and in SCALE.md. Each entry must name the round
+# that accepted it. Anything beyond the ceiling still fails.
+ACCEPTED_GROWTH: dict[str, dict[str, int]] = {
+    # r12: shingle_jaccard_pairs switched its uncapped shingle table from
+    # localCheckpoint (lineage-truncating, not fault-tolerant) to
+    # persist(MEMORY_AND_DISK)+count. The checkpoint had removed the
+    # documents scan from the printed plan entirely (0 scans); the persist
+    # keeps lineage, so the ONE scan inside the InMemoryRelation subtree is
+    # visible again. Execution still reads the parquet once (cache hit on
+    # all three consumers) — the counter growth is a printing artifact of
+    # the safer materialization, not a recompute. SCALE.md round-12.
+    "dedup_shingle_jaccard": {"same_table_max": 1},
+    "dedup_recall_eval": {"same_table_max": 1},
+}
+
+
 def diff_audits(old: dict, new: dict) -> list[str]:
     """Regressions in ``new`` vs the accepted baseline ``old``: any growth in
     the gated counters (same_table_max, bnlj, cartesian) per qid, any qid
     arriving already flagged, and any audit error. Shrinkage and exchange
-    drift are benign. Returns one human-readable line per regression."""
+    drift are benign; growth listed in ``ACCEPTED_GROWTH`` (adjudicated in
+    SCALE.md) passes up to its ceiling. Returns one human-readable line per
+    regression."""
     bad: list[str] = []
     old_q, new_q = old["per_qid"], new["per_qid"]
     for qid, row in sorted(new_q.items()):
@@ -92,6 +112,8 @@ def diff_audits(old: dict, new: dict) -> list[str]:
             continue
         for key in ("same_table_max", "bnlj", "cartesian"):
             if row[key] > base[key]:
+                if row[key] <= ACCEPTED_GROWTH.get(qid, {}).get(key, -1):
+                    continue  # adjudicated (see ACCEPTED_GROWTH + SCALE.md)
                 bad.append(f"{qid}: {key} grew {base[key]} -> {row[key]} (tables={row['tables']})")
     for qid, err in sorted(new.get("errors", {}).items()):
         bad.append(f"{qid}: audit error {err}")

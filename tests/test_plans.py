@@ -1281,10 +1281,16 @@ def test_committed_plan_audits_do_not_regress():
     import glob
     import json
     import os
+    import re
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    audits = sorted(glob.glob(os.path.join(repo, "PLAN_AUDIT_r*.json")))
+    # sort by round NUMBER, not lexicographically — "_r100" < "_r11" as a
+    # string, which would silently invert the diff direction past r99
+    audits = sorted(
+        glob.glob(os.path.join(repo, "PLAN_AUDIT_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
     if len(audits) < 2:
         pytest.skip("fewer than two committed plan audits")
     sys.path.insert(0, os.path.join(repo, "scripts"))
@@ -1296,3 +1302,28 @@ def test_committed_plan_audits_do_not_regress():
         new = json.load(f)
     bad = diff_audits(old, new)
     assert not bad, "plan-audit regressions vs previous round:\n" + "\n".join(bad)
+
+
+def test_plan_audit_accepted_growth_is_bounded():
+    """The r12 adjudication mechanism: growth listed in ACCEPTED_GROWTH
+    passes the diff gate only up to its recorded ceiling — one count past
+    the ceiling, or growth on an unlisted qid, still fails. No Spark."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from plan_audit import ACCEPTED_GROWTH, diff_audits
+
+    def row(stm):
+        return {"same_table_max": stm, "bnlj": 0, "cartesian": 0, "tables": {}}
+
+    accepted_qid = next(iter(ACCEPTED_GROWTH))
+    ceiling = ACCEPTED_GROWTH[accepted_qid]["same_table_max"]
+    old = {"per_qid": {accepted_qid: row(0), "other_qid": row(0)}}
+    # growth at the ceiling on the adjudicated qid: clean
+    assert diff_audits(old, {"per_qid": {accepted_qid: row(ceiling)}}) == []
+    # one past the ceiling: fails
+    assert diff_audits(old, {"per_qid": {accepted_qid: row(ceiling + 1)}})
+    # same growth on a non-adjudicated qid: fails
+    assert diff_audits(old, {"per_qid": {"other_qid": row(ceiling)}})
