@@ -122,6 +122,9 @@ PROBE_SET: dict[str, str] = {
     "sync_schema_evolution_apply": "volume",  # diff join + checkpointed changeset
     "sync_range_join_bin_plan": "volume",  # interval census -> checkpointed percentile
     "dedup_near_jaccard": "docs",        # df-capped blocked pair pass (shared operator)
+    # round-12 additions (VERDICT r11 #2): never-x100-probed heavy shapes
+    "simsearch_pq_adc": "docs",          # PQ codebook train + ADC scan over Nx vectors
+    "sync_zorder_layout": "volume",      # z-order interleave + range layout over Nx rows
 }
 
 TABLES = [
@@ -211,7 +214,7 @@ def build_replica(spark, mode: str, factor: int, out_dir: str) -> None:
 
 
 def main() -> int:
-    rnd, factor, runs, only, tag = 0, 10, 1, None, ""
+    rnd, factor, runs, only, tag, sink = 0, 10, 1, None, "", "collect"
     for a in sys.argv[1:]:
         if a.startswith("--round="):
             rnd = int(a.split("=")[1])
@@ -223,6 +226,17 @@ def main() -> int:
             only = set(a.split("=")[1].split(","))
         elif a.startswith("--tag="):
             tag = "_" + a.split("=")[1]
+        elif a.startswith("--sink="):
+            # collect: the driver-contract shape (but for fact-sized outputs
+            #   the x100 wall measures the DRIVER collect, not the engine —
+            #   the r11 win_range_frame arbitration).
+            # noop: write.format("noop") — computes every output column
+            #   distributed, materializes nothing on the driver; unlike
+            #   count(), column pruning cannot elide window/UDF work whose
+            #   output is part of the result. The engine-cost yardstick.
+            sink = a.split("=")[1]
+            if sink not in ("collect", "noop"):
+                sys.exit(f"--sink must be collect or noop, got {sink}")
         else:
             sys.exit(f"unknown arg {a}")
 
@@ -249,7 +263,11 @@ def main() -> int:
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            if sink == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         return round(best, 3)
@@ -279,7 +297,13 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    payload = {"factor": factor, "base_sf_dir": BASE_SF, "runs": runs, "queries": out}
+    payload = {
+        "factor": factor,
+        "base_sf_dir": BASE_SF,
+        "runs": runs,
+        "sink": sink,
+        "queries": out,
+    }
     path = os.path.join(REPO, f"STRESS_r{rnd:02d}{tag}.json" if rnd else f"STRESS{tag}.json")
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
