@@ -508,21 +508,45 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Intra-cell pair census via applyInPandas: the pair ROWS never
     # materialize (the r5 self-join shipped |cell|²/2 pairs × two 64-long
     # arrays each through the shuffle and an interpreted HOF dot per pair);
-    # here each cell group arrives once as one Arrow batch and the pair
-    # scan is a single n×n int64 matmul + upper-triangle count in numpy.
-    # Per-cell work is bounded by the data-driven K holding cells at
-    # ~_SEM_TARGET_CELL members, so a group is a ~128×64 matrix — a
-    # microsecond-scale matmul — and only (cell, 2 counters) leaves Python.
+    # each cell group arrives once as one Arrow batch and the pair scan is
+    # int64 matmul work in numpy; only (cell, 2 counters) leaves Python.
+    # r12 (the factor-100 probe's giant-cell wall): the census first
+    # COLLAPSES exact-duplicate vectors (multiplicity-weighted counting —
+    # a duplicate clique of m copies contributes C(m,2) self-pairs and
+    # multiplies cross-pair counts, all exact), so quadratic work scales
+    # with the cell's DISTINCT vectors, not raw members — at real corpus
+    # scale exact-dup embeddings are guaranteed (duplicate docs), and the
+    # pre-fix single n×n matmul on a 28.9k-member duplicate-heavy cell ran
+    # unbounded (probe killed at 25+ min; post-fix the same cell is a 289²
+    # matmul). The distinct-pair matmul is additionally TILED so the dots
+    # allocation stays bounded regardless of cell width. Residual trade,
+    # documented: cost is still quadratic in a cell's distinct members —
+    # the closed-form (untrained) codebook is what DuckDB can replay, and
+    # it leaves hot cells at data-density peaks; the 100 TB path swaps in
+    # a TRAINED coarse quantizer (simsearch_kmeans_train's machinery) whose
+    # cells track density, at the cost of a non-SQL-expressible oracle.
     def _cell_stats(pdf):
-        pdf = pdf.sort_values("vec_id")
         qm = np.array(pdf["q"].tolist(), dtype=np.int64)
-        dots = qm @ qm.T
-        iu = np.triu_indices(len(pdf), k=1)
+        uniq, mult = np.unique(qm, axis=0, return_counts=True)
+        thr = 150000
+        # duplicate-group self-pairs: C(m,2) pairs, each at dot = |v|²
+        self_dot = (uniq * uniq).sum(axis=1)
+        near = int((mult * (mult - 1) // 2)[self_dot >= thr].sum())
+        # cross-group pairs, multiplicity-weighted, tile-bounded
+        tile = 4096
+        g = len(uniq)
+        for i0 in range(0, g, tile):
+            a, ma = uniq[i0 : i0 + tile], mult[i0 : i0 + tile]
+            for j0 in range(i0, g, tile):
+                hit = (a @ uniq[j0 : j0 + tile].T) >= thr
+                if j0 == i0:
+                    hit = np.triu(hit, k=1)
+                near += int((np.outer(ma, mult[j0 : j0 + tile]) * hit).sum())
         return pd.DataFrame(
             {
                 "cell": [int(pdf["cell"].iloc[0])],
                 "n_members": [int(pdf["vec_id"].nunique())],
-                "n_near_pairs": [int((dots[iu] >= 150000).sum())],
+                "n_near_pairs": [near],
             }
         )
 
