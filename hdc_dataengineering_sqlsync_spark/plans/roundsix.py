@@ -11,11 +11,11 @@ the oracle round-trip exercises every unfilter branch.
 `text_token_count_bpe` closes the token-accounting gap: all prior token
 counts are whitespace tokens, while LLM pipelines budget in SUBWORD tokens.
 A fixed merges-table BPE (HuggingFace-style apply: repeatedly merge the
-lowest-rank adjacent pair, first occurrence, until none applies) runs as a
-compile-time-unrolled chain of engine expressions — Spark higher-order
-functions on one side, DuckDB list lambdas on the other — over the DISTINCT
-word vocabulary only, then broadcast-joins token counts back onto per-lang
-word counts. No per-row Python anywhere.
+lowest-rank adjacent pair, first occurrence, until none applies) runs over
+the DISTINCT word vocabulary only — since r12 as one Arrow-batched
+mapInPandas of the unit-tested reference apply (the DuckDB oracle keeps its
+unrolled list-lambda CTE chain) — then broadcast-joins token counts back
+onto per-lang word counts.
 """
 
 from __future__ import annotations
@@ -210,21 +210,96 @@ def bpe_tokenize_reference(word: str) -> list[str]:
         t = t[:i] + [t[i] + t[i + 1]] + t[i + 2 :]
 
 
-def bpe_tokens_spark(vocab: DataFrame, word_col: str = "word") -> DataFrame:
-    """word → BPE token array, compile-time-unrolled Spark expressions.
+def _bpe_depth_error(max_len: int) -> ValueError:
+    return ValueError(
+        f"vocabulary has a {max_len}-char word; {_BPE_STEPS} unrolled BPE "
+        f"steps cannot reach its merge fixpoint — raise _BPE_STEPS to "
+        f">= {max_len - 1} (both the Spark apply and the oracle CTE "
+        "chain derive from it)"
+    )
 
-    Each merge step materializes ranks / best / index / next-tokens as
-    separate projection columns: the rank transform is referenced several
-    times downstream, and CollapseProject keeps non-cheap multiply-
-    referenced aliases in their own projection, so the expression tree
-    stays linear in _BPE_STEPS instead of exponentiating. All ops are
-    builtin HOFs — zero Python in the per-word path."""
+
+def bpe_tokens_spark(
+    vocab: DataFrame, word_col: str = "word", check: str = "eager"
+) -> DataFrame:
+    """word → BPE token array, Arrow-batched reference apply.
+
+    r12 (optimization round): the merge apply runs `bpe_tokenize_reference`
+    (the unit-test ground truth) inside ONE mapInPandas over the distinct
+    vocabulary, replacing the compile-time-unrolled HOF expression chain.
+    The unrolled form was semantically identical (pinned by
+    test_bpe_spark_matches_reference) but its _BPE_STEPS × 40-branch CASE
+    expression tree cost more in single-threaded Catalyst analysis than the
+    vocab-grain execution itself (guide §7.3: planning is driver-side,
+    single-process work — it does not shrink on a bigger cluster). The
+    ranks dict is built once per task (guide §4.5); vocab rows are tiny, so
+    the Python boundary carries |vocab| short strings.
+
+    Fixpoint guard: a word of L chars needs at most L-1 merges and the
+    ORACLE's unroll depth is static, so a vocabulary the depth cannot cover
+    is refused loudly rather than silently under-merged. ``check``:
+
+    - ``"eager"`` (default): probe max word length with a driver action
+      before returning — raises at build time (the unit-tested contract).
+    - ``"task"``: enforce the same bound inside the Python workers while
+      the query runs — no extra driver job, for callers whose vocabulary
+      subtree is itself an expensive corpus reduction (the catalog query:
+      the eager probe re-ran the whole tokenize+distinct per call).
+
+    Under the guard the reference fixpoint apply and an 8-step unroll are
+    the same function: fixpoint is reached within L-1 <= _BPE_STEPS merges.
+    """
+    if check not in ("eager", "task"):
+        raise ValueError(f"check must be 'eager' or 'task', got {check!r}")
+    if check == "eager":
+        max_len = vocab.agg(F.max(F.length(word_col)).alias("m")).collect()[0]["m"] or 0
+        if max_len - 1 > _BPE_STEPS:
+            raise _bpe_depth_error(max_len)
+
+    steps = _BPE_STEPS
+    out_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("bpe_tokens", T.ArrayType(T.StringType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = {p: i for i, p in enumerate(_BPE_MERGES)}  # once per task
+
+        def apply(word: str) -> list[str]:
+            t = list(word)
+            while True:
+                cand = [
+                    (ranks[(t[i], t[i + 1])], i)
+                    for i in range(len(t) - 1)
+                    if (t[i], t[i + 1]) in ranks
+                ]
+                if not cand:
+                    return t
+                _, i = min(cand)
+                t = t[:i] + [t[i] + t[i + 1]] + t[i + 2 :]
+
+        for pdf in batches:
+            words = pdf[word_col]
+            max_len = int(words.str.len().max()) if len(words) else 0
+            if max_len - 1 > steps:
+                raise _bpe_depth_error(max_len)
+            yield pd.DataFrame({"word": words, "bpe_tokens": [apply(w) for w in words]})
+
+    return vocab.mapInPandas(gen, schema=out_schema)
+
+
+def _bpe_tokens_spark_unrolled(vocab: DataFrame, word_col: str = "word") -> DataFrame:
+    """The pre-r12 compile-time-unrolled HOF form, kept for the equivalence
+    test (test_bpe_spark_matches_reference pins both forms to the
+    reference): each merge step materializes ranks / best / index /
+    next-tokens as separate projection columns so the expression tree stays
+    linear in _BPE_STEPS. Not used by the catalog — its per-run Catalyst
+    analysis cost is what the mapInPandas form removes."""
     rank_expr = _bpe_rank_case(
         "concat(element_at(t,cast(j as int)),'|',element_at(t,cast(j+1 as int)))"
     )
-    # fixpoint guard: a word of L chars needs at most L-1 merges, and the
-    # unroll depth is static on BOTH engines — refuse a vocabulary the
-    # depth cannot cover rather than silently under-merging
     max_len = vocab.agg(F.max(F.length(word_col)).alias("m")).collect()[0]["m"] or 0
     if max_len - 1 > _BPE_STEPS:
         raise ValueError(
@@ -303,8 +378,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unit real LLM pipelines budget in, closing the gap between the
     whitespace counts (text_token_count) and BPE-token budgets
     (pack_token_budget). HuggingFace-style apply (lowest-rank adjacent
-    pair, first occurrence, to fixpoint) runs as compile-time-unrolled
-    builtin HOF expressions — and ONLY over the DISTINCT word vocabulary,
+    pair, first occurrence, to fixpoint) runs as one Arrow-batched
+    mapInPandas — and ONLY over the DISTINCT word vocabulary,
     which is the scale trick: a 100 TB corpus has a vocabulary orders of
     magnitude smaller than its token stream (Heaps' law), so the merge
     machinery touches |vocab| rows while the corpus itself is reduced by
@@ -317,9 +392,21 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     ).where(F.col("word") != "")
-    wc = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    # wc feeds BOTH the vocab subtree (under the broadcast) and the final
+    # join's probe side; without materialization the corpus explode+agg
+    # runs twice per query. wc is a (lang, word)-grain reduction — bounded
+    # by vocabulary size, not corpus size — so checkpointing it is the
+    # "checkpoint reductions, never fact-sized frames" pattern (r12)
+    wc = (
+        words.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     vocab = wc.select("word").distinct()
-    ntok = bpe_tokens_spark(vocab).select(
+    # check="task": the eager fixpoint guard would re-run the whole
+    # tokenize+distinct subtree as a separate driver job per call; the
+    # task-side guard enforces the same bound with zero extra passes (r12)
+    ntok = bpe_tokens_spark(vocab, check="task").select(
         "word", F.size("bpe_tokens").alias("n_tokens")
     )
     return (

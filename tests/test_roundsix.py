@@ -196,6 +196,49 @@ def test_bpe_spark_matches_reference(spark):
         assert got[w] == bpe_tokenize_reference(w), w
 
 
+def test_bpe_spark_task_check_matches_eager(spark):
+    """check='task' (the catalog query's no-extra-job mode, r12) tokenizes
+    identically to the default eager mode on every fixture + edge word."""
+    words = sorted(set(_FIXTURE_VOCAB + _EDGE_WORDS))
+    vocab = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["bpe_tokens"])
+        for r in bpe_tokens_spark(vocab, check="task").collect()
+    }
+    for w in words:
+        assert got[w] == bpe_tokenize_reference(w), w
+
+
+def test_bpe_unrolled_form_matches_reference(spark):
+    """The retired compile-time-unrolled HOF form (pre-r12 catalog path)
+    stays pinned to the reference — the equivalence witness for the r12
+    mapInPandas swap."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundsix import (
+        _bpe_tokens_spark_unrolled,
+    )
+
+    words = sorted(set(_FIXTURE_VOCAB + _EDGE_WORDS))
+    vocab = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["bpe_tokens"])
+        for r in _bpe_tokens_spark_unrolled(vocab).collect()
+    }
+    for w in words:
+        assert got[w] == bpe_tokenize_reference(w), w
+
+
+def test_bpe_task_check_rejects_long_word_at_execution(spark):
+    """check='task' enforces the same fixpoint-depth bound as eager, just
+    at execution time inside the worker (fail-loud contract preserved)."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundsix import _BPE_STEPS
+
+    too_long = "er" * (_BPE_STEPS // 2 + 5)
+    vocab = spark.createDataFrame([(too_long,)], "word string")
+    df = bpe_tokens_spark(vocab, check="task")  # no raise at build time
+    with pytest.raises(Exception, match="unrolled BPE"):
+        df.collect()
+
+
 def test_bpe_duckdb_oracle_matches_reference(oracle, sf_dir):
     """The oracle's unrolled CTE chain tokenizes the live fixture vocab
     identically to the reference (token-level, not just counts)."""
