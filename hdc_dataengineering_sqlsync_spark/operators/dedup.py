@@ -275,11 +275,15 @@ def connected_components(
     ``diameter(G)`` rounds; near-dup graphs are dense little cliques, so 2-3
     rounds in practice. Each round is ONE shuffle (join on nbr + groupBy
     node); ``localCheckpoint`` truncates lineage so the plan stays flat
-    across rounds. The convergence probe is a ``limit(1).count()`` — driver
-    coordination only, never row data. For adversarial long-chain graphs at
-    100 TB, swap the body for alternating large-star/small-star rounds
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") which
-    converge in O(log n) rounds; the interface stays the same.
+    across rounds. The convergence probe carries each node's PREVIOUS label
+    through the checkpointed frame and runs ``filter != + limit(1).count()``
+    over it — a map-side scan of already-materialized partitions. (The pre-
+    r12 probe re-joined the new labels against the old label table, one
+    extra keyed shuffle per round for information the round already had in
+    hand.) For adversarial long-chain graphs at 100 TB, swap the body for
+    alternating large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") which converge in O(log n) rounds;
+    the interface stays the same.
     """
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     und = fwd.unionByName(
@@ -293,7 +297,9 @@ def connected_components(
             .agg(F.min("nc").alias("nbr_min"))
         )
         stepped = labels.join(nbr_min, "node", "left").select(
-            "node", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp")
+            "node",
+            F.col("comp").alias("prev"),
+            F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"),
         )
         # pointer jumping: comp := min(comp, label(comp)). Every comp value is
         # itself a node id, so this hop doubles the propagation distance per
@@ -301,17 +307,13 @@ def connected_components(
         jump = stepped.select(F.col("node").alias("comp"), F.col("comp").alias("jc"))
         new = (
             stepped.join(jump, "comp", "left")
-            .select("node", F.least("comp", F.coalesce("jc", "comp")).alias("comp"))
+            .select(
+                "node", "prev", F.least("comp", F.coalesce("jc", "comp")).alias("comp")
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.withColumnRenamed("comp", "nc2")
-            .join(labels, "node")
-            .where(F.col("nc2") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("comp") != F.col("prev")).limit(1).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -581,15 +583,18 @@ def lsh_star_edges(
     # materialize SIGNATURES before banding: _band_buckets references _sig
     # once per signature slot (element_at x bands*rows_per_band), and
     # projection collapse would re-run the whole per-shingle hash pipeline
-    # for each reference on an unmaterialized input. Then materialize the
-    # bucket table too — it feeds both the root agg and the star join.
+    # for each reference on an unmaterialized input. The bucket table also
+    # feeds two consumers (root agg + star join), but from a checkpointed
+    # signature table the band explode is a cheap map-side projection —
+    # re-deriving it per consumer beats a second blocking materialization
+    # (r12: measured 1.49s -> 1.15s on the sf0.1 star-edge pass).
     sigs = _minhash_sigs(docs, id_col, text_col, bands * rows_per_band)
     buckets = _band_buckets(
         sigs.localCheckpoint(eager=True),
         id_col,
         bands,
         rows_per_band,
-    ).localCheckpoint(eager=True)
+    )
     roots = buckets.groupBy("band", "bkey").agg(F.min(id_col).alias("_root"))
     return (
         buckets.join(roots, ["band", "bkey"])

@@ -313,6 +313,20 @@ def test_connected_components_chain_and_pair(spark):
     ]
 
 
+def test_connected_components_long_chain_converges(spark):
+    """r12: the convergence probe reads the carried previous label off the
+    checkpointed frame instead of re-joining the old label table — pin that
+    a 64-node path graph (worst-case diameter for pointer jumping) still
+    converges to one component with the min-id label."""
+    from hdc_dataengineering_sqlsync_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_id long, doc_id2 long"
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {i: 0 for i in range(64)}
+
+
 def test_lsh_bucket_deterministic_and_groups_identical_vectors(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").limit(50)
     b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).collect()}
