@@ -108,16 +108,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge list is localCheckpoint'ed once so the 3 iterations re-read a
     materialized edge partition, not the 2-table derivation; at 100 TB the
     same plan holds with edges bucketed by src (iterations then shuffle
-    only the #nodes-sized rank table, never the edge list)."""
+    only the #nodes-sized rank table, never the edge list).
+
+    Iteration join strategy (r12): the rank table is node-sized while the
+    probe side is the checkpointed edge list, whose hash partitioning is
+    invisible through the RDD scan — so the planner staged a sort-merge
+    join and AQE's later broadcast conversion left a dead Exchange of the
+    full edge table per iteration (plan-verified: 2 distinct 36 MiB edge
+    shuffles + 1 reuse at sf0.1). When the node table provably fits a
+    broadcast (row count from parquet footer metadata, no job), hint it
+    explicitly so no iteration ever shuffles the edge list; beyond that
+    size the hint is withheld and the sort-merge path stands — the hint is
+    data-sized, never unconditional (guide §3.1)."""
+    from hdc_dataengineering_sqlsync_spark.registry import rowcount
+
     edges = _cs_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # ONE materialization: the (src, dst, outdeg) working set the 3
     # iterations re-read (deg is node-sized -> AQE broadcasts the join)
     ed = edges.join(deg, "src").select("src", "dst", "outdeg").localCheckpoint()
+    # upper bound on node count: every node id packs a customer or supplier
+    # key, so the dimension row counts bound the rank table. 16 bytes/row
+    # framed; 200 MB broadcast budget -> ~12M nodes.
+    n_nodes_max = rowcount(sf_dir, "customer") + rowcount(sf_dir, "supplier")
+    hint = F.broadcast if n_nodes_max <= 12_000_000 else (lambda df: df)
     ranks = ed.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank")).distinct()
     for _ in range(3):
         ranks = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(hint(ranks), ed.src == ranks.node)
             .select("dst", F.expr("rank div outdeg").alias("contrib"))
             .groupBy("dst")
             .agg((F.lit(150000) + F.expr("(85 * sum(contrib)) div 100")).cast("long").alias("rank"))
