@@ -21,7 +21,35 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Query", "CATALOG", "query", "duck_md5_int"]
+__all__ = ["Query", "CATALOG", "query", "duck_md5_int", "sort_reduction"]
+
+
+def sort_reduction(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally sort a per-key REDUCTION that sits on top of an opaque
+    Python stage (the mapInPandas codec/feature chains).
+
+    A bare ``orderBy`` range-partitions its input, and the RangePartitioner
+    first runs a SAMPLING job over the child — which, when the child is an
+    opaque Python subtree, re-executes the whole encode/decode chain a
+    second time per action (r12: measured 0.94s -> 0.61s on
+    multimodal_decode_image at sf0.1 from this alone). Lazily
+    localCheckpoint the reduction so the sampling pass and the exchange
+    both read materialized partitions instead of re-running Python.
+
+    Only for reductions (media-grain stat rows, bounded by item count) —
+    never fact-sized frames (the r10 checkpoint rule); on executor loss the
+    truncated lineage costs a query retry, the documented trade for
+    reductions.
+
+    The checkpoint swaps the logical plan for an RDD scan, so the computed
+    subtree (scan pruning, the MapInPandas codec stage) disappears from the
+    declared DataFrame's explain output; the pre-checkpoint child is stashed
+    on the result as ``_sort_reduction_child`` so plan tests and audits can
+    still introspect the real shape (same caveat class PLANS.md documents
+    for eager-checkpointed reductions)."""
+    out = df.localCheckpoint(eager=False).orderBy(*cols)
+    out._sort_reduction_child = df
+    return out
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
 

@@ -14,7 +14,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 
@@ -661,7 +661,7 @@ def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cut_diff", T.DoubleType()),
         ]
     )
-    return media.mapInPandas(detect, schema=out_schema).orderBy("media_id")
+    return sort_reduction(media.mapInPandas(detect, schema=out_schema), "media_id")
 
 
 # --------------------------------------------------------- 2.9 llm-data
@@ -970,7 +970,7 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(patchify, schema=schema).orderBy("media_id")
+    return sort_reduction(media.mapInPandas(patchify, schema=schema), "media_id")
 
 
 # --------------------------------------- 2.9 audio energy segmentation
@@ -1070,4 +1070,4 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(segment, schema=schema).orderBy("media_id")
+    return sort_reduction(media.mapInPandas(segment, schema=schema), "media_id")

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # m % 5 == 0 keeps the media subset aligned across scale factors and pins
@@ -250,14 +250,14 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, so the whole codec round-trip is value-checked."""
     docs = load(spark, sf_dir, "documents").where(_SUBSET)
     stats = _decode_image_stats(_synth_images(docs))
-    return stats.select(
+    return sort_reduction(stats.select(
         "media_id",
         "w",
         "h",
         F.round("r_mean", 4).alias("r_mean"),
         F.round("g_mean", 4).alias("g_mean"),
         F.round("b_mean", 4).alias("b_mean"),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def _synth_audio(docs: DataFrame) -> DataFrame:
@@ -318,13 +318,13 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_SUBSET)
     stats = _synth_audio(docs).mapInPandas(dec, schema=_AUDIO_STATS_SCHEMA)
-    return stats.select(
+    return sort_reduction(stats.select(
         "media_id",
         "sample_rate",
         "n_samples",
         F.round("mean_sample", 4).alias("mean_sample"),
         "peak",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 _RESIZE_ORACLE = f"""
@@ -374,6 +374,6 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_SUBSET)
     stats = _synth_images(docs).mapInPandas(resize_then_stats, schema=schema)
-    return stats.select(
+    return sort_reduction(stats.select(
         "media_id", "w2", "h2", F.round("r_mean", 4).alias("r_mean")
-    ).orderBy("media_id")
+    ), "media_id")

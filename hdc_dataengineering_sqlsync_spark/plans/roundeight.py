@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # 16 gray levels, all in the safe residue class (k mod 8 != 4, see module
@@ -140,11 +140,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan is already wide and this repartition of bare ids is noise)
     ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
     stats = ids.mapInPandas(run, schema=_JPEG_STATS_SCHEMA)
-    return stats.select(
+    return sort_reduction(stats.select(
         "media_id",
         "w",
         "h",
         F.round("r_mean", 4).alias("r_mean"),
         F.round("g_mean", 4).alias("g_mean"),
         F.round("b_mean", 4).alias("b_mean"),
-    ).orderBy("media_id")
+    ), "media_id")

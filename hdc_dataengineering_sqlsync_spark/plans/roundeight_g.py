@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.plans.graphs import (
     _CS_EDGES_SQL,
     _NODE_RENDER_SQL,
@@ -119,7 +119,7 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_TIFF_SUBSET)
     ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
-    return ids.mapInPandas(run, schema=_TIFF_STATS_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_TIFF_STATS_SCHEMA), "media_id")
 
 
 # --------------- 2.7 scalar functions: VARIANT schema introspection

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.plans.mediacodec import _image_pixels
 from hdc_dataengineering_sqlsync_spark.registry import load
 
@@ -132,7 +132,7 @@ def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_ANIM_SUBSET)
     ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
-    return ids.mapInPandas(run, schema=_ANIM_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_ANIM_SCHEMA), "media_id")
 
 
 # ------- 2.9 llm-data: orientation-aware TIFF decode (EXIF-style tag 274)
@@ -230,7 +230,7 @@ def multimodal_tiff_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_ORI_SUBSET)
     ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
-    return ids.mapInPandas(run, schema=_ORI_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_ORI_SCHEMA), "media_id")
 
 
 # --------------- 2.10 time series: year-anchored VWAP in integer cents

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.plans.graphs import _CS_EDGES_SQL, _cs_edges
 from hdc_dataengineering_sqlsync_spark.registry import load
 
@@ -295,4 +295,4 @@ def multimodal_image_row_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select("doc_id").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return ids.mapInPandas(run, schema=_PROFILE_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_PROFILE_SCHEMA), "media_id")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # ------ 2.12 composite: 4-step transition matrix by repeated squaring
@@ -291,4 +291,4 @@ def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select("doc_id").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return ids.mapInPandas(run, schema=_CLIP_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_CLIP_SCHEMA), "media_id")

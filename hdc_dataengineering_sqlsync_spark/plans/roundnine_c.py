@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # ----------- 2.12 composite: customer spend-segment migration matrix
@@ -253,4 +253,4 @@ def multimodal_audio_stereo_balance(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = load(spark, sf_dir, "documents").where(_STEREO_SUBSET)
     ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
-    return ids.mapInPandas(run, schema=_STEREO_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_STEREO_SCHEMA), "media_id")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # ---------- 2.9 llm-data: zero-crossing rate over the decoded WAV clip
@@ -99,7 +99,7 @@ def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_ZCR_SUBSET)
     ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
-    return ids.mapInPandas(run, schema=_ZCR_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_ZCR_SCHEMA), "media_id")
 
 
 # ------- 2.3 joins/hierarchy: adjacency → nested-set (lft/rgt) labels

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.plans.mediacodec import _image_pixels
 from hdc_dataengineering_sqlsync_spark.registry import load
 
@@ -202,7 +202,7 @@ def multimodal_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_SOBEL_SUBSET)
     ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
-    return ids.mapInPandas(run, schema=_SOBEL_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_SOBEL_SCHEMA), "media_id")
 
 
 # ------- 2.12 composite: cost-volume-profit break-even analysis

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.plans.roundnine_i import _ISQRT
 from hdc_dataengineering_sqlsync_spark.registry import load
 
@@ -112,7 +112,7 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select("doc_id").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return ids.mapInPandas(run, schema=_RMS_SCHEMA).orderBy("media_id")
+    return sort_reduction(ids.mapInPandas(run, schema=_RMS_SCHEMA), "media_id")
 
 
 # ------ 2.6 sync/dataops: serpentine (boustrophedon) shard balancing

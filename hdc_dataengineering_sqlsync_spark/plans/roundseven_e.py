@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 _RLE_SUBSET = "doc_id % 3 = 1"
@@ -116,4 +116,4 @@ def multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_RLE_SUBSET)
     media = docs.select("doc_id").mapInPandas(enc, schema=_RLE_MEDIA_SCHEMA)
-    return media.mapInPandas(dec, schema=_RLE_STATS_SCHEMA).orderBy("media_id")
+    return sort_reduction(media.mapInPandas(dec, schema=_RLE_STATS_SCHEMA), "media_id")

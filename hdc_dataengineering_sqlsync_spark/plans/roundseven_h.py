@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # --------------- 2.9 llm-data: audio spectral peak via numpy rfft
@@ -104,7 +104,7 @@ def multimodal_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load(spark, sf_dir, "documents").where(_SPECTRAL_SUBSET)
     media = docs.select("doc_id").mapInPandas(synth, schema=_SPECTRAL_MEDIA_SCHEMA)
-    return media.mapInPandas(spectral, schema=_SPECTRAL_STATS_SCHEMA).orderBy("media_id")
+    return sort_reduction(media.mapInPandas(spectral, schema=_SPECTRAL_STATS_SCHEMA), "media_id")
 
 
 # ----------------- 2.4 aggregations: exact heavy hitters by threshold

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdc_dataengineering_sqlsync_spark.plans.catalog import query
+from hdc_dataengineering_sqlsync_spark.plans.catalog import query, sort_reduction
 from hdc_dataengineering_sqlsync_spark.registry import load
 
 # ------------------------------------------- 2.9 llm-data: real PNG decode
@@ -152,7 +152,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_PNG_SUBSET)
     media = docs.select("doc_id").mapInPandas(enc, schema=_PNG_MEDIA_SCHEMA)
-    return media.mapInPandas(dec, schema=_PNG_STATS_SCHEMA).orderBy("media_id")
+    return sort_reduction(media.mapInPandas(dec, schema=_PNG_STATS_SCHEMA), "media_id")
 
 
 # --------------------------------- 2.9 llm-data: subword (BPE) token count
@@ -524,4 +524,4 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(_GIF_SUBSET)
     media = docs.select("doc_id").mapInPandas(enc, schema=_PNG_MEDIA_SCHEMA)
-    return media.mapInPandas(dec, schema=_GIF_STATS_SCHEMA).orderBy("media_id")
+    return sort_reduction(media.mapInPandas(dec, schema=_GIF_STATS_SCHEMA), "media_id")

@@ -46,6 +46,14 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
+        child = getattr(df, "_sort_reduction_child", None)
+        if child is not None:
+            # sort_reduction qids (r12): the declared frame's plan is just
+            # sort-over-checkpoint; append the stashed pre-checkpoint child
+            # where the real scan/codec subtree lives
+            buf.write("\n--- sort_reduction child (pre-checkpoint subtree) ---\n\n")
+            with contextlib.redirect_stdout(buf):
+                child.explain("formatted")
         path = os.path.join(out_dir, f"{qid}_{tag}.txt")
         with open(path, "w") as f:
             f.write(buf.getvalue())

@@ -149,6 +149,9 @@ def main() -> None:
     for qid in sorted(CATALOG):
         try:
             df = CATALOG[qid].fn(spark, sf)
+            # sort_reduction qids (r12): audit the stashed pre-checkpoint
+            # child, where the real scan/codec subtree lives
+            df = getattr(df, "_sort_reduction_child", df)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")

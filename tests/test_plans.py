@@ -25,7 +25,12 @@ def _explain(df) -> str:
 
 
 def _plan(spark, sf_dir, qid: str) -> str:
-    return _explain(CATALOG[qid].fn(spark, sf_dir))
+    df = CATALOG[qid].fn(spark, sf_dir)
+    # sort_reduction qids (r12) checkpoint the reduction under the final
+    # sort, which swaps the declared frame's plan for an RDD scan; the real
+    # subtree (scan pruning, MapInPandas codec stage) lives on the stashed
+    # pre-checkpoint child — introspect that where present.
+    return _explain(getattr(df, "_sort_reduction_child", df))
 
 
 def test_scan_pushdown_and_pruning(spark, sf_dir):
@@ -748,7 +753,8 @@ def test_bitemporal_asof_pick_is_group_limited(spark, sf_dir):
 def test_jpeg_qid_scan_prunes_to_doc_id(spark, sf_dir):
     """multimodal_decode_jpeg: the documents scan must read ONLY doc_id
     (payloads are synthesized in the partition, never from the text
-    column), and the codec stage must be an Arrow MapInPandas."""
+    column), and the codec stage must be an Arrow MapInPandas (r12: _plan
+    introspects the sort_reduction's pre-checkpoint child)."""
     plan = _plan(spark, sf_dir, "multimodal_decode_jpeg")
     assert "MapInPandas" in plan
     seg = plan[plan.index("ReadSchema") :].splitlines()[0]
