@@ -56,26 +56,18 @@ FROM perdoc GROUP BY lang ORDER BY lang
 """
 
 
-@query("dedup_substring_coverage", "2.9 llm-data", _SUBSTR_ORACLE, bench=True)
-def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr-style duplicated-span coverage (Lee et al. 2022's
-    substring dedup, the step AFTER document-level dedup): every sliding
-    8-token window is hashed; a window occurring >= 2 times anywhere in the
-    corpus marks ALL its token positions as duplicated; per-lang census of
-    covered-token share (half-up integer bps) and docs that are
-    majority-duplicated (2*covered > total — no float threshold).
-
-    Scale shape: windows explode to ~n_tokens rows (same order as any
-    tokenizer pass) and reduce by window STRING in one map-side-combinable
-    aggregate; only duplicated occurrences re-explode (x8 positions) for
-    the coverage union — dup mass, not corpus mass. At 100 TB the window
-    string is replaced by its 8-byte hash (collision-safe census) and the
-    group-by shards by hash exactly like exact dedup; no driver state, no
-    all-pairs step anywhere."""
+def _substr_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
-    toks = d.select("doc_id", "lang", t.alias("t"), F.size(t).alias("n"))
-    win = toks.where(F.col("n") >= _SUBSTR_K).select(
+    return d.select("doc_id", "lang", t.alias("t"), F.size(t).alias("n"))
+
+
+def _substr_win(toks: DataFrame) -> DataFrame:
+    """Sliding 8-token window explode: one (doc_id, start, window-string)
+    row per position. This subtree is the expensive part (split + slice +
+    array_join string work over corpus mass), so the query shape must
+    construct it exactly once."""
+    return toks.where(F.col("n") >= _SUBSTR_K).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -87,14 +79,9 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sw"),
     ).select("doc_id", F.col("sw.s").alias("s"), F.col("sw.w").alias("w"))
-    dup = win.groupBy("w").agg(F.count(F.lit(1)).alias("_c")).where(F.col("_c") >= 2).select("w")
-    cov = (
-        win.join(dup, "w")
-        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (_SUBSTR_K - 1))).alias("pos"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+
+
+def _substr_rollup(toks: DataFrame, cov: DataFrame) -> DataFrame:
     perdoc = toks.join(cov, "doc_id", "left").select(
         "lang", "n", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
@@ -111,6 +98,70 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("dedup_substring_coverage", "2.9 llm-data", _SUBSTR_ORACLE, bench=True)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span coverage (Lee et al. 2022's
+    substring dedup, the step AFTER document-level dedup): every sliding
+    8-token window is hashed; a window occurring >= 2 times anywhere in the
+    corpus marks ALL its token positions as duplicated; per-lang census of
+    covered-token share (half-up integer bps) and docs that are
+    majority-duplicated (2*covered > total — no float threshold).
+
+    Scale shape (r13): the window table is built ONCE and shuffled ONCE by
+    window key; a window count-over-partition marks duplicated occurrences
+    in place, and per-doc covered tokens come from a sorted-start interval
+    merge (first window covers K, each next covers min(K, gap)) — no x8
+    position re-explode, no distinct shuffle. The retired census+join form
+    (`_substring_coverage_censusjoin`, pinned output-identical by test)
+    built the corpus-mass window subtree TWICE (census + join probe) and
+    its map-side partial agg collapsed nothing on mostly-unique windows; at
+    100 TB its dup table also outgrows a broadcast, degrading the probe to
+    a second corpus-mass shuffle. Known trade, documented: a pathologically
+    hot window key lands its occurrences in one spillable window buffer
+    here, where the census form partially aggregated it map-side — the
+    interval-merge shuffle by doc_id carries dup mass only either way. At
+    100 TB the window string is replaced by its 8-byte hash
+    (collision-safe census) and the shuffle shards by hash exactly like
+    exact dedup; no driver state, no all-pairs step anywhere."""
+    toks = _substr_toks(spark, sf_dir)
+    win = _substr_win(toks)
+    occ = (
+        win.withColumn("_nw", F.count(F.lit(1)).over(Window.partitionBy("w")))
+        .where(F.col("_nw") >= 2)
+        .select("doc_id", "s")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    cov = (
+        occ.withColumn("_p", F.lag("s").over(ws))
+        .select(
+            "doc_id",
+            F.when(F.col("_p").isNull(), F.lit(_SUBSTR_K))
+            .otherwise(F.least(F.lit(_SUBSTR_K), F.col("s") - F.col("_p")))
+            .alias("_cv"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_cv").alias("c"))
+    )
+    return _substr_rollup(toks, cov)
+
+
+def _substring_coverage_censusjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r13 form, kept as the equivalence pin for the r13 rewrite: dup
+    census (groupBy window string) + join-back + x8 position explode +
+    distinct. Builds the window subtree twice per action."""
+    toks = _substr_toks(spark, sf_dir)
+    win = _substr_win(toks)
+    dup = win.groupBy("w").agg(F.count(F.lit(1)).alias("_c")).where(F.col("_c") >= 2).select("w")
+    cov = (
+        win.join(dup, "w")
+        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (_SUBSTR_K - 1))).alias("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _substr_rollup(toks, cov)
 
 
 # ------------------------------------ 2.9 llm-data: out-of-vocabulary rate

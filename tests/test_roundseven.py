@@ -240,3 +240,75 @@ def test_mmr_rerank_matches_reference(spark, sf_dir, oracle):
         }
         picked.append(min(cand, key=lambda v: (-score[v], v)))
     assert [r["vec_id"] for r in rows] == picked
+
+
+# ---------------- r13 rewrite: single-construction window count + interval merge
+
+
+def test_substring_coverage_interval_merge_matches_reference(spark):
+    """The r13 coverage legs (count-over-window dup mark + sorted-start
+    interval merge) against the pure-Python position-set reference, on the
+    same adversarial texts as the census-join test above (overlapping dup
+    windows, self-repeated runs, sub-K docs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    texts = [
+        "a b c d e f g h i j",
+        "a b c d e f g h x y",
+        "z z z z z z z z z z z z",
+        "short doc",
+        "p q r s t u v w",
+    ]
+    ref = _coverage_reference(texts)
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)], "doc_id long, text string, lang string"
+    )
+    t = F.split(F.col("text"), " ")
+    toks = df.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    win = toks.where(F.col("n") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 7),
+                lambda s: F.struct(
+                    s.cast("long").alias("s"),
+                    F.array_join(F.slice(F.col("t"), s, 8), " ").alias("w"),
+                ),
+            )
+        ).alias("sw"),
+    ).select("doc_id", F.col("sw.s").alias("s"), F.col("sw.w").alias("w"))
+    occ = (
+        win.withColumn("_nw", F.count(F.lit(1)).over(Window.partitionBy("w")))
+        .where(F.col("_nw") >= 2)
+        .select("doc_id", "s")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    cov = (
+        occ.withColumn("_p", F.lag("s").over(ws))
+        .select(
+            "doc_id",
+            F.when(F.col("_p").isNull(), F.lit(8))
+            .otherwise(F.least(F.lit(8), F.col("s") - F.col("_p")))
+            .alias("_cv"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_cv").alias("c"))
+    )
+    got = {r["doc_id"]: r["c"] for r in cov.collect()}
+    for i, (n_tok, n_cov) in enumerate(ref):
+        assert got.get(i, 0) == n_cov, f"doc {i}: got {got.get(i, 0)}, want {n_cov}"
+
+
+def test_substring_coverage_pins_retired_censusjoin_form(spark, sf_dir):
+    """Full-query equivalence pin: the r13 single-construction form must
+    return exactly the retired census+join form's rows (same order — both
+    end in orderBy(lang))."""
+    from hdc_dataengineering_sqlsync_spark.plans.roundseven import (
+        _substring_coverage_censusjoin,
+        dedup_substring_coverage,
+    )
+
+    new_rows = [tuple(r) for r in dedup_substring_coverage(spark, sf_dir).collect()]
+    old_rows = [tuple(r) for r in _substring_coverage_censusjoin(spark, sf_dir).collect()]
+    assert new_rows == old_rows
