@@ -27,7 +27,9 @@ round-4 window (batch 1's 10 fit the round-4 budget exactly alongside the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdc_dataengineering_sqlsync_spark.functions.digests import duckdb_row_digest, row_digest
@@ -40,7 +42,7 @@ from hdc_dataengineering_sqlsync_spark.operators.quality import (
 )
 from hdc_dataengineering_sqlsync_spark.plans.catalog import query
 from hdc_dataengineering_sqlsync_spark.plans.sync import _TARGET_SQL, _source, _target
-from hdc_dataengineering_sqlsync_spark.registry import SCHEMAS, load
+from hdc_dataengineering_sqlsync_spark.registry import SCHEMAS, load, table_bytes
 
 # ---------------------------------------------------------------------------
 # 2.8 data quality
@@ -96,6 +98,109 @@ ORDER BY rule_name
 """
 
 
+# r13 single-scan fold gate (bytes of fact tables on disk): BELOW the bound
+# the report keeps its r3 shape — one conditional aggregate per rule class,
+# 3 scans of lineitem + 4 of orders, all pruned to 1-3 columns each — because
+# the r12 A/B measured the fold 1.19s -> 1.76s at sf0.1 (the mixed
+# distinct/non-distinct aggregate plans an Expand that pushes 2x rows through
+# the partial aggregate, and the always-attached broadcast FK probe is pure
+# overhead on a ~30 MB page-cached scan). AT/above the bound the trade
+# inverts: each extra scan is real I/O over a fact that no longer fits the
+# page cache, so every rule class folds into ONE aggregate over ONE scan per
+# table (row rules + pk-uniqueness countDistinct + broadcast FK probe
+# together). 1 GiB combined is where a re-scan stops being a page-cache hit
+# on any plausible worker; production clusters can tune via
+# SPARK_GRAFT_DQ_FOLD_BYTES. Derived from parquet file sizes on the driver
+# (registry.table_bytes — no Spark job), like graph_pagerank's footer-count
+# broadcast gate.
+_DQ_FOLD_BYTES = int(os.environ.get("SPARK_GRAFT_DQ_FOLD_BYTES", str(1 << 30)))
+
+
+def _dq_report_rows(agged: DataFrame, rows: list[tuple[str, Column, Column]]) -> DataFrame:
+    """Unpivot one 1-row conditional aggregate into (rule, checked,
+    violations) report rows, driver-free (same inline-over-structs idiom as
+    operators/quality.py)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule_name"),
+                checked.cast("long").alias("n_checked"),
+                F.coalesce(violations, F.lit(0)).cast("long").alias("n_violations"),
+            )
+            for name, checked, violations in rows
+        ]
+    )
+    return agged.select(F.inline(arr))
+
+
+def _dq_constraint_report_folded(li: DataFrame, o: DataFrame, c: DataFrame) -> DataFrame:
+    """Single-scan-per-table form of dq_constraint_report (the >= gate arm):
+    row rules, pk uniqueness and the broadcast FK probe fold into ONE
+    aggregate over ONE scan of each fact table. Output rows are pinned
+    identical to the unfolded form by test."""
+    okey = F.broadcast(o.select(F.col("o_orderkey").alias("__po")).dropDuplicates())
+    li_agg = li.join(okey, li["l_orderkey"] == F.col("__po"), "left").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1))).cast("long")
+        ).alias("v_disc"),
+        F.sum((~(F.col("l_quantity") > 0)).cast("long")).alias("v_qty"),
+        F.sum(
+            (
+                ~(
+                    F.col("l_returnflag").isNotNull()
+                    & F.col("l_returnflag").isin("A", "N", "R")
+                )
+            ).cast("long")
+        ).alias("v_flag"),
+        F.countDistinct(F.struct(F.col("l_orderkey"), F.col("l_linenumber"))).alias("d_pk"),
+        F.count(F.when(F.col("l_orderkey").isNotNull(), 1)).alias("n_fk"),
+        F.sum(
+            (F.col("l_orderkey").isNotNull() & F.col("__po").isNull()).cast("long")
+        ).alias("v_fk"),
+    )
+    li_rows = _dq_report_rows(
+        li_agg,
+        [
+            ("lineitem_discount_range", F.col("n"), F.col("v_disc")),
+            ("lineitem_fk_orders", F.col("n_fk"), F.col("v_fk")),
+            ("lineitem_pk_unique", F.col("n"), F.col("n") - F.col("d_pk")),
+            ("lineitem_qty_positive", F.col("n"), F.col("v_qty")),
+            ("lineitem_returnflag_domain", F.col("n"), F.col("v_flag")),
+        ],
+    )
+    ckey = F.broadcast(c.select(F.col("c_custkey").alias("__pc")).dropDuplicates())
+    o_agg = o.join(ckey, o["o_custkey"] == F.col("__pc"), "left").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("v_null"),
+        F.sum((~(F.col("o_totalprice") > 0)).cast("long")).alias("v_price"),
+        F.sum(
+            (
+                ~(
+                    F.col("o_orderstatus").isNotNull()
+                    & F.col("o_orderstatus").isin("F", "O", "P")
+                )
+            ).cast("long")
+        ).alias("v_status"),
+        F.countDistinct(F.struct(F.col("o_orderkey"))).alias("d_pk"),
+        F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("n_fk"),
+        F.sum(
+            (F.col("o_custkey").isNotNull() & F.col("__pc").isNull()).cast("long")
+        ).alias("v_fk"),
+    )
+    o_rows = _dq_report_rows(
+        o_agg,
+        [
+            ("orders_fk_customer", F.col("n_fk"), F.col("v_fk")),
+            ("orders_pk_not_null", F.col("n"), F.col("v_null")),
+            ("orders_pk_unique", F.col("n"), F.col("n") - F.col("d_pk")),
+            ("orders_price_positive", F.col("n"), F.col("v_price")),
+            ("orders_status_domain", F.col("n"), F.col("v_status")),
+        ],
+    )
+    return li_rows.unionByName(o_rows).orderBy("rule_name")
+
+
 # bench=True: VERDICT r3 #6 — star one data-ops qid so the newest family has
 # a round-over-round baseline gate like the others
 @query("dq_constraint_report", "2.8 sync core", _DQ_ORACLE, bench=True)
@@ -108,10 +213,15 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan; uniqueness is one keyed aggregate; each FK check is one
     left-anti join with the dimension side broadcast — the fact side is
     never shuffled. Adding a rule adds a map-side counter, not a pass.
+    When the fact tables' on-disk bytes reach _DQ_FOLD_BYTES the whole
+    report additionally folds to ONE scan per fact table (see the gate
+    comment above) — output pinned identical either way.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    if table_bytes(sf_dir, "lineitem") + table_bytes(sf_dir, "orders") >= _DQ_FOLD_BYTES:
+        return _dq_constraint_report_folded(li, o, c)
     li_rules = row_rules_report(
         li,
         [

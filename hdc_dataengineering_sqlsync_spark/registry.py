@@ -13,6 +13,8 @@ the vectorized reader path is unchanged).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -139,6 +141,20 @@ def rowcount(sf_dir: str, table: str) -> int:
 
     ds = pads.dataset(path_for(sf_dir, table), format="parquet")
     return sum(frag.metadata.num_rows for frag in ds.get_fragments())
+
+
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk (compressed) size of one registry table, no Spark job.
+
+    Companion to ``rowcount`` for data-driven plan decisions that should
+    key on SCAN COST rather than cardinality (e.g. dq_constraint_report's
+    single-scan fold gate): sums the parquet fragment file sizes via
+    pyarrow.dataset, so a single file and a directory of part files both
+    work."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path_for(sf_dir, table), format="parquet")
+    return sum(os.path.getsize(f) for f in ds.files)
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -1104,3 +1104,38 @@ def test_win_range_frame_matches_window_form(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_dq_constraint_report_folded_pins_unfolded(spark, sf_dir, monkeypatch):
+    """r13 single-scan fold: the folded form (gate arm taken when the fact
+    tables' on-disk bytes reach _DQ_FOLD_BYTES) must return exactly the
+    report the unfolded r3 shape returns, and its plan must scan lineitem
+    exactly once."""
+    from hdc_dataengineering_sqlsync_spark.plans import dataops
+    from hdc_dataengineering_sqlsync_spark.registry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    folded = dataops._dq_constraint_report_folded(li, o, c)
+    unfolded = dataops.dq_constraint_report(spark, sf_dir)  # gate off at test scale
+    assert [tuple(r) for r in folded.collect()] == [tuple(r) for r in unfolded.collect()]
+
+    def _li_scans(df):
+        # after collect() the AQE plan string repeats every node under an
+        # "== Initial Plan ==" section — count the final plan only
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        return sum(
+            1 for line in plan.splitlines() if "FileScan" in line and "lineitem" in line
+        )
+
+    assert _li_scans(folded) == 1
+    assert _li_scans(unfolded) == 3  # the r3 shape: row rules + pk_unique + fk child
+
+    # and the gate actually switches arms: force the bound to 0 bytes and the
+    # declared query must produce the folded single-lineitem-scan plan
+    monkeypatch.setattr(dataops, "_DQ_FOLD_BYTES", 0)
+    gated = dataops.dq_constraint_report(spark, sf_dir)
+    assert _li_scans(gated) == 1
+    assert [tuple(r) for r in gated.collect()] == [tuple(r) for r in unfolded.collect()]
