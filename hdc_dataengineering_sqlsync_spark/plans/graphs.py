@@ -56,7 +56,15 @@ def _cs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct (customer, supplier) trade relationship, in both directions
     (so the graph is symmetric and every node has out-degree ≥ 1 — no
     PageRank dangling-node correction needed). Node ids are packed int64
-    (2k / 2k+1) — see _CS_EDGES_SQL comment."""
+    (2k / 2k+1) — see _CS_EDGES_SQL comment.
+
+    PACKING INVARIANT (load-bearing, r12 ADVICE): every node id is
+    ``2*o_custkey`` or ``2*l_suppkey + 1`` and NOTHING ELSE, so
+    ``rowcount(customer) + rowcount(supplier)`` is an upper bound on the
+    node count — graph_pagerank's broadcast-hint gate depends on exactly
+    this. If this derivation ever adds a third node type, extend that
+    bound in the same commit; ``test_cs_edges_node_packing_invariant``
+    pins the coupling so it breaks loudly."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -128,10 +136,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterations re-read (deg is node-sized -> AQE broadcasts the join)
     ed = edges.join(deg, "src").select("src", "dst", "outdeg").localCheckpoint()
     # upper bound on node count: every node id packs a customer or supplier
-    # key, so the dimension row counts bound the rank table. 16 bytes/row
-    # framed; 200 MB broadcast budget -> ~12M nodes.
+    # key (the _cs_edges PACKING INVARIANT), so the dimension row counts
+    # bound the rank table. Budget lowered 12M -> 2M nodes (~32 MB framed)
+    # in r13 on measurement, not estimate: a synthetic crossover probe of
+    # this exact superstep at 36M edges (STRESS_r13_pagerank.json) read the
+    # broadcast arm ~2.5x FASTER at 1M nodes, a wash at 4M, and ~1.8x
+    # SLOWER at 11.9M — rebuilding and shipping a ~200 MB rank relation
+    # every superstep costs more than the rank-side shuffle it saves, so
+    # the old bound sat well inside the sort-merge-wins regime. The
+    # hint-withheld path was also probed end-to-end (12.8M-footer-node
+    # replica, 35M edges): no cliff, comparable to the forced-SMJ control.
     n_nodes_max = rowcount(sf_dir, "customer") + rowcount(sf_dir, "supplier")
-    hint = F.broadcast if n_nodes_max <= 12_000_000 else (lambda df: df)
+    hint = F.broadcast if n_nodes_max <= 2_000_000 else (lambda df: df)
     ranks = ed.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank")).distinct()
     for _ in range(3):
         ranks = (

@@ -329,3 +329,24 @@ def test_exact_global_cum_matches_reference_on_random_data(spark):
         assert totals["n"] == acc
 
     prop()
+
+
+def test_cs_edges_node_packing_invariant(spark, sf_dir):
+    """r12 ADVICE: graph_pagerank's broadcast-hint gate bounds the node
+    count by rowcount(customer) + rowcount(supplier), which is only valid
+    while _cs_edges packs EVERY node id as 2*custkey or 2*suppkey+1. Pin
+    the coupling: every node in the derived edge list must be one of those
+    two forms over keys that exist in the dimensions, and the distinct
+    node count must respect the bound."""
+    from hdc_dataengineering_sqlsync_spark.plans.graphs import _cs_edges
+    from hdc_dataengineering_sqlsync_spark.registry import load, rowcount
+
+    edges = _cs_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("n")).unionAll(
+        edges.select(F.col("dst").alias("n"))
+    ).distinct()
+    cust = load(spark, sf_dir, "customer").select((F.col("c_custkey") * 2).alias("n"))
+    supp = load(spark, sf_dir, "supplier").select((F.col("s_suppkey") * 2 + 1).alias("n"))
+    stray = nodes.join(cust.unionAll(supp).distinct(), "n", "left_anti").count()
+    assert stray == 0, f"{stray} node id(s) outside the 2k/2k+1 dimension packing"
+    assert nodes.count() <= rowcount(sf_dir, "customer") + rowcount(sf_dir, "supplier")
