@@ -99,7 +99,26 @@ def main() -> None:
     medians: dict[str, float] = {}
     for qid in sorted(bench_set):
         medians[qid] = round(time_query(spark, bench_set[qid].fn, SF_DIR, RUNS), 4)
-        print(f"  {qid}: {medians[qid]:.3f}s", file=sys.stderr)
+        # r13 (VERDICT r12 #5): a compute-only second timing — one noop-sink
+        # run (guide §1.4) AFTER the timed collect runs, stderr-only. For
+        # collect-bound shapes (win_range_frame: ~75% of its bench time is
+        # materializing 600k rows into driver Python objects) this separates
+        # engine drift from driver-materialization cost round over round.
+        # DIAGNOSTIC ONLY: the JSON line's medians above stay collect-based
+        # and byte-identical in methodology to every prior round.
+        try:
+            t0 = time.perf_counter()
+            bench_set[qid].fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            noop_s = time.perf_counter() - t0
+            print(
+                f"  {qid}: {medians[qid]:.3f}s (compute-only noop {noop_s:.3f}s)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — diagnostics never abort the bench
+            print(f"  {qid}: {medians[qid]:.3f}s (noop probe failed: {exc!r})",
+                  file=sys.stderr)
 
     if os.environ.get("BENCH_DUCKDB"):
         import duckdb  # yardstick: same SQL, same files, same machine
