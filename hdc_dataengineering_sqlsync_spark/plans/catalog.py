@@ -46,7 +46,17 @@ def sort_reduction(df: DataFrame, *cols: str) -> DataFrame:
     declared DataFrame's explain output; the pre-checkpoint child is stashed
     on the result as ``_sort_reduction_child`` so plan tests and audits can
     still introspect the real shape (same caveat class PLANS.md documents
-    for eager-checkpointed reductions)."""
+    for eager-checkpointed reductions). Two caveats (r12 ADVICE): the stash
+    is a plain attribute — any FURTHER DataFrame transformation returns a
+    new frame without it, which ``scripts/plan_audit.py``'s diff now catches
+    as a loud "plan went OPAQUE" regression (scans dropping to zero) rather
+    than silently auditing the bare RDD scan. And checkpoint blocks are
+    never explicitly unpersisted: each is one slim media-grain reduction
+    (KBs at sf0.1), reclaimed only when the ContextCleaner GCs the dropped
+    reference, so a long session running many checkpointing qids
+    accumulates executor storage between GCs — bounded in practice by the
+    reductions' tiny size, but worth knowing when reading storage-tab
+    numbers during a bench."""
     out = df.localCheckpoint(eager=False).orderBy(*cols)
     out._sort_reduction_child = df
     return out

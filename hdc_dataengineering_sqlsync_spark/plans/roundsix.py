@@ -248,6 +248,14 @@ def bpe_tokens_spark(
 
     Under the guard the reference fixpoint apply and an 8-step unroll are
     the same function: fixpoint is reached within L-1 <= _BPE_STEPS merges.
+
+    Two precision notes (r12 ADVICE): only the ranks dict is built once per
+    task — the ``check="task"`` length probe (a vectorized str.len().max())
+    and, on violation, the error construction run once per ARROW BATCH
+    inside ``gen``, a deliberate O(batch) guard cost. And the output column
+    is always named ``word`` regardless of ``word_col``: callers that pass
+    a custom input column get it echoed back under the fixed output schema
+    (matching the retired unrolled form).
     """
     if check not in ("eager", "task"):
         raise ValueError(f"check must be 'eager' or 'task', got {check!r}")
@@ -397,11 +405,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs twice per query. wc is a (lang, word)-grain reduction — bounded
     # by vocabulary size, not corpus size — so checkpointing it is the
     # "checkpoint reductions, never fact-sized frames" pattern (r12)
-    wc = (
-        words.groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+    wc_child = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = wc_child.localCheckpoint(eager=False)
     vocab = wc.select("word").distinct()
     # check="task": the eager fixpoint guard would re-run the whole
     # tokenize+distinct subtree as a separate driver job per call; the
@@ -409,7 +414,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = bpe_tokens_spark(vocab, check="task").select(
         "word", F.size("bpe_tokens").alias("n_tokens")
     )
-    return (
+    out = (
         wc.join(F.broadcast(ntok), "word")
         .groupBy("lang")
         .agg(
@@ -426,6 +431,14 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # r13: the wc checkpoint hides the corpus scan from the declared plan
+    # (audit went OPAQUE r11 -> r12); stash the pre-checkpoint child so
+    # plan_audit sums the real scan/explode/agg subtree. NOT
+    # `_sort_reduction_child` (tests/dump_plans substitute that wholesale;
+    # here the declared plan is real and the child is only the hidden
+    # branch) — audits APPEND `_audit_extra_child`.
+    out._audit_extra_child = wc_child
+    return out
 
 
 # ---------------------------------------- 2.9 llm-data: real GIF/LZW decode

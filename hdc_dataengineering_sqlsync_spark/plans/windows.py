@@ -156,11 +156,8 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it Catalyst recomputes the aggregate -> TWO full scans of lineitem
     # (plan-verified). Materializing the ~|values| rows once costs nothing
     # and halves the scan volume — at 100 TB, the dominant cost.
-    vals = (
-        li.groupBy("l_returnflag", "l_quantity")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    vals_child = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    vals = vals_child.localCheckpoint(eager=False)
     cell = F.floor(F.col("l_quantity") / width).cast("long")
     need = vals.select("l_returnflag", "l_quantity", "n", cell.alias("cell"))
     # a value v answers bands for q in [v, v+width] -> cell(q) is cell(v) or cell(v)+1
@@ -187,7 +184,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # factor-100 probe showed a hard-coded 8 caps the fact-sized expansion
     # stage at 8 tasks — fine at sf0.1, an 8-wide funnel at 100x volume.
     n_out = max(8, spark.sparkContext.defaultParallelism)
-    return (
+    out = (
         band.repartitionByRange(n_out, "l_returnflag", "l_quantity")
         .sortWithinPartitions("l_returnflag", "l_quantity")
         .select(
@@ -198,6 +195,15 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__dup")
     )
+    # r13: the vals checkpoint hides the lineitem scan from the declared
+    # plan (audit row was scans=0/tables={} since r11); stash the
+    # pre-checkpoint child so plan_audit sums the real subtree. NOT
+    # `_sort_reduction_child`: that name means "the declared plan is opaque,
+    # the child is the whole real shape" and tests/dump_plans SUBSTITUTE it
+    # — here the declared plan is the real one and the child is only the
+    # checkpoint-hidden branch, so audits APPEND it instead.
+    out._audit_extra_child = vals_child
+    return out
 
 
 @query(

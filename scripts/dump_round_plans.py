@@ -46,14 +46,18 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        child = getattr(df, "_sort_reduction_child", None)
-        if child is not None:
-            # sort_reduction qids (r12): the declared frame's plan is just
-            # sort-over-checkpoint; append the stashed pre-checkpoint child
-            # where the real scan/codec subtree lives
-            buf.write("\n--- sort_reduction child (pre-checkpoint subtree) ---\n\n")
-            with contextlib.redirect_stdout(buf):
-                child.explain("formatted")
+        for attr, label in (
+            ("_sort_reduction_child", "sort_reduction child (pre-checkpoint subtree)"),
+            ("_audit_extra_child", "checkpoint-hidden branch (pre-checkpoint subtree)"),
+        ):
+            child = getattr(df, attr, None)
+            if child is not None:
+                # append the stashed pre-checkpoint child where the real
+                # scan/codec subtree lives (see plan_audit.py for the two
+                # stash flavors)
+                buf.write(f"\n--- {label} ---\n\n")
+                with contextlib.redirect_stdout(buf):
+                    child.explain("formatted")
         path = os.path.join(out_dir, f"{qid}_{tag}.txt")
         with open(path, "w") as f:
             f.write(buf.getvalue())

@@ -92,6 +92,19 @@ ACCEPTED_GROWTH: dict[str, dict[str, int]] = {
     # the safer materialization, not a recompute. SCALE.md round-12.
     "dedup_shingle_jaccard": {"same_table_max": 1},
     "dedup_recall_eval": {"same_table_max": 1},
+    # r13: win_range_frame / text_token_count_bpe stash their checkpointed
+    # reduction's pre-checkpoint child as `_audit_extra_child`, so the audit
+    # again SEES the one fact scan the lazy checkpoint had hidden since
+    # r11/r12 (rows were scans=0/tables={}). Execution is unchanged — the
+    # growth is the audit becoming honest about the same plan, not a new
+    # pass over the data. SCALE.md round-13.
+    "win_range_frame": {"same_table_max": 1},
+    # "scans": 0 adjudicates the HISTORICAL r11 -> r12 opaque transition
+    # (the r12 BPE rework's wc checkpoint dropped the audit row to scans=0;
+    # the r13 stash makes it visible again, so r12 -> r13 is pure growth
+    # back to honest counts). The committed-audit diff test replays the
+    # last two rounds' files, so the old transition must stay adjudicated.
+    "text_token_count_bpe": {"same_table_max": 1, "scans": 0},
 }
 
 
@@ -115,6 +128,17 @@ def diff_audits(old: dict, new: dict) -> list[str]:
                 if row[key] <= ACCEPTED_GROWTH.get(qid, {}).get(key, -1):
                     continue  # adjudicated (see ACCEPTED_GROWTH + SCALE.md)
                 bad.append(f"{qid}: {key} grew {base[key]} -> {row[key]} (tables={row['tables']})")
+        # a qid whose parquet scans DROP TO ZERO went opaque (a checkpoint
+        # now hides the real subtree — e.g. a sort_reduction frame whose
+        # _sort_reduction_child stash got dropped by a later transformation):
+        # that must be adjudicated like growth, not pass as shrinkage (r12
+        # ADVICE: fail loudly instead of silently auditing the opaque frame)
+        if base.get("scans", 0) > 0 and row.get("scans", 0) == 0:
+            if "scans" not in ACCEPTED_GROWTH.get(qid, {}):
+                bad.append(
+                    f"{qid}: plan went OPAQUE (scans {base['scans']} -> 0; "
+                    "checkpoint hides the subtree — stash/audit the child or adjudicate)"
+                )
     for qid, err in sorted(new.get("errors", {}).items()):
         bad.append(f"{qid}: audit error {err}")
     return bad
@@ -146,16 +170,41 @@ def main() -> None:
     spark = get_session(app_name="plan_audit")
     rows: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    def _formatted(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
     for qid in sorted(CATALOG):
         try:
             df = CATALOG[qid].fn(spark, sf)
-            # sort_reduction qids (r12): audit the stashed pre-checkpoint
-            # child, where the real scan/codec subtree lives
-            df = getattr(df, "_sort_reduction_child", df)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            rows[qid] = audit_plan(buf.getvalue())
+            # Checkpoint-bearing qids (r12/r13): audit the DECLARED frame
+            # (the executed sort/exchange above the checkpoint) PLUS the
+            # stashed pre-checkpoint child, where the real scan/codec
+            # subtree lives — counters sum across both plans (the declared
+            # side has zero parquet scans for the hidden branch, so scan
+            # multiplicity stays the child's; the final range-partition
+            # exchange stays visible) and the row is annotated so rounds
+            # stay comparable (r12 ADVICE). Two stash flavors, same audit
+            # treatment: `_sort_reduction_child` (declared plan is opaque,
+            # child is the whole real shape — tests/dump_plans substitute
+            # it) and `_audit_extra_child` (declared plan is real, child is
+            # only the checkpoint-hidden branch — appended, never
+            # substituted).
+            row = audit_plan(_formatted(df))
+            for attr in ("_sort_reduction_child", "_audit_extra_child"):
+                child = getattr(df, attr, None)
+                if child is None:
+                    continue
+                crow = audit_plan(_formatted(child))
+                for key in ("scans", "bnlj", "cartesian", "rangepart", "exchanges"):
+                    row[key] += crow[key]
+                for t, n in crow["tables"].items():
+                    row["tables"][t] = row["tables"].get(t, 0) + n
+                row["same_table_max"] = max(row["tables"].values(), default=0)
+                row[attr.lstrip("_")] = True
+            rows[qid] = row
         except Exception as exc:  # audit must cover the catalog even if one fn dies
             errors[qid] = f"{type(exc).__name__}: {exc}"[:200]
         print(f"{qid}: {rows.get(qid) or errors.get(qid)}", file=sys.stderr)
