@@ -100,20 +100,26 @@ ORDER BY rule_name
 
 # r13 single-scan fold gate (bytes of fact tables on disk): BELOW the bound
 # the report keeps its r3 shape — one conditional aggregate per rule class,
-# 3 scans of lineitem + 4 of orders, all pruned to 1-3 columns each — because
-# the r12 A/B measured the fold 1.19s -> 1.76s at sf0.1 (the mixed
-# distinct/non-distinct aggregate plans an Expand that pushes 2x rows through
-# the partial aggregate, and the always-attached broadcast FK probe is pure
-# overhead on a ~30 MB page-cached scan). AT/above the bound the trade
-# inverts: each extra scan is real I/O over a fact that no longer fits the
-# page cache, so every rule class folds into ONE aggregate over ONE scan per
-# table (row rules + pk-uniqueness countDistinct + broadcast FK probe
-# together). 1 GiB combined is where a re-scan stops being a page-cache hit
-# on any plausible worker; production clusters can tune via
+# 3 scans of lineitem + 4 of orders, all pruned to 1-3 columns each. The
+# fold (ONE aggregate over ONE scan per fact table) only pays when a
+# re-scan is real storage I/O, and the r13 factor-120 A/B
+# (STRESS_r13_dq.json) REFUTED the original 1 GiB bound on a 128 GiB box:
+# with 1.2 GiB of facts page-cache-resident the folded arm measured 0.62-
+# 0.73x (the mixed distinct/non-distinct aggregate plans an Expand that
+# doubles partial-agg row traffic; a two-level groupBy(pk) rewrite — the
+# form below — recovers most of that but still only reaches parity, never
+# a win, because the saved ~2.6 GiB of re-scans cost ~0 from page cache).
+# Crossover math from those runs: the fold saves 2x(lineitem)+3x(orders)
+# bytes of scan per report and costs ~5s of aggregate overhead per 1.2 GiB
+# of facts, so it wins only where effective scan throughput is below
+# ~0.5 GB/s — real remote-object-store territory, never a page-cache hit.
+# Default bound: 64 GiB combined = half this worker class's RAM, the
+# smallest size at which repeated scans must miss the page cache alongside
+# execution memory; S3-class deployments should LOWER it via
 # SPARK_GRAFT_DQ_FOLD_BYTES. Derived from parquet file sizes on the driver
-# (registry.table_bytes — no Spark job), like graph_pagerank's footer-count
-# broadcast gate.
-_DQ_FOLD_BYTES = int(os.environ.get("SPARK_GRAFT_DQ_FOLD_BYTES", str(1 << 30)))
+# (registry.table_bytes — no Spark job), like graph_pagerank's
+# footer-count broadcast gate.
+_DQ_FOLD_BYTES = int(os.environ.get("SPARK_GRAFT_DQ_FOLD_BYTES", str(1 << 36)))
 
 
 def _dq_report_rows(agged: DataFrame, rows: list[tuple[str, Column, Column]]) -> DataFrame:
@@ -137,27 +143,46 @@ def _dq_constraint_report_folded(li: DataFrame, o: DataFrame, c: DataFrame) -> D
     """Single-scan-per-table form of dq_constraint_report (the >= gate arm):
     row rules, pk uniqueness and the broadcast FK probe fold into ONE
     aggregate over ONE scan of each fact table. Output rows are pinned
-    identical to the unfolded form by test."""
+    identical to the unfolded form by test.
+
+    pk uniqueness comes from a TWO-LEVEL aggregation (groupBy(pk) partials
+    -> global rollup; d_pk = number of groups) rather than a countDistinct
+    mixed into the plain aggregate: the mixed form plans an Expand that
+    doubles partial-agg row traffic and measured 1.34x slower than this
+    form at factor 120 (STRESS_r13_dq.json). The pk shuffle itself is the
+    same corpus-mass exchange the unfolded distinct leg already pays."""
     okey = F.broadcast(o.select(F.col("o_orderkey").alias("__po")).dropDuplicates())
-    li_agg = li.join(okey, li["l_orderkey"] == F.col("__po"), "left").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            (~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1))).cast("long")
-        ).alias("v_disc"),
-        F.sum((~(F.col("l_quantity") > 0)).cast("long")).alias("v_qty"),
-        F.sum(
-            (
-                ~(
-                    F.col("l_returnflag").isNotNull()
-                    & F.col("l_returnflag").isin("A", "N", "R")
-                )
-            ).cast("long")
-        ).alias("v_flag"),
-        F.countDistinct(F.struct(F.col("l_orderkey"), F.col("l_linenumber"))).alias("d_pk"),
-        F.count(F.when(F.col("l_orderkey").isNotNull(), 1)).alias("n_fk"),
-        F.sum(
-            (F.col("l_orderkey").isNotNull() & F.col("__po").isNull()).cast("long")
-        ).alias("v_fk"),
+    li1 = (
+        li.join(okey, li["l_orderkey"] == F.col("__po"), "left")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                (~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1))).cast("long")
+            ).alias("v_disc"),
+            F.sum((~(F.col("l_quantity") > 0)).cast("long")).alias("v_qty"),
+            F.sum(
+                (
+                    ~(
+                        F.col("l_returnflag").isNotNull()
+                        & F.col("l_returnflag").isin("A", "N", "R")
+                    )
+                ).cast("long")
+            ).alias("v_flag"),
+            F.count(F.when(F.col("l_orderkey").isNotNull(), 1)).alias("n_fk"),
+            F.sum(
+                (F.col("l_orderkey").isNotNull() & F.col("__po").isNull()).cast("long")
+            ).alias("v_fk"),
+        )
+    )
+    li_agg = li1.agg(
+        F.sum("c").alias("n"),
+        F.sum("v_disc").alias("v_disc"),
+        F.sum("v_qty").alias("v_qty"),
+        F.sum("v_flag").alias("v_flag"),
+        F.count(F.lit(1)).alias("d_pk"),
+        F.sum("n_fk").alias("n_fk"),
+        F.sum("v_fk").alias("v_fk"),
     )
     li_rows = _dq_report_rows(
         li_agg,
@@ -170,23 +195,35 @@ def _dq_constraint_report_folded(li: DataFrame, o: DataFrame, c: DataFrame) -> D
         ],
     )
     ckey = F.broadcast(c.select(F.col("c_custkey").alias("__pc")).dropDuplicates())
-    o_agg = o.join(ckey, o["o_custkey"] == F.col("__pc"), "left").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("v_null"),
-        F.sum((~(F.col("o_totalprice") > 0)).cast("long")).alias("v_price"),
-        F.sum(
-            (
-                ~(
-                    F.col("o_orderstatus").isNotNull()
-                    & F.col("o_orderstatus").isin("F", "O", "P")
-                )
-            ).cast("long")
-        ).alias("v_status"),
-        F.countDistinct(F.struct(F.col("o_orderkey"))).alias("d_pk"),
-        F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("n_fk"),
-        F.sum(
-            (F.col("o_custkey").isNotNull() & F.col("__pc").isNull()).cast("long")
-        ).alias("v_fk"),
+    o1 = (
+        o.join(ckey, o["o_custkey"] == F.col("__pc"), "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("v_null"),
+            F.sum((~(F.col("o_totalprice") > 0)).cast("long")).alias("v_price"),
+            F.sum(
+                (
+                    ~(
+                        F.col("o_orderstatus").isNotNull()
+                        & F.col("o_orderstatus").isin("F", "O", "P")
+                    )
+                ).cast("long")
+            ).alias("v_status"),
+            F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("n_fk"),
+            F.sum(
+                (F.col("o_custkey").isNotNull() & F.col("__pc").isNull()).cast("long")
+            ).alias("v_fk"),
+        )
+    )
+    o_agg = o1.agg(
+        F.sum("c").alias("n"),
+        F.sum("v_null").alias("v_null"),
+        F.sum("v_price").alias("v_price"),
+        F.sum("v_status").alias("v_status"),
+        F.count(F.lit(1)).alias("d_pk"),
+        F.sum("n_fk").alias("n_fk"),
+        F.sum("v_fk").alias("v_fk"),
     )
     o_rows = _dq_report_rows(
         o_agg,
